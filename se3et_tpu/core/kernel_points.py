@@ -1,0 +1,202 @@
+r"""Kernel-point dispositions for KPConv-family convolutions.
+
+TPU-native replacement for ``geotransformer/modules/kpconv/kernel_points.py``.
+
+Two families:
+
+* **Repulsion-optimized dispositions** for the invariant KPConv (kanchor=1):
+  points in the unit ball minimizing a Coulomb-like repulsion energy with an
+  attraction to the center, one point fixed at the origin ('center' mode) or a
+  vertical axis fixed ('verticals' mode).  The reference caches these as
+  ``.ply`` under ``kpconv/dispositions``; we regenerate deterministically (fixed
+  seed) and cache as ``.npy`` beside this file.  Scaled so the mean non-center
+  radius is ~0.66 of the nominal radius, then multiplied by ``radius`` — the
+  same normalization as the reference (``kernel_points.py:380-385``).
+
+* **Platonic kernels** for the equivariant E2PN convolution: solid vertices
+  (+edge centers / face normals) scaled by 0.66/0.7 of the radius with a center
+  point, exactly symmetric under the anchor group so kernel rotation is a
+  permutation (``blocks_epn.py:111-179``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from se3et_tpu.core import anchors as anchor_lib
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "dispositions")
+
+
+def _repulsion_optimize(
+    num_points: int,
+    dimension: int = 3,
+    fixed: str = "center",
+    num_iters: int = 10000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic repulsion optimization of kernel points in the unit ball."""
+    rng = np.random.RandomState(seed)
+    pts = rng.uniform(-1.0, 1.0, size=(num_points, dimension))
+    pts /= np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1.0)
+    if fixed in ("center", "verticals"):
+        pts[0] = 0.0
+    if fixed == "verticals":
+        pts[:3, :-1] = 0.0
+        pts[1, -1] = 0.66
+        pts[2, -1] = -0.66
+
+    step = 1e-2
+    clip = 0.05
+    for it in range(num_iters):
+        diff = pts[:, None, :] - pts[None, :, :]
+        sq = np.sum(diff**2, axis=-1) + 1e-12
+        # inter-point repulsion (inverse-square), plus attraction to center
+        rep = diff / (sq[..., None] ** 1.5)
+        grad = rep.sum(axis=1) - pts  # attraction gradient is -x
+        norms = np.linalg.norm(grad, axis=1, keepdims=True)
+        grad = grad / np.maximum(norms, 1e-9) * np.minimum(norms, clip / step)
+        moving = np.ones((num_points, 1))
+        if fixed in ("center", "verticals"):
+            moving[0] = 0.0
+        if fixed == "verticals":
+            moving[:3] = 0.0
+        pts = pts + step * grad * moving
+        step *= 0.9995
+    # normalize: mean radius of non-fixed points -> 0.66 (ratio used by KPConv)
+    r = np.linalg.norm(pts, axis=1)
+    scale = 0.66 / np.mean(r[1:])
+    return (pts * scale).astype(np.float32)
+
+
+def load_kernels(
+    radius: float,
+    num_kpoints: int,
+    dimension: int = 3,
+    fixed: str = "center",
+    equiv_mode: bool = False,
+    seed: int | None = None,
+) -> np.ndarray:
+    """Kernel disposition scaled to ``radius`` (invariant KPConv path).
+
+    With ``equiv_mode=False`` a small random rotation + jitter is applied, as in
+    the reference loader (``kernel_points.py:426-455``) — pass a ``seed`` for
+    determinism (the engine threads the experiment seed through).
+    """
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    cache = os.path.join(_CACHE_DIR, f"k_{num_kpoints:03d}_{fixed}_{dimension}D.npy")
+    if os.path.exists(cache):
+        pts = np.load(cache)
+    else:
+        pts = _repulsion_optimize(num_kpoints, dimension, fixed)
+        np.save(cache, pts)
+
+    if not equiv_mode:
+        rng = np.random.RandomState(0 if seed is None else seed)
+        theta = rng.rand() * 2 * np.pi
+        if fixed == "verticals":
+            c, s = np.cos(theta), np.sin(theta)
+            rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], dtype=np.float32)
+        else:
+            phi = (rng.rand() - 0.5) * np.pi
+            u = np.array(
+                [np.cos(theta) * np.cos(phi), np.sin(theta) * np.cos(phi), np.sin(phi)]
+            )
+            alpha = rng.rand() * 2 * np.pi
+            rot = anchor_lib.rotation_to_z(u) @ anchor_lib.rot_z(alpha) @ anchor_lib.rotation_to_z(u).T
+            rot = rot.astype(np.float32)
+        pts = pts + rng.normal(scale=0.01, size=pts.shape).astype(np.float32)
+        pts = pts @ rot
+    return (radius * pts).astype(np.float32)
+
+
+def equivariant_kernel_points(
+    radius: float, num_kpoints: int, kanchor: int, quotient_factor: int
+) -> np.ndarray:
+    """Platonic kernel points symmetric under the anchor rotation group.
+
+    Layout matches the reference (``blocks_epn.py:145-173``): solid points
+    scaled by 0.66/0.7 of ``radius`` plus a trailing center point.
+    """
+    order = kanchor * quotient_factor
+    if order == 24:  # octahedron (kanchor 6, quotient 4)
+        if num_kpoints == 15:
+            vts = np.concatenate(
+                [anchor_lib.octahedron_vertices(), anchor_lib.octahedron_face_normals()], 0
+            )
+        elif num_kpoints == 7:
+            vts = anchor_lib.octahedron_vertices()
+        else:
+            raise ValueError(f"octahedron kernel needs K in (7, 15), got {num_kpoints}")
+        kernels = vts * 0.7 * radius
+    elif order == 12:  # tetrahedron (4,3) or full tetra (12,1)
+        assert num_kpoints == 15, num_kpoints
+        vts = np.concatenate(
+            [
+                anchor_lib.tetrahedron_vertices(),
+                anchor_lib.tetrahedron_edge_centers(),
+                anchor_lib.tetrahedron_face_normals(),
+            ],
+            0,
+        )
+        kernels = vts * 0.7 * radius
+    elif order == 60:  # icosahedron (12,5) or full icosa (60,1)
+        assert num_kpoints == 13, num_kpoints
+        kernels = anchor_lib.icosahedron_vertices() * 0.66 * radius
+    else:
+        raise NotImplementedError(f"group order {order}")
+    kernels = np.concatenate([kernels, np.zeros((1, 3))], 0)
+    assert kernels.shape[0] == num_kpoints, (kernels.shape, num_kpoints)
+    return kernels.astype(np.float32)
+
+
+def kernel_permutation_tables(
+    kernel_points: np.ndarray,
+    space: anchor_lib.AnchorSpace,
+    ignore_steer_constraint: bool = False,
+    radius: float = 1.0,
+):
+    """Kernel-point permutation under anchors + quotient fold classes.
+
+    Returns:
+        kidx_rot: (A, K) int32 — ``kernel[kidx_rot[a, k]] = R_a^{-1} kernel[k]``
+        fold: (K,) int32 — map to quotient-orbit representative class
+        num_real: int — number of independent kernel classes (K_real)
+
+    Reference: ``blocks_epn.py:228-279`` (including the steerability fold that
+    shrinks the weight tensor to K_real classes under the quotient subgroup).
+    """
+    a_rot = np.einsum("aij,kj->aki", space.anchors, kernel_points)  # R_a K_k
+    d = np.linalg.norm(a_rot[:, :, None, :] - kernel_points[None, None, :, :], axis=-1)
+    # kidx_rot[a, k1] = k2 with R_a K_k2 ~= K_k1  (argmin over k2 of |R_a K_k2 - K_k1|)
+    kidx_rot = d.argmin(axis=1).astype(np.int32)  # (A, K): for each k1 find k2
+    res_rot = d.min(axis=1).max()
+    res_ori = d.min(axis=2).max()
+    tol = 5e-3 * max(radius, 1e-9)
+    if res_rot > tol or res_ori > tol:
+        raise RuntimeError(
+            f"kernel not symmetric under anchors: residual {max(res_rot, res_ori)}"
+        )
+
+    num_k = kernel_points.shape[0]
+    if space.quotient_factor > 1 and not ignore_steer_constraint:
+        q_rot = np.einsum("qij,kj->qki", space.quotient, kernel_points)
+        dq = np.linalg.norm(
+            q_rot[:, :, None, :] - kernel_points[None, None, :, :], axis=-1
+        )
+        kidx_q = dq.argmin(axis=1)  # (Q, K): orbit partner of each kernel point
+        fold = -np.ones(num_k, dtype=np.int32)
+        cls = 0
+        for k in range(num_k):
+            if fold[k] < 0:
+                orbit = set(kidx_q[:, k].tolist()) | {k}
+                for m in orbit:
+                    fold[m] = cls
+                cls += 1
+        num_real = cls
+    else:
+        fold = np.arange(num_k, dtype=np.int32)
+        num_real = num_k
+    return kidx_rot, fold, num_real

@@ -1,0 +1,139 @@
+r"""SE(3) transform utilities (jax.numpy, fully jittable).
+
+TPU-native replacements for ``geotransformer/modules/ops/transformation.py``,
+``geotransformer/modules/registration/procrustes.py`` and
+``geotransformer/modules/registration/metrics.py``.  The reference computes the
+weighted-Procrustes SVD on the CPU (``procrustes.py:53``); here the 3x3 SVD runs
+on device so the whole registration tail stays inside one XLA program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Geometry math must not silently drop to bf16 on TPU: transforms, Procrustes
+# and metric computations all use full float32 MXU precision.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def apply_transform(points: jnp.ndarray, transform: jnp.ndarray) -> jnp.ndarray:
+    """Apply a rigid transform to points.
+
+    Args:
+        points: (..., N, 3) or (N, 3)
+        transform: (4, 4) or broadcastable batch (..., 4, 4)
+
+    Reference: ``modules/ops/transformation.py:7-60``.
+    """
+    rotation = transform[..., :3, :3]
+    translation = transform[..., :3, 3]
+    return jnp.einsum("...nj,...ij->...ni", points, rotation, precision=_PREC) + translation[..., None, :]
+
+
+def apply_rotation(points: jnp.ndarray, rotation: jnp.ndarray) -> jnp.ndarray:
+    return jnp.einsum("...nj,...ij->...ni", points, rotation, precision=_PREC)
+
+
+def compose_transform(rotation: jnp.ndarray, translation: jnp.ndarray) -> jnp.ndarray:
+    """Build (..., 4, 4) transforms from (..., 3, 3) + (..., 3)."""
+    batch = rotation.shape[:-2]
+    out = jnp.zeros(batch + (4, 4), dtype=rotation.dtype)
+    out = out.at[..., :3, :3].set(rotation)
+    out = out.at[..., :3, 3].set(translation)
+    out = out.at[..., 3, 3].set(1.0)
+    return out
+
+
+def inverse_transform(transform: jnp.ndarray) -> jnp.ndarray:
+    rotation = transform[..., :3, :3]
+    translation = transform[..., :3, 3]
+    inv_r = jnp.swapaxes(rotation, -1, -2)
+    inv_t = -jnp.einsum("...ij,...j->...i", inv_r, translation, precision=_PREC)
+    return compose_transform(inv_r, inv_t)
+
+
+def rodrigues_rotation(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle to rotation matrix (Rodrigues formula).
+
+    Reference: ``modules/ops/transformation.py`` rodrigues helpers.
+    """
+    axis = axis / (jnp.linalg.norm(axis, axis=-1, keepdims=True) + 1e-12)
+    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+    zeros = jnp.zeros_like(x)
+    k = jnp.stack(
+        [zeros, -z, y, z, zeros, -x, -y, x, zeros], axis=-1
+    ).reshape(axis.shape[:-1] + (3, 3))
+    eye = jnp.eye(3, dtype=axis.dtype)
+    s = jnp.sin(angle)[..., None, None]
+    c = jnp.cos(angle)[..., None, None]
+    return eye + s * k + (1.0 - c) * (k @ k)
+
+
+def weighted_procrustes(
+    src_points: jnp.ndarray,
+    ref_points: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    weight_thresh: float = 0.0,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Weighted Kabsch/Procrustes: rigid transform aligning src -> ref.
+
+    Args:
+        src_points: (..., N, 3)
+        ref_points: (..., N, 3)
+        weights: (..., N) or None
+
+    Returns:
+        transform: (..., 4, 4)
+
+    Reference: ``modules/registration/procrustes.py:6-73`` (device SVD instead
+    of the reference's CPU round-trip).
+    """
+    if weights is None:
+        weights = jnp.ones(src_points.shape[:-1], dtype=src_points.dtype)
+    weights = jnp.where(weights < weight_thresh, 0.0, weights)
+    weights = weights / (jnp.sum(weights, axis=-1, keepdims=True) + eps)
+    w = weights[..., None]
+
+    src_centroid = jnp.sum(src_points * w, axis=-2, keepdims=True)
+    ref_centroid = jnp.sum(ref_points * w, axis=-2, keepdims=True)
+    src_c = src_points - src_centroid
+    ref_c = ref_points - ref_centroid
+
+    h = jnp.einsum("...ni,...nj->...ij", src_c, w * ref_c, precision=_PREC)  # (..., 3, 3)
+    u, _, vt = jnp.linalg.svd(h, full_matrices=False)
+    v = jnp.swapaxes(vt, -1, -2)
+    ut = jnp.swapaxes(u, -1, -2)
+    det = jnp.linalg.det(v @ ut)
+    diag = jnp.stack(
+        [jnp.ones_like(det), jnp.ones_like(det), jnp.sign(det)], axis=-1
+    )
+    r = jnp.einsum("...ij,...j,...jk->...ik", v, diag, ut, precision=_PREC)
+    t = ref_centroid[..., 0, :] - jnp.einsum("...ij,...j->...i", r, src_centroid[..., 0, :], precision=_PREC)
+    return compose_transform(r, t)
+
+
+def isotropic_transform_error(
+    gt_transform: jnp.ndarray, est_transform: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(RRE degrees, RTE meters).  Reference: ``registration/metrics.py:47-111``."""
+    gt_r, est_r = gt_transform[..., :3, :3], est_transform[..., :3, :3]
+    gt_t, est_t = gt_transform[..., :3, 3], est_transform[..., :3, 3]
+    trace = jnp.einsum("...ji,...ji->...", gt_r, est_r, precision=_PREC)
+    cos = jnp.clip(0.5 * (trace - 1.0), -1.0, 1.0)
+    rre = jnp.degrees(jnp.arccos(cos))
+    rte = jnp.linalg.norm(gt_t - est_t, axis=-1)
+    return rre, rte
+
+
+def random_rotation(key: jax.Array, factor: float = 1.0) -> jnp.ndarray:
+    """Uniform-ish random rotation: random axis, angle in [0, 2*pi*factor].
+
+    Matches the reference augmentation scheme
+    (``utils/pointcloud.py random_sample_rotation``).
+    """
+    k1, k2 = jax.random.split(key)
+    axis = jax.random.normal(k1, (3,))
+    angle = jax.random.uniform(k2, ()) * 2.0 * jnp.pi * factor
+    return rodrigues_rotation(axis, angle)

@@ -1,0 +1,183 @@
+r"""Host-side (CPU) irregular geometry kernels for the data pipeline.
+
+TPU-native replacement for the reference's C++ extensions
+(``geotransformer/extensions/cpu/{grid_subsampling,radius_neighbors}``):
+
+* :func:`grid_subsample` — voxel-grid subsampling that keeps, per voxel, the
+  input point closest to the voxel centroid (and carries its normal), matching
+  ``grid_subsampling_cpu.cpp:39-70`` bit-for-intent.
+* :func:`radius_search` — fixed-width radius neighbor lists sorted by distance
+  with sentinel padding (index == num_support), matching
+  ``radius_neighbors_cpu.cpp:29-91``.
+* :func:`estimate_normals` — KNN-PCA normal estimation replacing the open3d
+  dependency (``utils/open3d.py:49-54``, KNN = 33).
+
+These run inside data-loader workers; an optional C++ fast path is provided by
+``native/`` (see :mod:`se3et_tpu.data.native_bridge`) with these numpy versions
+as the always-available fallback and golden reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:  # scipy is available in the image; guard anyway.
+    from scipy.spatial import cKDTree
+
+    _HAVE_SCIPY = True
+except Exception:  # pragma: no cover
+    _HAVE_SCIPY = False
+
+
+def grid_subsample_single(
+    points: np.ndarray, voxel_size: float, normals: np.ndarray | None = None
+):
+    """Voxel-grid subsample one cloud; keep the point closest to voxel centroid.
+
+    Returns (sub_points, sub_normals | None).  Output ordered by voxel hash
+    (deterministic).
+    """
+    points = np.asarray(points, dtype=np.float32)
+    min_corner = np.floor(points.min(axis=0) / voxel_size) * voxel_size
+    coords = np.floor((points - min_corner) / voxel_size).astype(np.int64)
+    dims = coords.max(axis=0) + 1
+    keys = coords[:, 0] + dims[0] * coords[:, 1] + dims[0] * dims[1] * coords[:, 2]
+
+    order = np.argsort(keys, kind="stable")
+    keys_sorted = keys[order]
+    uniq, first, counts = np.unique(keys_sorted, return_index=True, return_counts=True)
+    inv = np.searchsorted(uniq, keys)  # voxel id per point
+
+    # centroid per voxel
+    sums = np.zeros((uniq.shape[0], 3), dtype=np.float64)
+    np.add.at(sums, inv, points)
+    centroids = sums / counts[:, None]
+
+    # point closest to its voxel centroid
+    d2 = np.sum((points - centroids[inv]) ** 2, axis=1)
+    best = np.full(uniq.shape[0], -1, dtype=np.int64)
+    best_d = np.full(uniq.shape[0], np.inf)
+    # vectorized argmin per group: sort by (voxel, distance) and take first
+    grp_order = np.lexsort((d2, inv))
+    grp_first = np.unique(inv[grp_order], return_index=True)[1]
+    best = grp_order[grp_first]
+
+    sub_points = points[best]
+    sub_normals = normals[best] if normals is not None else None
+    return sub_points, sub_normals
+
+
+def grid_subsample(
+    points: np.ndarray,
+    lengths: np.ndarray,
+    voxel_size: float,
+    normals: np.ndarray | None = None,
+):
+    """Stack-mode voxel subsampling (multiple clouds concatenated).
+
+    Reference: ``grid_subsampling_cpu.cpp:73-109`` /
+    ``modules/ops/grid_subsample.py:7-24``.
+    """
+    out_points, out_normals, out_lengths = [], [], []
+    start = 0
+    for length in np.asarray(lengths).tolist():
+        cur = points[start : start + length]
+        cur_n = normals[start : start + length] if normals is not None else None
+        sub, sub_n = grid_subsample_single(cur, voxel_size, cur_n)
+        out_points.append(sub)
+        if sub_n is not None:
+            out_normals.append(sub_n)
+        out_lengths.append(sub.shape[0])
+        start += length
+    points_out = np.concatenate(out_points, axis=0)
+    normals_out = np.concatenate(out_normals, axis=0) if out_normals else None
+    return points_out, np.asarray(out_lengths, dtype=np.int64), normals_out
+
+
+def radius_search_single(
+    q_points: np.ndarray, s_points: np.ndarray, radius: float, limit: int
+) -> np.ndarray:
+    """Distance-sorted radius neighbors of one cloud pair, sentinel-padded.
+
+    Returns (len(q_points), limit) int64; sentinel = len(s_points).
+    """
+    num_s = s_points.shape[0]
+    out = np.full((q_points.shape[0], limit), num_s, dtype=np.int64)
+    if _HAVE_SCIPY and num_s > 0:
+        tree = cKDTree(s_points)
+        dists, idx = tree.query(
+            q_points, k=min(limit, num_s), distance_upper_bound=radius
+        )
+        if idx.ndim == 1:
+            dists, idx = dists[:, None], idx[:, None]
+        valid = np.isfinite(dists)
+        idx = np.where(valid, idx, num_s)
+        out[:, : idx.shape[1]] = idx
+    else:  # brute force fallback
+        d2 = np.sum((q_points[:, None] - s_points[None]) ** 2, axis=-1)
+        for i in range(q_points.shape[0]):
+            nbrs = np.nonzero(d2[i] <= radius * radius)[0]
+            nbrs = nbrs[np.argsort(d2[i][nbrs], kind="stable")][:limit]
+            out[i, : nbrs.shape[0]] = nbrs
+    return out
+
+
+def radius_search(
+    q_points: np.ndarray,
+    s_points: np.ndarray,
+    q_lengths: np.ndarray,
+    s_lengths: np.ndarray,
+    radius: float,
+    limit: int,
+) -> np.ndarray:
+    """Stack-mode radius search with global indices and global sentinel.
+
+    Matches ``radius_neighbors_cpu.cpp:29-91`` + the column truncation done in
+    ``modules/ops/radius_search.py:7-27``: per batch element a KD-tree query,
+    indices offset into the stacked support cloud, missing neighbors filled
+    with ``sum(s_lengths)``.
+    """
+    total_s = int(np.sum(s_lengths))
+    rows = []
+    q_start = s_start = 0
+    for ql, sl in zip(np.asarray(q_lengths).tolist(), np.asarray(s_lengths).tolist()):
+        idx = radius_search_single(
+            q_points[q_start : q_start + ql],
+            s_points[s_start : s_start + sl],
+            radius,
+            limit,
+        )
+        sentinel = idx == sl
+        idx = idx + s_start
+        idx[sentinel] = total_s
+        rows.append(idx)
+        q_start += ql
+        s_start += sl
+    return np.concatenate(rows, axis=0)
+
+
+def estimate_normals(points: np.ndarray, k: int = 33) -> np.ndarray:
+    """KNN-PCA surface normals (unoriented, matching open3d's default pipeline).
+
+    Reference: ``utils/open3d.py:49-54`` (KNN search param 33).
+    """
+    points = np.asarray(points, dtype=np.float32)
+    n = points.shape[0]
+    k = min(k, n)
+    if _HAVE_SCIPY:
+        tree = cKDTree(points)
+        _, idx = tree.query(points, k=k)
+    else:  # pragma: no cover
+        d2 = np.sum((points[:, None] - points[None]) ** 2, axis=-1)
+        idx = np.argsort(d2, axis=1)[:, :k]
+    nbrs = points[idx]  # (N, k, 3)
+    centered = nbrs - nbrs.mean(axis=1, keepdims=True)
+    cov = np.einsum("nki,nkj->nij", centered, centered) / k
+    # smallest-eigenvalue eigenvector of each 3x3 covariance
+    w, v = np.linalg.eigh(cov)
+    normals = v[:, :, 0]
+    # deterministic orientation: positive z hemisphere (open3d orients towards
+    # an arbitrary consistent direction as well)
+    flip = normals[:, 2] < 0
+    normals[flip] = -normals[flip]
+    return normals.astype(np.float32)

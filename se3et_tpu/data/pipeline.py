@@ -1,0 +1,236 @@
+r"""Fixed-shape point-pyramid construction for TPU consumption.
+
+This is the TPU-native counterpart of the reference's stack-mode collate
+(``geotransformer/utils/data.py:13-97``).  Differences by design:
+
+* **Separate ref/src cloud axis.**  The reference concatenates both clouds and
+  threads a ``lengths`` vector through every op (requiring ``.item()`` host
+  syncs in the model, ``model.py:86-98``).  We emit arrays with a leading cloud
+  axis of size 2 (0 = ref, 1 = src) and boolean validity masks — the jitted
+  model never touches a dynamic length.
+
+* **Static shape buckets.**  Every stage is padded to a configured cap; the
+  neighbor matrices have calibrated fixed widths (the reference computes the
+  same widths via ``calibrate_neighbors_stack_mode``, ``utils/data.py:212-252``
+  — its own static-shape mechanism, which we keep).
+
+* **Local sentinel indices.**  Neighbor indices are per-cloud with sentinel
+  ``N_stage`` (the reference uses global stacked indices with a global
+  sentinel).
+
+The emitted dict (all numpy, ready for ``jnp.asarray``):
+
+========================  =====================================================
+key                       shape
+========================  =====================================================
+``points_{s}``            (2, N_s, 3) float32, zero-padded
+``masks_{s}``             (2, N_s) bool
+``neighbors_{s}``         (2, N_s, K_s) int32, sentinel N_s
+``subsampling_{s}``       (2, N_{s+1}, K_s) int32 (queries at s+1, support s)
+``upsampling_{s}``        (2, N_s, K_{s+1}) int32 (queries at s, support s+1)
+``normals_{s}``           (2, N_s, 3) float32 (only if use_normals)
+``features``              (2, N_0, C_in) float32
+``transform``             (4, 4) float32 (src -> ref ground truth)
+========================  =====================================================
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from se3et_tpu.data import host_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class PyramidConfig:
+    num_stages: int = 4
+    voxel_size: float = 0.025  # first-stage voxel (stage 0 input is pre-sampled)
+    search_radius: float = 0.0625  # init_radius = 2.5 * voxel_size
+    neighbor_limits: tuple[int, ...] = (38, 36, 36, 38)
+    stage_caps: tuple[int, ...] = (16384, 4096, 1536, 1024)
+    coarse_point_cap: int = 2000  # hard cap on the coarsest stage (utils/data.py:35-43)
+    input_dim: int = 1
+    use_normals: bool = False
+
+    def __post_init__(self):
+        assert len(self.neighbor_limits) == self.num_stages
+        assert len(self.stage_caps) == self.num_stages
+
+
+def _pad_points(points: np.ndarray, cap: int):
+    n = points.shape[0]
+    if n > cap:
+        points = points[:cap]
+        n = cap
+    out = np.zeros((cap,) + points.shape[1:], dtype=points.dtype)
+    out[:n] = points
+    mask = np.zeros(cap, dtype=bool)
+    mask[:n] = True
+    return out, mask, n
+
+
+def _pad_neighbors(idx: np.ndarray, num_valid_q: int, cap_q: int, cap_s: int, old_sentinel: int):
+    """Remap a (n_q, K) local neighbor matrix into the padded index space."""
+    k = idx.shape[1]
+    out = np.full((cap_q, k), cap_s, dtype=np.int32)
+    idx = idx[:num_valid_q].astype(np.int32)
+    idx = np.where((idx >= old_sentinel) | (idx >= cap_s), cap_s, idx)
+    out[:num_valid_q] = idx
+    return out
+
+
+def build_cloud_pyramid(
+    points: np.ndarray, cfg: PyramidConfig, normals: np.ndarray | None = None
+):
+    """Multi-stage voxel pyramid + neighbor/pool/unpool indices for ONE cloud.
+
+    Mirrors ``precompute_data_stack_mode`` (``utils/data.py:13-97``) with the
+    coarsest-stage point cap and the same radius doubling schedule.
+    """
+    voxel = cfg.voxel_size
+    stage_points, stage_normals = [], []
+    cur_p, cur_n = np.asarray(points, np.float32), normals
+    for s in range(cfg.num_stages):
+        if s > 0:
+            cur_p, cur_n = host_ops.grid_subsample_single(cur_p, voxel, cur_n)
+        if s == cfg.num_stages - 1 and cur_p.shape[0] > cfg.coarse_point_cap:
+            cur_p = cur_p[: cfg.coarse_point_cap]
+            if cur_n is not None:
+                cur_n = cur_n[: cfg.coarse_point_cap]
+        stage_points.append(cur_p)
+        stage_normals.append(cur_n)
+        voxel *= 2.0
+
+    radius = cfg.search_radius
+    neighbors, subsampling, upsampling = [], [], []
+    for s in range(cfg.num_stages):
+        neighbors.append(
+            host_ops.radius_search_single(
+                stage_points[s], stage_points[s], radius, cfg.neighbor_limits[s]
+            )
+        )
+        if s < cfg.num_stages - 1:
+            subsampling.append(
+                host_ops.radius_search_single(
+                    stage_points[s + 1], stage_points[s], radius, cfg.neighbor_limits[s]
+                )
+            )
+            upsampling.append(
+                host_ops.radius_search_single(
+                    stage_points[s], stage_points[s + 1], radius * 2.0,
+                    cfg.neighbor_limits[s + 1],
+                )
+            )
+        radius *= 2.0
+    return stage_points, stage_normals, neighbors, subsampling, upsampling
+
+
+def build_pair_pyramid(
+    ref_points: np.ndarray,
+    src_points: np.ndarray,
+    transform: np.ndarray,
+    cfg: PyramidConfig,
+    ref_feats: np.ndarray | None = None,
+    src_feats: np.ndarray | None = None,
+) -> dict:
+    """Build the padded two-cloud pyramid dict for a registration pair."""
+    out: dict[str, np.ndarray] = {}
+    clouds = []
+    for pts in (ref_points, src_points):
+        normals = host_ops.estimate_normals(pts) if cfg.use_normals else None
+        clouds.append(build_cloud_pyramid(pts, cfg, normals))
+
+    valid_counts = [[0, 0] for _ in range(cfg.num_stages)]
+    for s in range(cfg.num_stages):
+        cap = cfg.stage_caps[s]
+        pts_list, mask_list, nrm_list = [], [], []
+        for c in range(2):
+            stage_points, stage_normals = clouds[c][0], clouds[c][1]
+            p, m, n_valid = _pad_points(stage_points[s], cap)
+            valid_counts[s][c] = n_valid
+            pts_list.append(p)
+            mask_list.append(m)
+            if cfg.use_normals:
+                nrm, _, _ = _pad_points(stage_normals[s], cap)
+                nrm_list.append(nrm)
+        out[f"points_{s}"] = np.stack(pts_list, 0)
+        out[f"masks_{s}"] = np.stack(mask_list, 0)
+        if cfg.use_normals:
+            out[f"normals_{s}"] = np.stack(nrm_list, 0)
+
+    for s in range(cfg.num_stages):
+        cap_s = cfg.stage_caps[s]
+        nb = []
+        for c in range(2):
+            raw = clouds[c][2][s]
+            old_sentinel = clouds[c][0][s].shape[0]
+            nb.append(
+                _pad_neighbors(raw, min(valid_counts[s][c], cap_s), cap_s, cap_s, old_sentinel)
+            )
+        out[f"neighbors_{s}"] = np.stack(nb, 0)
+        if s < cfg.num_stages - 1:
+            cap_q = cfg.stage_caps[s + 1]
+            sub, up = [], []
+            for c in range(2):
+                raw_sub = clouds[c][3][s]
+                raw_up = clouds[c][4][s]
+                sent_s = clouds[c][0][s].shape[0]
+                sent_s1 = clouds[c][0][s + 1].shape[0]
+                sub.append(
+                    _pad_neighbors(
+                        raw_sub, min(valid_counts[s + 1][c], cap_q), cap_q, cap_s, sent_s
+                    )
+                )
+                up.append(
+                    _pad_neighbors(
+                        raw_up, min(valid_counts[s][c], cap_s), cap_s, cap_q, sent_s1
+                    )
+                )
+            out[f"subsampling_{s}"] = np.stack(sub, 0)
+            out[f"upsampling_{s}"] = np.stack(up, 0)
+
+    cap0 = cfg.stage_caps[0]
+    feats = np.zeros((2, cap0, cfg.input_dim), np.float32)
+    for c, f in enumerate((ref_feats, src_feats)):
+        n = valid_counts[0][c]
+        if f is None:
+            feats[c, :n] = 1.0  # reference uses all-ones input features
+        else:
+            feats[c, :n] = f[:cap0]
+    out["features"] = feats
+    out["transform"] = np.asarray(transform, np.float32)
+    return out
+
+
+def calibrate_neighbor_limits(
+    sample_pairs,
+    cfg: PyramidConfig,
+    keep_ratio: float = 0.8,
+    sample_threshold: int = 2000,
+) -> tuple[int, ...]:
+    """Pick per-stage neighbor widths covering ``keep_ratio`` of points.
+
+    Port of ``calibrate_neighbors_stack_mode`` (``utils/data.py:212-252``):
+    run the pyramid over samples with a generous width, histogram neighbor
+    counts, choose the width whose CDF reaches ``keep_ratio``.
+
+    Args:
+        sample_pairs: iterable of (ref_points, src_points) numpy arrays.
+    """
+    hist_n = int(np.ceil(4.0 / 3.0 * np.pi * (cfg.search_radius / cfg.voxel_size + 1) ** 3))
+    wide = dataclasses.replace(cfg, neighbor_limits=(hist_n,) * cfg.num_stages)
+    hists = np.zeros((cfg.num_stages, hist_n), dtype=np.int64)
+    for ref_points, src_points in sample_pairs:
+        for pts in (ref_points, src_points):
+            stage_points, _, neighbors, _, _ = build_cloud_pyramid(pts, wide)
+            for s in range(cfg.num_stages):
+                sentinel = stage_points[s].shape[0]
+                counts = np.sum(neighbors[s] < sentinel, axis=1)
+                hists[s] += np.bincount(counts, minlength=hist_n)[:hist_n]
+        if hists.sum(axis=1).min() > sample_threshold:
+            break
+    cum = np.cumsum(hists.T, axis=0)
+    limits = np.sum(cum < keep_ratio * cum[-1], axis=0)
+    return tuple(int(x) for x in np.maximum(limits, 1))
