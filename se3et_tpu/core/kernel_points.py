@@ -200,3 +200,64 @@ def kernel_permutation_tables(
         fold = np.arange(num_k, dtype=np.int32)
         num_real = num_k
     return kidx_rot, fold, num_real
+
+
+def joint_steerability_classes(
+    kernel_points: np.ndarray, space: anchor_lib.AnchorSpace
+):
+    """Exact steerability constraint: joint H-orbits of (kernel pt, rel anchor).
+
+    The E2PN steerable kernel ``h(x, mu)`` must satisfy ``h(Rx, R mu) = h(x, mu)``
+    for every group rotation R; discretized to anchor sections, the weight
+    tensor W[k, b] (kernel point x relative-anchor) must be constant on joint
+    orbits under the quotient subgroup H acting *diagonally*:
+
+        W[h . k, h . b] = W[k, b]      for all h in H.
+
+    The reference only ties kernel-point orbits (``K_real`` fold,
+    ``blocks_epn.py:236-258``) and leaves the anchor axis free, which makes its
+    quotient conv only approximately equivariant (verified empirically: with
+    the diagonal constraint the anchor-permutation law holds to 1e-6; without
+    it no permutation matches).  This framework defaults to the exact
+    constraint; the reference parametrization remains available as
+    ``steerability='relaxed'``.
+
+    Returns:
+        class_idx: (K, A) int32 joint-orbit class of each (k, b) pair
+        num_classes: int
+    """
+    num_k = kernel_points.shape[0]
+    a = space.kanchor
+    if space.quotient_factor == 1:
+        idx = np.arange(num_k * a, dtype=np.int32).reshape(num_k, a)
+        return idx, num_k * a
+
+    # H-action permutations on kernel points and anchor vertices
+    q = space.quotient.astype(np.float64)
+    kperm = np.zeros((q.shape[0], num_k), np.int64)
+    aperm = np.zeros((q.shape[0], a), np.int64)
+    for qi, h in enumerate(q):
+        rk = kernel_points @ h.T
+        d = np.linalg.norm(rk[:, None] - kernel_points[None], axis=-1)
+        if d.min(axis=1).max() > 1e-3:
+            raise RuntimeError("kernel not symmetric under quotient subgroup")
+        kperm[qi] = d.argmin(axis=1)
+        if space.vertices is not None:
+            rv = space.vertices.astype(np.float64) @ h.T
+            dv = np.linalg.norm(rv[:, None] - space.vertices[None], axis=-1)
+            aperm[qi] = dv.argmin(axis=1)
+        else:
+            raise NotImplementedError(
+                "joint steerability requires sphere-mode anchors; "
+                "use steerability='relaxed' for SO(2) quotient mode"
+            )
+
+    class_idx = -np.ones((num_k, a), np.int32)
+    num_classes = 0
+    for k in range(num_k):
+        for b in range(a):
+            if class_idx[k, b] < 0:
+                for qi in range(q.shape[0]):
+                    class_idx[kperm[qi, k], aperm[qi, b]] = num_classes
+                num_classes += 1
+    return class_idx, num_classes

@@ -1,0 +1,471 @@
+r"""E2PN anchor-equivariant KPConv backbone (flax.linen, TPU-first).
+
+TPU-native re-design of ``geotransformer/modules/e2pn/blocks_epn.py``.  The
+reference implements the E2PN convolution with per-layer index gathers over the
+weight tensor (``kidx_rot``/``ridx_rot``/``kridx_rot_lin``, four alternative
+code paths).  Here the entire rotate-by-permute machinery is folded at
+construction time into a **single static gather index** ``wg_index[r, k, a] ->
+fold(kidx_rot[r,k]) * A + ridx_rot[a,r]`` so the forward pass is:
+
+1. one neighbor gather + one influence-weight matmul (distances to the K kernel
+   points),
+2. one einsum  ``wf[b,n,k,a,c] = sum_m x[nbr] * w``,
+3. one big MXU matmul ``(B*N, K*A*Cin) @ (K*A*Cin, R*Cout)`` against the
+   gathered weight — the kernel-permutation, anchor-permutation, and
+   steerability-fold logic all live inside the gather that builds the RHS.
+
+Derivation (matches the reference permute path, ``blocks_epn.py:497-514``):
+
+    out[p, r, d] = sum_{k,a,c} wf[p,k,a,c] * W[fold(kidx_rot[r,k]), ridx_rot[a,r], c, d]
+
+where ``kidx_rot[r,k1] = k2`` s.t. ``kernel[k2] = R_r^{-1} kernel[k1]`` and
+``ridx_rot[a,r] = b`` s.t. ``R_r R_b ∈ R_a H`` (H the quotient subgroup).
+Equivalence with the rotate path (``feat_gather_by_rot``) follows from the two
+permutation substitutions; the group-closure asserts are enforced at table
+construction (:mod:`se3et_tpu.core.anchors`) and by tests.
+
+All feature tensors carry a leading cloud/batch axis: ``x (B, N, A, C)``,
+``neighbors (B, N, K_nb)`` with per-cloud sentinel ``N``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from se3et_tpu.core import anchors as anchor_lib
+from se3et_tpu.core import kernel_points as kp_lib
+from se3et_tpu.nn.layers import MaskedGroupNorm, TorchLinear, UnaryBlock
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class EPNConfig:
+    """Equivariant-conv hyperparameters (cf. ``config.py`` `_C.epn`)."""
+
+    kanchor: int = 6
+    quotient_factor: int = 4
+    num_kernel_points: int = 15
+    non_sep_conv: bool = True
+    rot_by_permute: bool = True
+    fixed_kernel_points: str = "center"
+    ignore_steer_constraint: bool = False
+    # 'exact': weights tied over joint H-orbits of (kernel pt, rel anchor) —
+    # exactly equivariant (improvement over the reference).  'relaxed': the
+    # reference's parametrization (kernel-orbit fold only, approximately
+    # equivariant, cf. blocks_epn.py:236-258).
+    steerability: str = "exact"
+    epn_kernel: bool = False
+    att_pooling: bool = False
+    att_permute: bool = False
+    dual_feature: bool = False
+    kp_influence: str = "linear"
+    aggregation_mode: str = "sum"
+
+    @property
+    def space(self) -> anchor_lib.AnchorSpace:
+        return anchor_lib.get_anchor_space(self.kanchor, self.quotient_factor)
+
+
+def _influence_weights(
+    q_points, s_points, neighbor_indices, kernel_points, sigma, influence="linear"
+):
+    """Kernel-point influence weights w[b, n, h, k], shadow neighbors zeroed.
+
+    Reference: ``blocks_epn.py:341-366`` (linear influence
+    ``clamp(1 - d/sigma, 0)``).
+    """
+    num_s = s_points.shape[1]
+    safe = jnp.clip(neighbor_indices, 0, num_s - 1)
+    nbr = jnp.take_along_axis(
+        s_points, safe[..., None].reshape(safe.shape[0], -1, 1).repeat(3, -1), axis=1
+    ).reshape(safe.shape + (3,))
+    valid = neighbor_indices < num_s
+    rel = nbr - q_points[:, :, None, :]  # (B, Nq, H, 3)
+    # |rel - kp|^2 = |rel|^2 - 2 rel.kp + |kp|^2   (avoids a 5-D diff tensor)
+    rel2 = jnp.sum(rel**2, axis=-1, keepdims=True)
+    cross = jnp.einsum("bnhc,kc->bnhk", rel, kernel_points, precision=_PREC)
+    kp2 = jnp.sum(kernel_points**2, axis=-1)
+    sq = jnp.maximum(rel2 - 2.0 * cross + kp2, 0.0)
+    if influence == "linear":
+        w = jnp.maximum(1.0 - jnp.sqrt(sq) / sigma, 0.0)
+    elif influence == "constant":
+        w = jnp.ones_like(sq)
+    elif influence == "gaussian":
+        sig2 = (sigma * 0.3) ** 2
+        w = jnp.exp(-sq / (2.0 * sig2))
+    else:
+        raise ValueError(influence)
+    return w * valid[..., None]
+
+
+class KPConvInterSO3(nn.Module):
+    """E2PN inter-point equivariant convolution (non-separable, permute path)."""
+
+    in_channels: int
+    out_channels: int
+    radius: float
+    sigma: float
+    config: EPNConfig
+
+    def setup(self):
+        cfg = self.config
+        space = cfg.space
+        if cfg.kanchor == 1:
+            kp = kp_lib.load_kernels(
+                self.radius, cfg.num_kernel_points, fixed=cfg.fixed_kernel_points
+            )
+            self.kernel_points = jnp.asarray(kp)
+            self.num_k_real = cfg.num_kernel_points
+            self.wg_index = None
+        elif cfg.fixed_kernel_points == "verticals":
+            raise NotImplementedError("SO(2) vertical kernels: use anchors_z path")
+        else:
+            kp = kp_lib.equivariant_kernel_points(
+                self.radius, cfg.num_kernel_points, cfg.kanchor, cfg.quotient_factor
+            )
+            kidx_rot, fold, num_real = kp_lib.kernel_permutation_tables(
+                kp, space, cfg.ignore_steer_constraint, radius=self.radius
+            )
+            a = cfg.kanchor
+            if cfg.steerability == "exact" and cfg.non_sep_conv:
+                class_idx, num_classes = kp_lib.joint_steerability_classes(kp, space)
+                # wg_index[r, k, a] = class(kidx_rot[r,k], ridx_rot[a,r])
+                idx = class_idx[kidx_rot[:, :, None], space.ridx_rot.T[:, None, :]]
+                self.num_weight_blocks = num_classes
+            else:
+                # reference parametrization: fold(kidx) x free anchor axis
+                idx = fold[kidx_rot][:, :, None] * a + space.ridx_rot.T[:, None, :]
+                self.num_weight_blocks = num_real * a
+            self.kernel_points = jnp.asarray(kp)
+            self.num_k_real = num_real
+            self.wg_index = jnp.asarray(idx.astype(np.int32))  # (R=A, K, A)
+
+        k = cfg.num_kernel_points
+        a = cfg.kanchor
+        if cfg.kanchor == 1 or not cfg.non_sep_conv:
+            w_shape = (k, self.in_channels, self.out_channels)
+            fan_in = self.in_channels * self.out_channels
+        else:
+            w_shape = (self.num_weight_blocks, self.in_channels, self.out_channels)
+            # match the reference's kaiming bound on (K_real, A, Cin, Cout):
+            # torch fan_in = prod(shape[1:]) = A * Cin * Cout
+            fan_in = a * self.in_channels * self.out_channels
+        bound = 1.0 / np.sqrt(fan_in)
+        self.weights = self.param(
+            "weights",
+            lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
+            w_shape,
+        )
+
+    def __call__(self, x, q_points, s_points, neighbor_indices):
+        """x: (B, Ns, A, Cin) -> (B, Nq, A, Cout)."""
+        cfg = self.config
+        w = _influence_weights(
+            q_points, s_points, neighbor_indices, self.kernel_points, self.sigma,
+            cfg.kp_influence,
+        )  # (B, Nq, H, K)
+        num_s = s_points.shape[1]
+        safe = jnp.clip(neighbor_indices, 0, num_s - 1)
+        a_dim, cin = x.shape[2], x.shape[3]
+        flat = x.reshape(x.shape[0], num_s, a_dim * cin)
+        nbr_x = jnp.take_along_axis(
+            flat,
+            safe.reshape(safe.shape[0], -1, 1).astype(jnp.int32),
+            axis=1,
+        ).reshape(safe.shape + (a_dim, cin))
+        nbr_x = jnp.where((neighbor_indices < num_s)[..., None, None], nbr_x, 0.0)
+
+        # wf[b, n, k, a, c] = sum_h nbr_x[b,n,h,a,c] * w[b,n,h,k]
+        wf = jnp.einsum("bnhac,bnhk->bnkac", nbr_x, w, precision=_PREC)
+
+        if cfg.kanchor == 1:
+            out = jnp.einsum("bnkac,kcd->bnad", wf, self.weights, precision=_PREC)
+            return out
+        if not cfg.non_sep_conv:
+            # Separable EPN: shared weights over anchors (per kernel point).
+            out = jnp.einsum("bnkac,kcd->bnad", wf, self.weights, precision=_PREC)
+            return out
+
+        # Gathered effective weight: (R, K, A, Cin, Cout) -> matmul layout.
+        k, a = cfg.num_kernel_points, cfg.kanchor
+        wg = self.weights[self.wg_index]  # (R, K, A, Cin, Cout)
+        lhs = wf.reshape(wf.shape[0], wf.shape[1], k * a * cin)
+        rhs = jnp.transpose(wg, (1, 2, 3, 0, 4)).reshape(
+            k * a * cin, a * self.out_channels
+        )
+        out = jnp.einsum("bnm,mo->bno", lhs, rhs, precision=_PREC)
+        return out.reshape(out.shape[0], out.shape[1], a, self.out_channels)
+
+
+class KPConvIntraSO3(nn.Module):
+    """Anchor-dimension convolution (EPN separable mode, ``blocks_epn.py:554-596``)."""
+
+    out_channels: int
+    config: EPNConfig
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, N, A, C) -> (B, N, A, Cout)."""
+        space = self.config.space
+        intra = jnp.asarray(space.intra_idx)  # (A, Ki)
+        ki = intra.shape[1]
+        cin = x.shape[-1]
+        fan_in = cin * self.out_channels
+        bound = 1.0 / np.sqrt(fan_in)
+        w = self.param(
+            "weights",
+            lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
+            (ki, cin, self.out_channels),
+        )
+        gathered = x[:, :, intra]  # (B, N, A, Ki, C)
+        return jnp.einsum("bnakc,kcd->bnad", gathered, w, precision=_PREC)
+
+
+def max_pool_neighbors(x, neighbor_indices):
+    """Max over neighbor features with zero shadow rows.
+
+    Reference: ``e2pn/blocks.py max_pool`` (zero pad row participates in max).
+    x: (B, Ns, ...) -> (B, Nq, ...)
+    """
+    num_s = x.shape[1]
+    safe = jnp.clip(neighbor_indices, 0, num_s - 1)
+    tail = x.shape[2:]
+    flat = x.reshape(x.shape[0], num_s, -1)
+    g = jnp.take_along_axis(
+        flat, safe.reshape(safe.shape[0], -1, 1), axis=1
+    ).reshape(neighbor_indices.shape + tail)
+    g = jnp.where(
+        (neighbor_indices < num_s).reshape(neighbor_indices.shape + (1,) * len(tail)),
+        g,
+        0.0,
+    )
+    return jnp.max(g, axis=2)
+
+
+def nearest_upsample(x, upsample_indices):
+    """Copy each query's nearest coarse neighbor (first, distance-sorted, column).
+
+    Reference: ``kpconv/functional.py:6-22``.
+    x: (B, Ncoarse, C); upsample_indices: (B, Nfine, K) -> (B, Nfine, C)
+    """
+    num_s = x.shape[1]
+    idx = upsample_indices[:, :, 0]
+    safe = jnp.clip(idx, 0, num_s - 1)
+    out = jnp.take_along_axis(x, safe[..., None], axis=1)
+    return jnp.where((idx < num_s)[..., None], out, 0.0)
+
+
+class KPConvInterSO3Block(nn.Module):
+    """Conv -> GroupNorm -> LeakyReLU (``blocks_epn.py:703-743``)."""
+
+    in_dim: int
+    out_dim: int
+    radius: float
+    sigma: float
+    group_norm: int
+    config: EPNConfig
+
+    @nn.compact
+    def __call__(self, x, q_points, s_points, neighbor_indices, q_mask=None):
+        x = KPConvInterSO3(
+            self.in_dim, self.out_dim, self.radius, self.sigma, self.config
+        )(x, q_points, s_points, neighbor_indices)
+        x = MaskedGroupNorm(self.group_norm)(x, q_mask)
+        return jax.nn.leaky_relu(x, 0.1)
+
+
+class SimpleBlockEPN(nn.Module):
+    """First encoder block (``blocks_epn.py:770-796``)."""
+
+    in_dim: int
+    out_dim: int
+    radius: float
+    sigma: float
+    group_norm: int
+    config: EPNConfig
+
+    @nn.compact
+    def __call__(self, x, q_points, s_points, neighbor_indices, q_mask=None):
+        x = KPConvInterSO3Block(
+            self.in_dim, self.out_dim, self.radius, self.sigma, self.group_norm,
+            self.config,
+        )(x, q_points, s_points, neighbor_indices, q_mask)
+        if not self.config.non_sep_conv:
+            x = KPConvIntraSO3(self.out_dim, self.config)(x)
+        x = MaskedGroupNorm(self.group_norm)(x, q_mask)
+        return jax.nn.leaky_relu(x, 0.1)
+
+
+class ResnetBottleneckBlockEPN(nn.Module):
+    """Bottleneck residual block, optionally strided (``blocks_epn.py:798-852``)."""
+
+    in_dim: int
+    out_dim: int
+    radius: float
+    sigma: float
+    group_norm: int
+    config: EPNConfig
+    strided: bool = False
+
+    @nn.compact
+    def __call__(self, x, q_points, s_points, neighbor_indices, q_mask=None, s_mask=None):
+        if s_mask is None:
+            s_mask = q_mask if not self.strided else None
+        mid = self.out_dim // 4
+        skip = x
+        if self.in_dim != mid:
+            h = UnaryBlock(mid, self.group_norm)(x, s_mask)
+        else:
+            h = x
+        h = KPConvInterSO3Block(
+            mid, mid, self.radius, self.sigma, self.group_norm, self.config
+        )(h, q_points, s_points, neighbor_indices, q_mask)
+        if not self.config.non_sep_conv:
+            h = KPConvIntraSO3(mid, self.config)(h)
+        h = MaskedGroupNorm(self.group_norm)(h, q_mask)
+        h = jax.nn.leaky_relu(h, 0.1)
+        h = UnaryBlock(self.out_dim, self.group_norm, no_relu=True)(h, q_mask)
+
+        if self.strided:
+            skip = max_pool_neighbors(skip, neighbor_indices)
+        if self.in_dim != self.out_dim:
+            skip = UnaryBlock(self.out_dim, self.group_norm, no_relu=True)(skip, q_mask)
+        return jax.nn.leaky_relu(h + skip, 0.1)
+
+
+class InvOutBlockEPN(nn.Module):
+    """Equivariant -> invariant pooling over anchors (``blocks_epn.py:854-926``).
+
+    Modes: plain anchor max-pool (default), attentive pooling (``att_pooling``),
+    attentive permutation pooling (``att_permute``), and ``dual_feature``.
+    """
+
+    in_dim: int
+    config: EPNConfig
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        cfg = self.config
+        if cfg.att_pooling or cfg.att_permute:
+            attn = TorchLinear(self.in_dim)(x)
+            attn = jax.nn.relu(attn)
+            attn = TorchLinear(1)(attn)  # (B, N, A, 1)
+            attn_w = jax.nn.softmax(attn, axis=2)
+            if cfg.att_pooling:
+                fused = jnp.sum(x * attn_w, axis=2)
+            else:  # att_permute: weight over full-permutation expansions
+                ridx_rot = jnp.asarray(cfg.space.ridx_rot)  # (A, A)
+                xp = x[:, :, ridx_rot]  # (B, N, A, A, C): [.., r, a, c]
+                xp = xp.reshape(x.shape[0], x.shape[1], x.shape[2], -1)
+                fused = jnp.sum(xp * attn_w, axis=2)
+            if cfg.dual_feature:
+                return jnp.max(x, axis=2), fused
+            return fused
+        return jnp.max(x, axis=2)
+
+
+class NormalInvOutBlockEPN(nn.Module):
+    """Normal-guided anchor selection (``blocks_epn.py:928-957``): pick the
+    anchor whose vertex best aligns with the point normal."""
+
+    config: EPNConfig
+    weighted: bool = False
+
+    @nn.compact
+    def __call__(self, x, normals=None):
+        if normals is None:
+            return jnp.max(x, axis=2)
+        verts = jnp.asarray(self.config.space.vertices)  # (A, 3)
+        sim = jnp.einsum("bnc,ac->bna", normals, verts)
+        if self.weighted:  # NormalWeightedInvOutBlockEPN (blocks_epn.py:959-990)
+            w = jax.nn.sigmoid(sim)[..., None]
+            return jnp.sum(x * w, axis=2)
+        idx = jnp.argmax(sim, axis=-1)  # (B, N)
+        return jnp.take_along_axis(x, idx[..., None, None], axis=2)[:, :, 0]
+
+
+def lift_features(x: jnp.ndarray, kanchor: int) -> jnp.ndarray:
+    """(B, N, C) -> (B, N, A, C) by broadcast (``LiftBlockEPN``, blocks_epn.py:993)."""
+    return jnp.broadcast_to(
+        x[:, :, None, :], x.shape[:2] + (kanchor,) + x.shape[-1:]
+    )
+
+
+class E2PNBackbone(nn.Module):
+    """4- or 5-stage E2PN encoder + invariant FPN decoder.
+
+    Port of ``experiments/se3ete.3dmatch/backbone.py`` (4-stage) and
+    ``experiments/se3eti.kitti/backbone.py`` (5-stage).  Output:
+    ``(feats_f, feats_c_equiv)`` — invariant fine features at stage 1 and
+    equivariant coarse features at the last stage.
+    """
+
+    input_dim: int
+    output_dim: int
+    init_dim: int
+    init_radius: float
+    init_sigma: float
+    group_norm: int
+    config: EPNConfig
+    num_stages: int = 4
+
+    @nn.compact
+    def __call__(self, feats, pyramid):
+        cfg = self.config
+        d = self.init_dim
+        r, s = self.init_radius, self.init_sigma
+        pts = [pyramid[f"points_{i}"] for i in range(self.num_stages)]
+        msk = [pyramid[f"masks_{i}"] for i in range(self.num_stages)]
+        nbs = [pyramid[f"neighbors_{i}"] for i in range(self.num_stages)]
+        subs = [pyramid[f"subsampling_{i}"] for i in range(self.num_stages - 1)]
+        ups = [pyramid[f"upsampling_{i}"] for i in range(self.num_stages - 1)]
+
+        x = lift_features(feats, cfg.kanchor)
+        x = SimpleBlockEPN(self.input_dim, d, r, s, self.group_norm, cfg)(
+            x, pts[0], pts[0], nbs[0], msk[0]
+        )
+        x = ResnetBottleneckBlockEPN(d, d * 2, r, s, self.group_norm, cfg)(
+            x, pts[0], pts[0], nbs[0], msk[0]
+        )
+
+        stage_feats = [x]
+        dims = [d * 2]
+        for st in range(1, self.num_stages):
+            mult = 2 ** (st - 1)
+            in_dim = dims[-1]
+            x = ResnetBottleneckBlockEPN(
+                in_dim, in_dim, r * mult, s * mult, self.group_norm, cfg, strided=True
+            )(x, pts[st], pts[st - 1], subs[st - 1], msk[st], s_mask=msk[st - 1])
+            x = ResnetBottleneckBlockEPN(
+                in_dim, in_dim * 2, r * mult * 2, s * mult * 2, self.group_norm, cfg
+            )(x, pts[st], pts[st], nbs[st], msk[st])
+            x = ResnetBottleneckBlockEPN(
+                in_dim * 2, in_dim * 2, r * mult * 2, s * mult * 2, self.group_norm, cfg
+            )(x, pts[st], pts[st], nbs[st], msk[st])
+            stage_feats.append(x)
+            dims.append(in_dim * 2)
+
+        # invariant features per stage (anchor pooling)
+        inv_feats = [
+            InvOutBlockEPN(dims[i], cfg)(stage_feats[i], msk[i])
+            for i in range(1, self.num_stages)
+        ]
+        feats_c_equiv = stage_feats[-1]  # (B, Nc, A, d*2^{S})
+
+        # FPN decoder on invariant features down to stage 1 (the fine level)
+        latent = inv_feats[-1]
+        for st in range(self.num_stages - 2, 0, -1):
+            latent = nearest_upsample(latent, ups[st])
+            latent = jnp.concatenate([latent, inv_feats[st - 1]], axis=-1)
+            if st > 1:
+                latent = UnaryBlock(dims[st], self.group_norm)(latent, msk[st])
+            else:
+                latent = TorchLinear(self.output_dim)(latent)
+        feats_f = latent  # (B, N1, output_dim)
+        return feats_f, feats_c_equiv

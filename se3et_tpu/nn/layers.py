@@ -1,0 +1,164 @@
+r"""Common NN layers (flax.linen) with PyTorch-matched initialization.
+
+Replaces ``geotransformer/modules/layers`` and the norm/activation blocks in
+``geotransformer/modules/e2pn/blocks_epn.py`` (GroupNormEPN, UnaryBlockEPN).
+
+Initializers reproduce the PyTorch defaults the reference relies on
+(``kaiming_uniform_(w, a=sqrt(5))`` == U(±1/sqrt(fan_in)); Linear bias
+U(±1/sqrt(fan_in))) so training dynamics match (SURVEY §7.4 hard part 5).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def torch_kernel_init(in_axis: int | Sequence[int] = -2):
+    """U(±1/sqrt(fan_in)) — PyTorch's kaiming_uniform(a=sqrt(5)) for Linear."""
+
+    def init(key, shape, dtype=jnp.float32):
+        axes = (in_axis,) if isinstance(in_axis, int) else tuple(in_axis)
+        fan_in = 1
+        for ax in axes:
+            fan_in *= shape[ax]
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_bias_init(fan_in: int):
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TorchLinear(nn.Module):
+    """nn.Linear with PyTorch default init."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_kernel_init(0), (in_features, self.features)
+        )
+        y = jnp.einsum("...i,io->...o", x, kernel)
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_init(in_features), (self.features,))
+            y = y + bias
+        return y
+
+
+def build_activation(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    name = name.lower()
+    if name == "relu":
+        return jax.nn.relu
+    if name == "leakyrelu":
+        return lambda x: jax.nn.leaky_relu(x, 0.1)
+    if name == "gelu":
+        return jax.nn.gelu
+    if name == "sigmoid":
+        return jax.nn.sigmoid
+    raise ValueError(f"unknown activation {name}")
+
+
+class MaskedGroupNorm(nn.Module):
+    """GroupNorm over (optional anchors, valid points, group channels).
+
+    Port of ``GroupNormEPN`` (``blocks_epn.py:684-701``): the reference feeds
+    the stacked cloud as one instance of torch GroupNorm with layout
+    (1, C, A, N), i.e. statistics span all points, anchors and the channels of
+    a group.  Here statistics are computed per cloud (leading batch axis) and
+    padded points are excluded via ``mask``.
+    """
+
+    num_groups: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None):
+        """x: (B, N, C) or (B, N, A, C); mask: (B, N) True = valid."""
+        c = x.shape[-1]
+        g = min(self.num_groups, c)
+        assert c % g == 0, (c, g)
+        orig_shape = x.shape
+        # (B, N, [A], G, C/G)
+        xg = x.reshape(orig_shape[:-1] + (g, c // g))
+        red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+        if mask is None:
+            mean = jnp.mean(xg, axis=red_axes, keepdims=True)
+            var = jnp.mean((xg - mean) ** 2, axis=red_axes, keepdims=True)
+        else:
+            m = mask.reshape(mask.shape + (1,) * (xg.ndim - mask.ndim)).astype(x.dtype)
+            # m broadcasts over [A] and C/G axes; count the broadcast elements
+            denom = jnp.sum(
+                jnp.broadcast_to(m, xg.shape), axis=red_axes, keepdims=True
+            )
+            mean = jnp.sum(xg * m, axis=red_axes, keepdims=True) / (denom + 1e-9)
+            var = jnp.sum(((xg - mean) ** 2) * m, axis=red_axes, keepdims=True) / (
+                denom + 1e-9
+            )
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        out = xg.reshape(orig_shape)
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        out = out * scale + bias
+        if mask is not None:
+            out = out * mask.reshape(mask.shape + (1,) * (out.ndim - mask.ndim))
+        return out
+
+
+class LayerNorm(nn.Module):
+    """Affine LayerNorm over the channel axis (torch nn.LayerNorm)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return y * scale + bias
+
+
+class UnaryBlock(nn.Module):
+    """Linear -> GroupNorm -> LeakyReLU(0.1).
+
+    Port of ``kpconv/modules.py UnaryBlock`` / ``UnaryBlockEPN``
+    (``blocks_epn.py:639-665``); works on both invariant (B, N, C) and
+    equivariant (B, N, A, C) tensors.
+    """
+
+    out_dim: int
+    group_norm: int
+    no_relu: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        x = TorchLinear(self.out_dim)(x)
+        x = MaskedGroupNorm(self.group_norm)(x, mask)
+        if not self.no_relu:
+            x = jax.nn.leaky_relu(x, 0.1)
+        return x
+
+
+class LastUnaryBlock(nn.Module):
+    """Plain Linear output head (``LastUnaryBlockEPN``, ``blocks_epn.py:668-681``)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        return TorchLinear(self.out_dim)(x)
