@@ -1,0 +1,197 @@
+r"""Testing engine: per-pair inference, feature dumps, benchmark evaluation.
+
+Ports of ``geotransformer/engine/{base_tester,single_tester}.py`` and the
+per-experiment ``test.py``/``eval.py`` flows:
+
+* :class:`Tester` runs the jitted forward over a dataset, timing each pair
+  (the reference's cuda-synchronized ``Timer``; here ``block_until_ready``),
+  optionally dumping per-pair ``.npz`` feature files
+  (``test.py after_test_step``).
+* :func:`evaluate_benchmark` replays the reference ``eval.py`` flow over the
+  dumps: correspondence metrics, the registration method
+  (``lgr``/``ransac``/``svd``), and — when gt.log/gt.info metadata is present —
+  the official 3DMatch scene-recall protocol.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from se3et_tpu.core import se3
+from se3et_tpu.eval import benchmark as bench_lib
+from se3et_tpu.nn import loss as loss_lib
+from se3et_tpu.nn.model import ModelConfig, SE3ETModel
+from se3et_tpu.utils.summary import SummaryBoard, get_logger
+
+
+class Tester:
+    def __init__(self, model_cfg: ModelConfig, eval_cfg: loss_lib.EvalConfig,
+                 output_dir: str):
+        self.model_cfg = model_cfg
+        self.eval_cfg = eval_cfg
+        self.output_dir = output_dir
+        self.feature_dir = osp.join(output_dir, "features")
+        os.makedirs(self.feature_dir, exist_ok=True)
+        self.logger = get_logger(osp.join(output_dir, "logs"))
+        self.model = SE3ETModel(model_cfg)
+        self._forward = None
+
+    def build(self, params):
+        model, eval_cfg = self.model, self.eval_cfg
+
+        def forward(p, data):
+            out = model.apply(p, data, train=False, with_registration=True)
+            metrics = loss_lib.evaluate(out, data, eval_cfg)
+            return out, metrics
+
+        self._forward = jax.jit(forward)
+        self.params = params
+
+    def run(self, loader, save_features: bool = True, benchmark: str = "test"):
+        """loader yields (pyramid_data, meta) tuples; returns summary dict."""
+        board = SummaryBoard()
+        times = []
+        for i, (data, meta) in enumerate(loader):
+            t0 = time.time()
+            jdata = {k: jnp.asarray(v) for k, v in data.items()}
+            out, metrics = self._forward(self.params, jdata)
+            jax.block_until_ready(out["estimated_transform"])
+            dt = time.time() - t0
+            times.append(dt)
+            board.update_from_dict({k: float(v) for k, v in metrics.items()})
+            if save_features:
+                self._save_pair(out, data, meta, benchmark, i)
+            if (i + 1) % 10 == 0:
+                self.logger.info(
+                    f"[{i + 1}] {board.format()} ({np.mean(times[1:]):.3f}s/pair)"
+                )
+        summary = board.summary()
+        summary["seconds_per_pair"] = float(np.mean(times[1:])) if len(times) > 1 else (
+            float(times[0]) if times else 0.0
+        )
+        self.logger.info("test summary: " + str(summary))
+        return summary
+
+    def _save_pair(self, out, data, meta, benchmark, index):
+        """Per-pair dump mirroring ``test.py:65-92``."""
+        scene = meta.get("scene_name") or "scene"
+        scene_dir = osp.join(self.feature_dir, benchmark, str(scene))
+        os.makedirs(scene_dir, exist_ok=True)
+        ref_frame = meta.get("ref_frame", index)
+        src_frame = meta.get("src_frame", index)
+        cv = np.asarray(out["corr_valid"])
+        np.savez_compressed(
+            osp.join(scene_dir, f"{ref_frame}_{src_frame}.npz"),
+            ref_points=np.asarray(data["points_0"][0])[np.asarray(data["masks_0"][0])],
+            src_points=np.asarray(data["points_0"][1])[np.asarray(data["masks_0"][1])],
+            ref_corr_points=np.asarray(out["ref_corr_points"])[cv],
+            src_corr_points=np.asarray(out["src_corr_points"])[cv],
+            corr_scores=np.asarray(out["corr_scores"])[cv],
+            gt_transform=np.asarray(data["transform"]),
+            estimated_transform=np.asarray(out["estimated_transform"]),
+            ref_frame=ref_frame,
+            src_frame=src_frame,
+            num_fragments=meta.get("num_fragments", 0),
+        )
+
+
+def evaluate_benchmark(
+    feature_dir: str,
+    benchmark: str,
+    method: str = "lgr",
+    acceptance_radius: float = 0.1,
+    inlier_ratio_threshold: float = 0.05,
+    rmse_threshold: float = 0.2,
+    gt_root: str | None = None,
+    ransac_kwargs: dict | None = None,
+):
+    """Offline evaluation over per-pair dumps (port of ``eval.py``).
+
+    method: 'lgr' (stored transform) | 'ransac' | 'svd'.
+    When ``gt_root`` contains per-scene gt.log/gt.info, the official 3DMatch
+    scene recall is additionally computed; otherwise RR falls back to the
+    RMSE<0.2 realignment criterion per pair.
+    """
+    root = osp.join(feature_dir, benchmark)
+    scene_metrics = defaultdict(lambda: SummaryBoard())
+    est_logs = defaultdict(list)
+
+    for scene in sorted(os.listdir(root)):
+        scene_dir = osp.join(root, scene)
+        for fname in sorted(os.listdir(scene_dir)):
+            d = np.load(osp.join(scene_dir, fname))
+            ref_corr, src_corr = d["ref_corr_points"], d["src_corr_points"]
+            gt = d["gt_transform"]
+            if method == "lgr":
+                est = d["estimated_transform"]
+            elif method == "ransac":
+                est = bench_lib.registration_ransac_from_correspondences(
+                    ref_corr, src_corr, **(ransac_kwargs or {})
+                )
+            elif method == "svd":
+                est = np.asarray(
+                    se3.weighted_procrustes(
+                        jnp.asarray(src_corr), jnp.asarray(ref_corr),
+                        jnp.asarray(d["corr_scores"]),
+                    )
+                )
+            else:
+                raise ValueError(method)
+
+            ir = bench_lib.compute_inlier_ratio(
+                ref_corr, src_corr, gt, acceptance_radius
+            )
+            rre, rte = bench_lib.compute_registration_error(gt, est)
+            board = scene_metrics[scene]
+            board.update("IR", ir)
+            board.update("FMR", float(ir >= inlier_ratio_threshold))
+            board.update("RRE", rre)
+            board.update("RTE", rte)
+            # realignment RMSE RR
+            src_points = d["src_points"]
+            realign = np.linalg.inv(gt) @ est
+            moved = src_points @ realign[:3, :3].T + realign[:3, 3]
+            rmse = float(np.linalg.norm(moved - src_points, axis=1).mean())
+            board.update("RMSE", rmse)
+            board.update("RR", float(rmse < rmse_threshold))
+            est_logs[scene].append(
+                dict(
+                    test_pair=[int(d["ref_frame"]), int(d["src_frame"])],
+                    num_fragments=int(d["num_fragments"]),
+                    transform=est,
+                )
+            )
+
+    result = {}
+    for scene, board in scene_metrics.items():
+        result[scene] = board.summary()
+    overall = SummaryBoard()
+    for scene, vals in result.items():
+        for k, v in vals.items():
+            overall.update(k, v)
+    result["overall"] = overall.summary()
+
+    if gt_root is not None and osp.isdir(gt_root):
+        recalls = []
+        for scene, logs in est_logs.items():
+            gt_scene = osp.join(gt_root, scene)
+            if not osp.isfile(osp.join(gt_scene, "gt.log")):
+                continue
+            est_file = osp.join(feature_dir, benchmark + "_est", scene, "est.log")
+            bench_lib.write_log_file(est_file, logs)
+            r = bench_lib.evaluate_registration_one_scene(
+                osp.join(gt_scene, "gt.log"), osp.join(gt_scene, "gt.info"),
+                est_file, positive_threshold=rmse_threshold,
+            )
+            result[scene]["scene_recall"] = r["recall"]
+            recalls.append(r["recall"])
+        if recalls:
+            result["overall"]["scene_recall"] = float(np.mean(recalls))
+    return result

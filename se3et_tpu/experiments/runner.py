@@ -1,0 +1,251 @@
+r"""Shared experiment entry points: trainval / test / eval / demo.
+
+The reference ships four CLI scripts per experiment directory
+(``trainval.py``, ``test.py``, ``eval.py``, ``demo.py`` — e.g.
+``experiments/se3ete.3dmatch/``); here each directory's scripts are thin
+wrappers over these functions, keyed by experiment name.
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures as cf
+import os
+import os.path as osp
+
+import numpy as np
+
+from se3et_tpu.data import datasets as ds_lib
+from se3et_tpu.data import pipeline as pipe_lib
+from se3et_tpu.engine.tester import Tester, evaluate_benchmark
+from se3et_tpu.engine.trainer import Trainer
+from se3et_tpu.experiments.configs import ExperimentConfig
+from se3et_tpu.utils.summary import get_logger
+
+
+def build_dataset(cfg: ExperimentConfig, subset: str, training: bool):
+    d = cfg.data
+    if d.dataset == "threedmatch":
+        meta = osp.join(d.dataset_root, "metadata", f"{subset}.pkl")
+        if osp.isfile(meta):
+            return ds_lib.ThreeDMatchPairDataset(
+                d.dataset_root, subset,
+                point_limit=d.point_limit if training else d.test_point_limit,
+                use_augmentation=training and d.use_augmentation,
+                augmentation_noise=d.augmentation_noise,
+                augmentation_rotation=d.augmentation_rotation,
+                rotated=d.rotated, z_rotated=d.z_rotated,
+            )
+    elif d.dataset == "kitti":
+        meta = osp.join(d.dataset_root, "metadata", f"{subset}.pkl")
+        if osp.isfile(meta):
+            return ds_lib.OdometryKittiPairDataset(
+                d.dataset_root, subset,
+                point_limit=d.point_limit if training else d.test_point_limit,
+                use_augmentation=training and d.use_augmentation,
+                augmentation_noise=d.augmentation_noise,
+            )
+    logger = get_logger()
+    logger.warning(
+        f"dataset {d.dataset}/{subset} not found under {d.dataset_root}; "
+        "falling back to the synthetic pair generator"
+    )
+    scale = 1.0 if d.dataset == "threedmatch" else 20.0
+    return ds_lib.SyntheticPairDataset(
+        num_pairs=32 if training else 8,
+        num_points=min(d.point_limit or 6000, 6000),
+        extent=scale,
+        seed=0 if training else 1,
+    )
+
+
+def pyramid_loader(dataset, cfg: ExperimentConfig, with_meta=False, workers=4):
+    """Generator of padded pyramid dicts, built in a worker pool and prefetched."""
+
+    def build(i):
+        item = dataset[i]
+        data = pipe_lib.build_pair_pyramid(
+            item["ref_points"], item["src_points"], item["transform"], cfg.pipeline
+        )
+        meta = {k: v for k, v in item.items()
+                if k not in ("ref_points", "src_points", "transform")}
+        return (data, meta) if with_meta else data
+
+    indices = list(range(len(dataset)))
+    with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+        futures = [ex.submit(build, i) for i in indices[: 2 * workers]]
+        next_submit = len(futures)
+        for i in range(len(indices)):
+            yield futures[i].result()
+            futures[i] = None
+            if next_submit < len(indices):
+                futures.append(ex.submit(build, indices[next_submit]))
+                next_submit += 1
+
+
+def run_trainval(cfg: ExperimentConfig, argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--max_epoch", type=int, default=None)
+    parser.add_argument("--max_steps_per_epoch", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    optim = cfg.optim
+    if args.max_epoch is not None:
+        import dataclasses
+
+        optim = dataclasses.replace(optim, max_epoch=args.max_epoch)
+
+    train_ds = build_dataset(cfg, cfg.data.train_subset, training=True)
+    val_ds = build_dataset(cfg, cfg.data.val_subset, training=False)
+
+    trainer = Trainer(
+        cfg.model, cfg.loss, cfg.eval, optim, cfg.output_dir, seed=cfg.seed
+    )
+    steps = len(train_ds)
+    if args.max_steps_per_epoch:
+        steps = min(steps, args.max_steps_per_epoch)
+
+    example = next(pyramid_loader(train_ds, cfg))
+    trainer.initialize(example, steps_per_epoch=steps)
+
+    def train_loader():
+        gen = pyramid_loader(train_ds, cfg)
+        for i, data in enumerate(gen):
+            if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
+                break
+            yield data
+
+    def val_loader():
+        gen = pyramid_loader(val_ds, cfg)
+        for i, data in enumerate(gen):
+            if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
+                break
+            yield data
+
+    trainer.run(train_loader, val_loader, resume=args.resume)
+    return trainer
+
+
+def _load_params(cfg: ExperimentConfig, snapshot: str | None):
+    """Restore params from a snapshot dir, or fresh-init if none exists."""
+    import jax
+    import jax.numpy as jnp
+
+    from se3et_tpu.nn.model import SE3ETModel
+
+    ds = build_dataset(cfg, cfg.data.val_subset, training=False)
+    example = next(pyramid_loader(ds, cfg))
+    model = SE3ETModel(cfg.model)
+    rngs = {
+        "params": jax.random.PRNGKey(cfg.seed),
+        "targets": jax.random.PRNGKey(cfg.seed + 1),
+    }
+    data = {k: jnp.asarray(v) for k, v in example.items()}
+    params = model.init(rngs, data, train=False, with_registration=False)
+    if snapshot:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        target = {"params": params, "opt_state": None, "epoch": 0, "iteration": 0}
+        try:
+            state = ckptr.restore(osp.abspath(snapshot), target)
+            params = state["params"]
+        except Exception:
+            state = ckptr.restore(osp.abspath(snapshot), params)
+            params = state
+    return params
+
+
+def run_test(cfg: ExperimentConfig, argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--snapshot", type=str, default=None)
+    parser.add_argument("--benchmark", type=str, default=None)
+    parser.add_argument("--max_pairs", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    benchmark = args.benchmark or cfg.data.benchmarks[0]
+    params = _load_params(cfg, args.snapshot)
+    tester = Tester(cfg.model, cfg.eval, cfg.output_dir)
+    tester.build(params)
+    test_ds = build_dataset(cfg, benchmark, training=False)
+
+    def loader():
+        gen = pyramid_loader(test_ds, cfg, with_meta=True)
+        for i, item in enumerate(gen):
+            if args.max_pairs and i >= args.max_pairs:
+                break
+            yield item
+
+    return tester.run(loader(), benchmark=benchmark)
+
+
+def run_eval(cfg: ExperimentConfig, argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--benchmark", type=str, default=None)
+    parser.add_argument("--method", type=str, default="lgr",
+                        choices=["lgr", "ransac", "svd"])
+    args = parser.parse_args(argv)
+    benchmark = args.benchmark or cfg.data.benchmarks[0]
+    gt_root = osp.join(cfg.data.dataset_root, "metadata", "benchmarks", benchmark)
+    result = evaluate_benchmark(
+        osp.join(cfg.output_dir, "features"), benchmark, method=args.method,
+        acceptance_radius=cfg.eval.acceptance_radius,
+        rmse_threshold=cfg.eval.rmse_threshold,
+        gt_root=gt_root if osp.isdir(gt_root) else None,
+    )
+    logger = get_logger()
+    for scene, vals in result.items():
+        logger.info(f"{scene}: " + ", ".join(f"{k}={v:.4f}" for k, v in vals.items()))
+    return result
+
+
+def run_demo(cfg: ExperimentConfig, argv=None):
+    """Single-pair demo incl. the rotated-src equivariance check (``demo.py``)."""
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--snapshot", type=str, default=None)
+    parser.add_argument("--src_file", type=str, default=None)
+    parser.add_argument("--ref_file", type=str, default=None)
+    parser.add_argument("--gt_file", type=str, default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from se3et_tpu.core import se3
+    from se3et_tpu.nn import loss as loss_lib
+    from se3et_tpu.nn.model import SE3ETModel
+
+    if args.src_file and args.ref_file:
+        src = np.load(args.src_file).astype(np.float32)
+        ref = np.load(args.ref_file).astype(np.float32)
+        gt = (
+            np.load(args.gt_file).astype(np.float32)
+            if args.gt_file
+            else np.eye(4, dtype=np.float32)
+        )
+    else:
+        item = ds_lib.SyntheticPairDataset(num_pairs=1, seed=7)[0]
+        ref, src, gt = item["ref_points"], item["src_points"], item["transform"]
+
+    params = _load_params(cfg, args.snapshot)
+    model = SE3ETModel(cfg.model)
+    logger = get_logger()
+
+    @jax.jit
+    def forward(p, data):
+        return model.apply(p, data, train=False, with_registration=True)
+
+    for tag, rot in (("original", np.eye(3)),
+                     ("rotated src", np.asarray(
+                         ds_lib.random_sample_rotation_v2(np.random.RandomState(3))))):
+        src_r = (src @ rot.T).astype(np.float32)
+        gt_r = gt.copy()
+        gt_r[:3, :3] = gt[:3, :3] @ rot.T
+        data = pipe_lib.build_pair_pyramid(ref, src_r, gt_r, cfg.pipeline)
+        out = forward(params, {k: jnp.asarray(v) for k, v in data.items()})
+        rre, rte = se3.isotropic_transform_error(
+            jnp.asarray(gt_r), out["estimated_transform"]
+        )
+        logger.info(f"demo [{tag}]: RRE {float(rre):.3f} deg, RTE {float(rte):.3f} m")
+    return float(rre), float(rte)

@@ -1,0 +1,462 @@
+r"""Multi-head attention layers: invariant, RPE, and anchor-equivariant.
+
+TPU-native port of ``geotransformer/modules/transformer/{vanilla_transformer,
+rpe_transformer,output_layer}.py``.  Faithful to the reference semantics with
+the fixed hyper-choices the shipped configs use (``attn_r_multihead=False``,
+``attn_on_sub=False``, ``attn_r_summ='mean'``, no dropout), plus:
+
+* **Valid-mask convention**: ``key_masks`` is True for *valid* keys (the
+  reference uses True = ignored); all global poolings are masked.
+* **Folded positional projections**: the RPE positional term and the
+  equivariant-SH term contract the projection into the query first
+  (``scores_p = (q W_p^T) . emb``), avoiding the reference's
+  (B, [A], N, M, d_model) materializations (``rpe_transformer.py:60,78``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from se3et_tpu.core import anchors as anchor_lib
+from se3et_tpu.nn.layers import LayerNorm, TorchLinear, build_activation
+
+_PREC = jax.lax.Precision.HIGHEST
+_NEG = -1e9
+
+
+def _split_heads(x, num_heads):
+    """(..., N, H*C) -> (..., H, N, C)"""
+    *lead, n, d = x.shape
+    x = x.reshape(*lead, n, num_heads, d // num_heads)
+    return jnp.moveaxis(x, -2, -3)
+
+
+def _merge_heads(x):
+    """(..., H, N, C) -> (..., N, H*C)"""
+    x = jnp.moveaxis(x, -3, -2)
+    *lead, n, h, c = x.shape
+    return x.reshape(*lead, n, h * c)
+
+
+def _positive(x, mode: Optional[str]):
+    """Non-negativity transforms for global anchor/rotation attention
+    (``vanilla_transformer.py:387-417``)."""
+    if mode is None:
+        return x
+    if mode == "sq":
+        return x**2
+    if mode == "abs":
+        return jnp.abs(x)
+    if mode == "relu":
+        return jax.nn.relu(x)
+    if mode == "sigmoid":
+        return jax.nn.sigmoid(x)
+    if mode == "leakyrelu":
+        return jax.nn.leaky_relu(x, 0.1)
+    if mode == "softplus":
+        return jax.nn.softplus(x)
+    if mode == "minus":
+        return (x + 1.0) / 2.0
+    raise ValueError(mode)
+
+
+class MultiHeadAttention(nn.Module):
+    """Vanilla invariant attention; values may be equivariant (B, A, M, C).
+
+    Reference: ``vanilla_transformer.py:23-85`` (4-D value support at :60-61,
+    77-80 — used for the SE3ET-I invariant-cross/equivariant-value blocks).
+    """
+
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, input_q, input_k, input_v, key_masks=None):
+        h = self.num_heads
+        q = _split_heads(TorchLinear(self.d_model)(input_q), h)  # (B, H, N, c)
+        k = _split_heads(TorchLinear(self.d_model)(input_k), h)
+        v = _split_heads(TorchLinear(self.d_model)(input_v), h)  # (B,[A],H,M,c)
+
+        dh = self.d_model // h
+        scores = jnp.einsum("bhnc,bhmc->bhnm", q, k, precision=_PREC) / np.sqrt(dh)
+        if key_masks is not None:
+            scores = jnp.where(key_masks[:, None, None, :], scores, _NEG)
+        scores = jax.nn.softmax(scores, axis=-1)
+
+        if input_v.ndim == 4:  # equivariant values (B, A, M, C)
+            hidden = jnp.einsum("bhnm,bahmc->bahnc", scores, v, precision=_PREC)
+        else:
+            hidden = jnp.einsum("bhnm,bhmc->bhnc", scores, v, precision=_PREC)
+        return _merge_heads(hidden), {"scores": scores}
+
+
+class RPEMultiHeadAttention(nn.Module):
+    """Self-attention with geometric relative positional embedding, optionally
+    anchor-equivariant with an extra SH-embedding score term.
+
+    Reference: ``rpe_transformer.py:18-131``.
+    """
+
+    d_model: int
+    num_heads: int
+    equivariant: bool = False
+    d_equiv_embed: int = 0
+
+    @nn.compact
+    def __call__(self, input_q, input_k, input_v, embed_qk, key_masks=None,
+                 embed_eq=None):
+        h = self.num_heads
+        dh = self.d_model // h
+        q = _split_heads(TorchLinear(self.d_model)(input_q), h)
+        k = _split_heads(TorchLinear(self.d_model)(input_k), h)
+        v = _split_heads(TorchLinear(self.d_model)(input_v), h)
+        # (B,[A],H,N,c)
+
+        # positional scores with the projection folded into q:
+        #   p = emb @ Wp + bp ;  s_p = q . p  =  (q @ Wp^T) . emb + q . bp
+        wp = self.param(
+            "proj_p_kernel",
+            lambda key, shape: jax.random.uniform(
+                key, shape, jnp.float32, -1.0 / np.sqrt(shape[0]), 1.0 / np.sqrt(shape[0])
+            ),
+            (self.d_model, self.d_model),
+        )
+        bp = self.param(
+            "proj_p_bias",
+            lambda key, shape: jax.random.uniform(
+                key, shape, jnp.float32, -1.0 / np.sqrt(self.d_model), 1.0 / np.sqrt(self.d_model)
+            ),
+            (self.d_model,),
+        )
+        wp_h = wp.reshape(self.d_model, h, dh)
+        bp_h = bp.reshape(h, dh)
+        if self.equivariant:
+            qp = jnp.einsum("bahnc,dhc->bahnd", q, wp_h, precision=_PREC)
+            s_p = jnp.einsum("bahnd,bnmd->bahnm", qp, embed_qk, precision=_PREC)
+            s_p = s_p + jnp.einsum("bahnc,hc->bahn", q, bp_h)[..., None]
+            s_e = jnp.einsum("bahnc,bahmc->bahnm", q, k, precision=_PREC)
+        else:
+            qp = jnp.einsum("bhnc,dhc->bhnd", q, wp_h, precision=_PREC)
+            s_p = jnp.einsum("bhnd,bnmd->bhnm", qp, embed_qk, precision=_PREC)
+            s_p = s_p + jnp.einsum("bhnc,hc->bhn", q, bp_h)[..., None]
+            s_e = jnp.einsum("bhnc,bhmc->bhnm", q, k, precision=_PREC)
+
+        scores = s_e + s_p
+        if self.equivariant and self.d_equiv_embed > 0:
+            assert embed_eq is not None, "equivariant embedding required"
+            # eq = embed_eq @ We + be ;  s_eq = q . eq folded likewise
+            de = self.d_equiv_embed
+            we = self.param(
+                "proj_eq_kernel",
+                lambda key, shape: jax.random.uniform(
+                    key, shape, jnp.float32, -1.0 / np.sqrt(de), 1.0 / np.sqrt(de)
+                ),
+                (de, self.d_model),
+            )
+            be = self.param(
+                "proj_eq_bias",
+                lambda key, shape: jax.random.uniform(
+                    key, shape, jnp.float32, -1.0 / np.sqrt(de), 1.0 / np.sqrt(de)
+                ),
+                (self.d_model,),
+            )
+            we_h = we.reshape(de, h, dh)
+            qe = jnp.einsum("bahnc,dhc->bahnd", q, we_h, precision=_PREC)
+            s_eq = jnp.einsum("bahnd,banmd->bahnm", qe, embed_eq, precision=_PREC)
+            s_eq = s_eq + jnp.einsum("bahnc,hc->bahn", q, be.reshape(h, dh))[..., None]
+            scores = scores + s_eq
+
+        scores = scores / np.sqrt(dh)
+        if key_masks is not None:
+            km = key_masks[:, None, None, :]
+            if self.equivariant:
+                km = key_masks[:, None, None, None, :]
+            scores = jnp.where(km, scores, _NEG)
+        scores = jax.nn.softmax(scores, axis=-1)
+        hidden = jnp.einsum("...nm,...mc->...nc", scores, v, precision=_PREC)
+        return _merge_heads(hidden), {"scores": scores}
+
+
+class MultiHeadAttentionEQ(nn.Module):
+    """Equivariant cross attention over anchor pairs with four global modes.
+
+    Reference: ``vanilla_transformer.py:87-870`` (``cross_anchor_attn_aa``).
+    Modes:
+      * ``a_soft``: weight key anchors per query anchor (normalized global attn)
+      * ``a_best``: pick the best key anchor per query anchor
+      * ``r_soft``: fold anchor pairs into rotations via the vertex-trace table
+        and weight rotations softly
+      * ``r_best``: pick the best rotation and permute keys/values accordingly
+      * ``None``: plain all-anchor-pair attention
+    """
+
+    d_model: int
+    num_heads: int
+    attn_mode: Optional[str] = None
+    kanchor: int = 4
+    attn_r_positive: Optional[str] = "sq"
+    attn_r_positive_rot_supervise: Optional[str] = "sigmoid"
+    with_rot_supervision: bool = False
+
+    @property
+    def space(self):
+        quotient = {3: 1, 4: 3, 6: 4, 12: 5}[self.kanchor]
+        return anchor_lib.get_anchor_space(self.kanchor, quotient)
+
+    @nn.compact
+    def __call__(self, input_q, input_k, input_v, key_masks=None, q_masks=None):
+        """inputs: (B, A, N/M, C); key_masks/q_masks: (B, M)/(B, N) True=valid."""
+        h = self.num_heads
+        dh = self.d_model // h
+        a = self.kanchor
+        space = self.space
+        trace_ori = jnp.asarray(space.trace_idx_ori)  # (R, A)
+        nr = space.trace_idx_ori.shape[0]
+
+        q = _split_heads(TorchLinear(self.d_model)(input_q), h)  # (B,A,H,N,c)
+        k = _split_heads(TorchLinear(self.d_model)(input_k), h)
+        v = _split_heads(TorchLinear(self.d_model)(input_v), h)
+
+        scale = 1.0 / np.sqrt(dh)
+        s_ae = jnp.einsum("bahnc,behmc->baehnm", q, k, precision=_PREC) * scale
+
+        pair_mask = None
+        if key_masks is not None or q_masks is not None:
+            qm = q_masks if q_masks is not None else jnp.ones(q.shape[:1] + q.shape[-2:-1], bool)
+            km = key_masks if key_masks is not None else jnp.ones(k.shape[:1] + k.shape[-2:-1], bool)
+            pair_mask = qm[:, :, None] & km[:, None, :]  # (B, N, M)
+
+        aux = {}
+        if self.attn_mode is None:
+            scores = s_ae
+            if key_masks is not None:
+                scores = jnp.where(key_masks[:, None, None, None, None, :], scores, _NEG)
+            scores = jax.nn.softmax(scores, axis=-1)
+            hidden = jnp.einsum("baehnm,behmc->bahnc", scores, v, precision=_PREC)
+            return _merge_heads(hidden), aux
+
+        # ---- global attention: head-mean -> positive -> masked point-mean ----
+        g = jnp.mean(s_ae, axis=3)  # (B, A, E, N, M)
+        g = _positive(g, self.attn_r_positive)
+        if pair_mask is not None:
+            m = pair_mask[:, None, None].astype(g.dtype)
+            attn_ae = jnp.sum(g * m, axis=(-2, -1)) / (
+                jnp.sum(m, axis=(-2, -1)) + 1e-9
+            )
+        else:
+            attn_ae = jnp.mean(g, axis=(-2, -1))  # (B, A, E)
+
+        if self.with_rot_supervision:
+            # normalized-feature anchor similarity for the rotation loss
+            qn = q / (jnp.linalg.norm(
+                q, axis=(-2, -1), keepdims=True) + 1e-9)
+            kn = k / (jnp.linalg.norm(k, axis=(-2, -1), keepdims=True) + 1e-9)
+            s_sup = jnp.einsum("bahnc,behmc->baehnm", qn, kn, precision=_PREC) * scale
+            if self.attn_mode in ("r_soft", "r_best"):
+                if pair_mask is not None:
+                    s_sup = jnp.where(pair_mask[:, None, None, None], s_sup, _NEG)
+                sup = jnp.max(jnp.mean(s_sup, axis=3), axis=(-2, -1))  # (B, A, E)
+            else:
+                sup = jnp.mean(jnp.mean(s_sup, axis=3), axis=(-2, -1))
+            aux["attn_matrix"] = _positive(sup, self.attn_r_positive_rot_supervise)
+
+        def masked_softmax_m(s):
+            if key_masks is None:
+                return jax.nn.softmax(s, axis=-1)
+            km = key_masks.reshape(
+                key_masks.shape[0], *(1,) * (s.ndim - 3), 1, key_masks.shape[1]
+            )
+            return jax.nn.softmax(jnp.where(km, s, _NEG), axis=-1)
+
+        if self.attn_mode == "a_soft":
+            w = attn_ae / (jnp.sum(attn_ae, axis=2, keepdims=True) + 1e-9)
+            scores = masked_softmax_m(s_ae)
+            scores = scores * w[:, :, :, None, None, None]
+            hidden = jnp.einsum("baehnm,behmc->bahnc", scores, v, precision=_PREC)
+            aux["attn_w"] = w
+        elif self.attn_mode == "a_best":
+            idx = jnp.argmax(attn_ae, axis=2)  # (B, A)
+            s_best = jnp.take_along_axis(
+                s_ae, idx[:, :, None, None, None, None], axis=2
+            )[:, :, 0]  # (B, A, H, N, M)
+            scores = masked_softmax_m(s_best)
+            v_perm = jnp.take_along_axis(v, idx[:, :, None, None, None], axis=1)
+            hidden = jnp.einsum("bahnm,bahmc->bahnc", scores, v_perm, precision=_PREC)
+            aux["attn_idx"] = idx
+        elif self.attn_mode == "r_soft":
+            # attn_r[b, r] = mean_a attn_ae[b, a, trace_ori[r, a]]
+            a_ids = jnp.broadcast_to(jnp.arange(a)[None, :], (nr, a))
+            # attn_ar[b, r, a] = attn_ae[b, a, trace_ori[r, a]]
+            attn_ar = attn_ae[:, a_ids, trace_ori]  # (B, R, A)
+            attn_r = jnp.mean(attn_ar, axis=2)
+            attn_r = attn_r / (jnp.sum(attn_r, axis=1, keepdims=True) + 1e-9)  # (B, R)
+            # local scores permuted to rotation layout: s_r[b,r,a] = s_ae[b,a,tr(r,a)]
+            s_r = s_ae[:, a_ids, trace_ori]  # (B, R, A, H, N, M)
+            scores = masked_softmax_m(s_r)
+            scores = scores * attn_r[:, :, None, None, None, None]
+            v_perm = v[:, trace_ori]  # (B, R, A, H, M, c)
+            hidden = jnp.einsum("brahnm,brahmc->bahnc", scores, v_perm, precision=_PREC)
+            aux["attn_w"] = attn_r
+        elif self.attn_mode == "r_best":
+            a_ids = jnp.broadcast_to(jnp.arange(a)[None, :], (nr, a))
+            attn_ar = attn_ae[:, a_ids, trace_ori]  # (B, R, A)
+            attn_r = jnp.mean(attn_ar, axis=2)  # (B, R)
+            r_idx = jnp.argmax(attn_r, axis=1)  # (B,)
+            perm = trace_ori[r_idx]  # (B, A)
+            k_perm = jnp.take_along_axis(k, perm[:, :, None, None, None], axis=1)
+            scores = jnp.einsum("bahnc,bahmc->bahnm", q, k_perm, precision=_PREC) * scale
+            scores = masked_softmax_m(scores)
+            v_perm = jnp.take_along_axis(v, perm[:, :, None, None, None], axis=1)
+            hidden = jnp.einsum("bahnm,bahmc->bahnc", scores, v_perm, precision=_PREC)
+            aux["attn_idx"] = perm
+        else:
+            raise ValueError(self.attn_mode)
+
+        return _merge_heads(hidden), aux
+
+
+class AttentionOutput(nn.Module):
+    """FFN block: expand -> act -> squeeze -> LN residual
+    (``output_layer.py:7-22``)."""
+
+    d_model: int
+    activation_fn: str = "ReLU"
+
+    @nn.compact
+    def __call__(self, x):
+        h = TorchLinear(self.d_model * 2)(x)
+        h = build_activation(self.activation_fn)(h)
+        h = TorchLinear(self.d_model)(h)
+        return LayerNorm()(x + h)
+
+
+class RotCompressOutput(nn.Module):
+    """Anchor-axis compression: concat A*C -> MLP -> + anchor-max residual
+    (``output_layer.py:24-47``)."""
+
+    d_model: int
+    na: int
+    activation_fn: str = "ReLU"
+    dual_align: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, A, N, C) -> (B, N, C)"""
+        x_max = jnp.max(x, axis=1)
+        b, a, n, c = x.shape
+        flat = jnp.moveaxis(x, 1, 2).reshape(b, n, a * c)
+        h = TorchLinear(self.d_model * 2)(flat)
+        h = build_activation(self.activation_fn)(h)
+        h = TorchLinear(self.d_model)(h)
+        return LayerNorm()(x_max + h)
+
+
+class AttentionLayer(nn.Module):
+    """Attention + linear + LN residual (``vanilla_transformer.py:872-912``)."""
+
+    d_model: int
+    num_heads: int
+    equivariant: bool = False
+    attn_mode: Optional[str] = None
+    kanchor: int = 4
+    attn_r_positive: Optional[str] = "sq"
+    attn_r_positive_rot_supervise: Optional[str] = "sigmoid"
+    with_rot_supervision: bool = False
+
+    @nn.compact
+    def __call__(self, input_states, memory_states, value_states=None,
+                 memory_masks=None, q_masks=None):
+        if value_states is None:
+            value_states = memory_states
+        if self.equivariant:
+            attention = MultiHeadAttentionEQ(
+                self.d_model, self.num_heads, attn_mode=self.attn_mode,
+                kanchor=self.kanchor, attn_r_positive=self.attn_r_positive,
+                attn_r_positive_rot_supervise=self.attn_r_positive_rot_supervise,
+                with_rot_supervision=self.with_rot_supervision,
+            )
+            hidden, aux = attention(
+                input_states, memory_states, value_states,
+                key_masks=memory_masks, q_masks=q_masks,
+            )
+        else:
+            attention = MultiHeadAttention(self.d_model, self.num_heads)
+            hidden, aux = attention(
+                input_states, memory_states, value_states, key_masks=memory_masks
+            )
+        hidden = TorchLinear(self.d_model)(hidden)
+        if hidden.ndim == input_states.ndim + 1:
+            # equivariant output from invariant input: broadcast residual over A
+            input_states = input_states[:, None]
+        out = LayerNorm()(hidden + input_states)
+        return out, aux
+
+
+class TransformerLayer(nn.Module):
+    """AttentionLayer + AttentionOutput (``vanilla_transformer.py:915-946``)."""
+
+    d_model: int
+    num_heads: int
+    activation_fn: str = "ReLU"
+    equivariant: bool = False
+    attn_mode: Optional[str] = None
+    kanchor: int = 4
+    attn_r_positive: Optional[str] = "sq"
+    attn_r_positive_rot_supervise: Optional[str] = "sigmoid"
+    with_rot_supervision: bool = False
+
+    @nn.compact
+    def __call__(self, input_states, memory_states, value_states=None,
+                 memory_masks=None, q_masks=None):
+        hidden, aux = AttentionLayer(
+            self.d_model, self.num_heads, equivariant=self.equivariant,
+            attn_mode=self.attn_mode, kanchor=self.kanchor,
+            attn_r_positive=self.attn_r_positive,
+            attn_r_positive_rot_supervise=self.attn_r_positive_rot_supervise,
+            with_rot_supervision=self.with_rot_supervision,
+        )(input_states, memory_states, value_states, memory_masks, q_masks)
+        return AttentionOutput(self.d_model, self.activation_fn)(hidden), aux
+
+
+class RPEAttentionLayer(nn.Module):
+    """RPE attention + linear + LN residual (``rpe_transformer.py:134-165``)."""
+
+    d_model: int
+    num_heads: int
+    equivariant: bool = False
+    d_equiv_embed: int = 0
+
+    @nn.compact
+    def __call__(self, input_states, memory_states, position_states,
+                 memory_masks=None, equiv_states=None):
+        hidden, aux = RPEMultiHeadAttention(
+            self.d_model, self.num_heads, equivariant=self.equivariant,
+            d_equiv_embed=self.d_equiv_embed,
+        )(input_states, memory_states, memory_states, position_states,
+          key_masks=memory_masks, embed_eq=equiv_states)
+        hidden = TorchLinear(self.d_model)(hidden)
+        return LayerNorm()(hidden + input_states), aux
+
+
+class RPETransformerLayer(nn.Module):
+    """RPE attention layer + FFN (``rpe_transformer.py:168-195``)."""
+
+    d_model: int
+    num_heads: int
+    activation_fn: str = "ReLU"
+    equivariant: bool = False
+    d_equiv_embed: int = 0
+
+    @nn.compact
+    def __call__(self, input_states, memory_states, position_states,
+                 memory_masks=None, equiv_states=None):
+        hidden, aux = RPEAttentionLayer(
+            self.d_model, self.num_heads, equivariant=self.equivariant,
+            d_equiv_embed=self.d_equiv_embed,
+        )(input_states, memory_states, position_states, memory_masks, equiv_states)
+        return AttentionOutput(self.d_model, self.activation_fn)(hidden), aux

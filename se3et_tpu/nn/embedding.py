@@ -1,0 +1,122 @@
+r"""Positional / geometric-structure embeddings for the coarse transformer.
+
+Port of ``geotransformer/modules/transformer/positional_embedding.py`` and
+``geotransformer/modules/geotransformer/geotransformer.py:19-121``, with two
+TPU-minded changes:
+
+* All pairwise computations are masked (padded coarse points are excluded from
+  k-NN triplet selection and produce zeroed embeddings).
+* The equivariant spherical-harmonic embedding keeps the raw low-dimensional SH
+  coefficients ``(B, A, N, M, D_eq)`` — the per-layer projection to d_model is
+  folded into the attention score computation (see
+  :class:`se3et_tpu.nn.attention.RPEMultiHeadAttention`) instead of
+  materializing a (B, A, N, M, d_model) tensor as the reference does.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from se3et_tpu.core import anchors as anchor_lib
+from se3et_tpu.core import harmonics
+from se3et_tpu.ops import geometry
+from se3et_tpu.nn.layers import TorchLinear
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class SinusoidalPositionalEmbedding(nn.Module):
+    """d-dim sinusoid of scalar indices (``positional_embedding.py:8-34``)."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self, indices):
+        d = self.d_model
+        div = jnp.exp(jnp.arange(0, d, 2) * (-np.log(10000.0) / d))
+        ang = indices[..., None] * div
+        emb = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+        return emb.reshape(indices.shape + (d,))
+
+
+class GeometricStructureEmbedding(nn.Module):
+    """Pairwise distance + triplet-angle embedding (+ optional equivariant SH).
+
+    Reference: ``geotransformer.py:19-121``.
+    """
+
+    hidden_dim: int
+    sigma_d: float
+    sigma_a: float
+    angle_k: int
+    reduction_a: str = "max"
+    kanchor: int = 1
+    n_level_equiv: int = 0
+
+    @nn.compact
+    def __call__(self, points, masks=None):
+        """points: (B, N, 3); masks: (B, N) -> emb (B, N, N, C) [, eq (B, A, N, N, D)]."""
+        b, n, _ = points.shape
+        sq = geometry.pairwise_distance(points, points)
+        dist = jnp.sqrt(sq)
+        d_indices = dist / self.sigma_d
+
+        k = self.angle_k
+        knn_sq = sq
+        if masks is not None:
+            knn_sq = jnp.where(masks[:, None, :], knn_sq, geometry.INF)
+        # k+1 nearest, drop self (column 0)
+        _, knn_idx = jax.lax.top_k(-knn_sq, k + 1)
+        knn_idx = knn_idx[:, :, 1:]  # (B, N, k)
+        knn_points = jnp.take_along_axis(
+            points, knn_idx.reshape(b, n * k, 1), axis=1
+        ).reshape(b, n, k, 3)
+        ref_vectors = knn_points - points[:, :, None, :]  # (B, N, k, 3)
+        anc_vectors = points[:, None, :, :] - points[:, :, None, :]  # (B, N, M, 3)
+        cross = jnp.cross(
+            ref_vectors[:, :, None, :, :], anc_vectors[:, :, :, None, :]
+        )  # (B, N, M, k, 3)
+        sin_values = jnp.linalg.norm(cross, axis=-1)
+        cos_values = jnp.sum(
+            ref_vectors[:, :, None, :, :] * anc_vectors[:, :, :, None, :], axis=-1
+        )
+        angles = jnp.arctan2(sin_values, cos_values)  # (B, N, M, k)
+        factor_a = 180.0 / (self.sigma_a * np.pi)
+        a_indices = angles * factor_a
+
+        embed = SinusoidalPositionalEmbedding(self.hidden_dim)
+        d_emb = TorchLinear(self.hidden_dim, use_bias=True)(embed(d_indices))
+        a_emb = TorchLinear(self.hidden_dim, use_bias=True)(embed(a_indices))
+        if self.reduction_a == "max":
+            a_emb = jnp.max(a_emb, axis=3)
+        else:
+            a_emb = jnp.mean(a_emb, axis=3)
+        emb = d_emb + a_emb
+
+        if self.n_level_equiv > 0 and self.kanchor > 1:
+            eq = self._equiv_embedding(points)
+            return emb, eq
+        return emb, None
+
+    def _equiv_embedding(self, points):
+        """Per-anchor Wigner-rotated SH of pair directions (``geotransformer.py:57-67``)."""
+        degrees = list(range(self.n_level_equiv))
+        space = anchor_lib.get_anchor_space(
+            self.kanchor, {4: 3, 6: 4, 12: 5}.get(self.kanchor, 1)
+        )
+        wd = harmonics.anchor_wigner_d(degrees, space.anchors)
+        diff = points[:, :, None, :] - points[:, None, :, :]  # (B, N, M, 3)
+        sh = harmonics.real_sh(degrees, diff, xp=jnp)  # (B, N, M, D)
+        outs = []
+        off = 0
+        for l in degrees:
+            d = harmonics.sh_dim(l)
+            block = sh[..., off : off + d]
+            outs.append(
+                jnp.einsum("acd,bnmd->banmc", jnp.asarray(wd[l]), block, precision=_PREC)
+            )
+            off += d
+        return jnp.concatenate(outs, axis=-1)  # (B, A, N, M, D)

@@ -1,0 +1,350 @@
+r"""Coarse/fine matching + local-to-global registration, fully static-shape.
+
+TPU-native ports of:
+
+* ``modules/sinkhorn/learnable_sinkhorn.py`` — log-domain Sinkhorn with a
+  learnable dustbin, iterated with ``lax.scan``;
+* ``modules/geotransformer/superpoint_matching.py`` — dual-normalized global
+  top-k superpoint correspondences (masked, fixed budget);
+* ``modules/geotransformer/superpoint_target.py`` — random gt-pair sampling
+  with a fixed target budget (masked Gumbel top-k instead of np.random.choice);
+* ``modules/geotransformer/local_global_registration.py`` — LGR re-designed
+  without ``torch.nonzero``/chunk lists: per-patch hypotheses use the *full
+  masked score matrix* as Procrustes weights (mathematically identical to
+  extracting that patch's correspondence list), and hypothesis verification
+  runs against a fixed global top-C correspondence set.
+* ``modules/registration/matching.py get_node_correspondences`` — gt patch
+  overlaps via per-ref-node candidate shortlists instead of ``nonzero``.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from se3et_tpu.core import se3
+from se3et_tpu.ops import geometry
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class LearnableLogOptimalTransport(nn.Module):
+    """SuperGlue-style log-domain Sinkhorn with learnable dustbin alpha.
+
+    Reference: ``learnable_sinkhorn.py:5-70``.
+    """
+
+    num_iterations: int = 100
+    inf: float = 1e12
+
+    @nn.compact
+    def __call__(self, scores, row_masks=None, col_masks=None):
+        """scores: (B, M, N); masks True = valid.  Returns (B, M+1, N+1) log-probs."""
+        b, m, n = scores.shape
+        alpha = self.param("alpha", nn.initializers.ones, ())
+        if row_masks is None:
+            row_masks = jnp.ones((b, m), bool)
+        if col_masks is None:
+            col_masks = jnp.ones((b, n), bool)
+
+        padded_row_valid = jnp.concatenate(
+            [row_masks, jnp.ones((b, 1), bool)], axis=1
+        )
+        padded_col_valid = jnp.concatenate(
+            [col_masks, jnp.ones((b, 1), bool)], axis=1
+        )
+        valid_mat = padded_row_valid[:, :, None] & padded_col_valid[:, None, :]
+
+        padded = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [scores, jnp.full((b, m, 1), alpha, scores.dtype)], axis=2
+                ),
+                jnp.full((b, 1, n + 1), alpha, scores.dtype),
+            ],
+            axis=1,
+        )
+        padded = jnp.where(valid_mat, padded, -self.inf)
+
+        num_row = jnp.sum(row_masks, axis=1).astype(scores.dtype)
+        num_col = jnp.sum(col_masks, axis=1).astype(scores.dtype)
+        norm = -jnp.log(num_row + num_col + 1e-9)  # (B,)
+
+        log_mu = jnp.concatenate(
+            [
+                jnp.broadcast_to(norm[:, None], (b, m)),
+                (jnp.log(num_col + 1e-9) + norm)[:, None],
+            ],
+            axis=1,
+        )
+        log_mu = jnp.where(padded_row_valid, log_mu, -self.inf)
+        log_nu = jnp.concatenate(
+            [
+                jnp.broadcast_to(norm[:, None], (b, n)),
+                (jnp.log(num_row + 1e-9) + norm)[:, None],
+            ],
+            axis=1,
+        )
+        log_nu = jnp.where(padded_col_valid, log_nu, -self.inf)
+
+        def body(carry, _):
+            u, v = carry
+            u = log_mu - jax.nn.logsumexp(padded + v[:, None, :], axis=2)
+            v = log_nu - jax.nn.logsumexp(padded + u[:, :, None], axis=1)
+            return (u, v), None
+
+        (u, v), _ = jax.lax.scan(
+            body, (jnp.zeros_like(log_mu), jnp.zeros_like(log_nu)), None,
+            length=self.num_iterations,
+        )
+        out = padded + u[:, :, None] + v[:, None, :] - norm[:, None, None]
+        return out
+
+
+def superpoint_matching(
+    ref_feats, src_feats, ref_masks, src_masks, num_correspondences,
+    dual_normalization=True,
+):
+    """Global top-k superpoint correspondences from normalized features.
+
+    Reference: ``superpoint_matching.py:13-55``.  Static shape: always returns
+    ``num_correspondences`` triples + a validity mask (invalid slots point at
+    masked score-0 entries).
+
+    Returns: (ref_idx (K,), src_idx (K,), scores (K,), valid (K,))
+    """
+    sq = geometry.pairwise_distance(ref_feats, src_feats, normalized=True)
+    scores = jnp.exp(-sq)  # (N, M)
+    pair_valid = ref_masks[:, None] & src_masks[None, :]
+    scores = jnp.where(pair_valid, scores, 0.0)
+    if dual_normalization:
+        ref_norm = scores / (jnp.sum(scores, axis=1, keepdims=True) + 1e-12)
+        src_norm = scores / (jnp.sum(scores, axis=0, keepdims=True) + 1e-12)
+        scores = ref_norm * src_norm
+        scores = jnp.where(pair_valid, scores, 0.0)
+    m = src_feats.shape[0]
+    flat = scores.reshape(-1)
+    corr_scores, corr_idx = jax.lax.top_k(flat, num_correspondences)
+    ref_idx = corr_idx // m
+    src_idx = corr_idx % m
+    valid = corr_scores > 0.0
+    return ref_idx, src_idx, corr_scores, valid
+
+
+def node_correspondences(
+    ref_nodes, src_nodes, ref_knn_points, src_knn_points, transform, pos_radius,
+    ref_masks, src_masks, ref_knn_masks, src_knn_masks, num_candidates=48,
+):
+    """GT superpoint correspondence overlaps, static-shape.
+
+    For each ref node, shortlist the ``num_candidates`` nearest (aligned) src
+    nodes, compute patch-pair overlap ratios for the shortlist, and scatter into
+    a dense (M, N) overlap matrix.  Equivalent to the reference
+    (``matching.py:231-315``) whenever every overlapping pair is within the
+    shortlist — guaranteed in practice because patch diameters are only a few
+    voxels while the shortlist covers the nearest ~48 nodes.
+
+    Returns:
+        overlap_mat: (M, N) float, 0 where no overlap / masked.
+    """
+    aligned_src_nodes = se3.apply_transform(src_nodes, transform)
+    aligned_src_knn = se3.apply_transform(src_knn_points, transform)
+
+    sq = geometry.pairwise_distance(ref_nodes, aligned_src_nodes)  # (M, N)
+    sq = jnp.where(ref_masks[:, None] & src_masks[None, :], sq, geometry.INF)
+    _, cand_idx = jax.lax.top_k(-sq, num_candidates)  # (M, S)
+
+    # enclosing-sphere prefilter radii
+    ref_d = jnp.linalg.norm(ref_knn_points - ref_nodes[:, None, :], axis=-1)
+    ref_d = jnp.where(ref_knn_masks, ref_d, 0.0)
+    ref_max = jnp.max(ref_d, axis=1)  # (M,)
+    src_d = jnp.linalg.norm(aligned_src_knn - aligned_src_nodes[:, None, :], axis=-1)
+    src_d = jnp.where(src_knn_masks, src_d, 0.0)
+    src_max = jnp.max(src_d, axis=1)  # (N,)
+
+    cand_src_knn = aligned_src_knn[cand_idx]  # (M, S, K, 3)
+    cand_src_knn_masks = src_knn_masks[cand_idx]  # (M, S, K)
+    cand_src_max = src_max[cand_idx]  # (M, S)
+    cand_dist = jnp.sqrt(jnp.take_along_axis(sq, cand_idx, axis=1))  # (M, S)
+    intersect = (ref_max[:, None] + cand_src_max + pos_radius) > cand_dist
+
+    # pairwise point distances within candidate patch pairs: (M, S, K, K)
+    d2 = geometry.pairwise_distance(
+        ref_knn_points[:, None, :, :], cand_src_knn
+    )
+    pair_mask = ref_knn_masks[:, None, :, None] & cand_src_knn_masks[:, :, None, :]
+    overlap_pt = (d2 < pos_radius**2) & pair_mask
+    ref_counts = jnp.sum(jnp.any(overlap_pt, axis=3), axis=2).astype(jnp.float32)
+    src_counts = jnp.sum(jnp.any(overlap_pt, axis=2), axis=2).astype(jnp.float32)
+    ref_total = jnp.sum(ref_knn_masks, axis=1).astype(jnp.float32)  # (M,)
+    src_total = jnp.sum(cand_src_knn_masks, axis=2).astype(jnp.float32)  # (M, S)
+    overlaps = 0.5 * (
+        ref_counts / jnp.maximum(ref_total[:, None], 1.0)
+        + src_counts / jnp.maximum(src_total, 1.0)
+    )
+    overlaps = jnp.where(intersect, overlaps, 0.0)
+
+    overlap_mat = jnp.zeros(
+        (ref_nodes.shape[0], src_nodes.shape[0]), jnp.float32
+    )
+    row_ids = jnp.broadcast_to(
+        jnp.arange(ref_nodes.shape[0])[:, None], cand_idx.shape
+    )
+    overlap_mat = overlap_mat.at[row_ids, cand_idx].max(overlaps)
+    return overlap_mat
+
+
+def superpoint_targets(key, overlap_mat, num_targets, overlap_threshold):
+    """Randomly sample <= num_targets gt pairs with overlap above threshold.
+
+    Static-shape port of ``superpoint_target.py:12-41`` via masked Gumbel
+    top-k (uniform random selection among eligible pairs).
+
+    Returns: (ref_idx (T,), src_idx (T,), overlaps (T,), valid (T,))
+    """
+    m, n = overlap_mat.shape
+    eligible = overlap_mat > overlap_threshold
+    gumbel = jax.random.gumbel(key, (m, n))
+    keyed = jnp.where(eligible, gumbel, -jnp.inf)
+    _, idx = jax.lax.top_k(keyed.reshape(-1), num_targets)
+    ref_idx = idx // n
+    src_idx = idx % n
+    overlaps = overlap_mat[ref_idx, src_idx]
+    valid = eligible[ref_idx, src_idx]
+    return ref_idx, src_idx, overlaps, valid
+
+
+def fine_correspondence_matrix(
+    score_mat, ref_knn_masks, src_knn_masks, k, confidence_threshold, mutual,
+    use_dustbin=False,
+):
+    """Per-patch top-k mutual correspondence mask (``local_global_registration.py:49-83``).
+
+    score_mat: (B, K, K) probabilities (already exp'd, dustbin stripped).
+    """
+    mask_mat = ref_knn_masks[:, :, None] & src_knn_masks[:, None, :]
+    kk = score_mat.shape[-1]
+
+    ref_topk, ref_topk_idx = jax.lax.top_k(score_mat, k)  # (B, K, k)
+    ref_sel = jnp.zeros_like(score_mat, dtype=bool)
+    b_ids = jnp.arange(score_mat.shape[0])[:, None, None]
+    r_ids = jnp.arange(score_mat.shape[1])[None, :, None]
+    ref_sel = ref_sel.at[b_ids, r_ids, ref_topk_idx].set(ref_topk > confidence_threshold)
+
+    src_topk, src_topk_idx = jax.lax.top_k(
+        jnp.swapaxes(score_mat, 1, 2), k
+    )  # (B, K, k) over rows
+    src_sel = jnp.zeros_like(score_mat, dtype=bool)
+    c_ids = jnp.arange(score_mat.shape[2])[None, :, None]
+    src_sel = src_sel.at[b_ids, c_ids, src_topk_idx].set(src_topk > confidence_threshold)
+    src_sel = jnp.swapaxes(src_sel, 1, 2)
+
+    corr = (ref_sel & src_sel) if mutual else (ref_sel | src_sel)
+    return corr & mask_mat
+
+
+def local_global_registration(
+    ref_knn_points,
+    src_knn_points,
+    ref_knn_masks,
+    src_knn_masks,
+    matching_scores,
+    k: int = 3,
+    acceptance_radius: float = 0.1,
+    mutual: bool = True,
+    confidence_threshold: float = 0.05,
+    use_dustbin: bool = False,
+    correspondence_threshold: int = 3,
+    correspondence_limit: int = 1024,
+    num_refinement_steps: int = 5,
+):
+    """Local-to-global registration, fully jittable.
+
+    Args:
+        ref_knn_points/src_knn_points: (P, K, 3) patch points
+        ref_knn_masks/src_knn_masks: (P, K)
+        matching_scores: (P, K+1, K+1) log-probs from Sinkhorn
+
+    Returns dict with ref_corr_points/src_corr_points/corr_scores (C, ...) for
+    the fixed verification budget C=``correspondence_limit``, corr validity
+    mask, and the 4x4 ``estimated_transform``.
+
+    Design vs. reference (``local_global_registration.py:137-194``): patch
+    hypotheses use the full masked (K, K) weighted-pair Procrustes (identical to
+    the extracted per-patch correspondence list — zero-weight pairs contribute
+    nothing); the global verification/refinement set is the top-C scoring
+    correspondences (the reference's ``correspondence_limit`` semantics).
+    """
+    p, kk = ref_knn_masks.shape
+    scores = jnp.exp(matching_scores)
+    if not use_dustbin:
+        scores = scores[:, :kk, :kk]
+    corr_mat = fine_correspondence_matrix(
+        scores, ref_knn_masks, src_knn_masks, k, confidence_threshold, mutual
+    )
+    score_mat = jnp.where(corr_mat, scores, 0.0)  # (P, K, K)
+
+    # ---- local hypotheses: weighted Procrustes per patch over all pairs ----
+    flat_w = score_mat.reshape(p, kk * kk)
+    ref_rep = jnp.broadcast_to(
+        ref_knn_points[:, :, None, :], (p, kk, kk, 3)
+    ).reshape(p, kk * kk, 3)
+    src_rep = jnp.broadcast_to(
+        src_knn_points[:, None, :, :], (p, kk, kk, 3)
+    ).reshape(p, kk * kk, 3)
+    hypotheses = se3.weighted_procrustes(src_rep, ref_rep, flat_w)  # (P, 4, 4)
+    patch_counts = jnp.sum(corr_mat, axis=(1, 2))
+    patch_valid = patch_counts >= correspondence_threshold
+
+    # ---- global correspondence set: top-C over all patches ----
+    c = correspondence_limit
+    all_scores = score_mat.reshape(-1)
+    corr_scores, corr_idx = jax.lax.top_k(all_scores, c)
+    cp = corr_idx // (kk * kk)
+    ci = (corr_idx // kk) % kk
+    cj = corr_idx % kk
+    ref_corr = ref_knn_points[cp, ci]  # (C, 3)
+    src_corr = src_knn_points[cp, cj]
+    corr_valid = corr_scores > 0.0
+    corr_scores = jnp.where(corr_valid, corr_scores, 0.0)
+
+    # ---- hypothesis selection by inlier count on the global set ----
+    aligned = se3.apply_transform(src_corr[None], hypotheses)  # (P, C, 3)
+    residual = jnp.linalg.norm(ref_corr[None] - aligned, axis=-1)
+    inliers = (residual < acceptance_radius) & corr_valid[None]
+    counts = jnp.sum(inliers, axis=1)
+    counts = jnp.where(patch_valid, counts, -1)
+    best = jnp.argmax(counts)
+    best_inliers = inliers[best]
+
+    any_valid = jnp.any(patch_valid)
+    start_scores = jnp.where(
+        any_valid, corr_scores * best_inliers, corr_scores
+    )
+
+    # ---- global refinement: re-fit, re-weight by inlier mask ----
+    def refine(carry, _):
+        cur_scores = carry
+        tf = se3.weighted_procrustes(src_corr, ref_corr, cur_scores)
+        aligned = se3.apply_transform(src_corr, tf)
+        res = jnp.linalg.norm(ref_corr - aligned, axis=-1)
+        new_scores = corr_scores * (res < acceptance_radius)
+        return new_scores, tf
+
+    estimated = se3.weighted_procrustes(src_corr, ref_corr, start_scores)
+    cur = start_scores
+    for _ in range(num_refinement_steps - 1):
+        aligned = se3.apply_transform(src_corr, estimated)
+        res = jnp.linalg.norm(ref_corr - aligned, axis=-1)
+        cur = corr_scores * (res < acceptance_radius)
+        estimated = se3.weighted_procrustes(src_corr, ref_corr, cur)
+
+    return {
+        "ref_corr_points": ref_corr,
+        "src_corr_points": src_corr,
+        "corr_scores": corr_scores,
+        "corr_valid": corr_valid,
+        "estimated_transform": estimated,
+    }

@@ -1,0 +1,263 @@
+r"""The SE3ET registration model: backbone + transformer + matching tail.
+
+TPU-native port of ``experiments/se3ete.3dmatch/model.py`` (GeoTransformer class)
+generalized over the experiment family:
+
+* ``backbone='e2pn'`` with kanchor>1 -> SE3ET-{E,I,E2,I2} (block list decides)
+* ``backbone='kpconv'`` (kanchor=1)  -> GeoTransformer baseline
+
+Input is the padded two-cloud pyramid dict from
+:mod:`se3et_tpu.data.pipeline` (cloud axis: 0 = ref, 1 = src).  The entire
+forward — including ground-truth overlap generation, Sinkhorn and LGR — is one
+jittable function with static shapes; no host synchronization anywhere
+(the reference's ``.item()`` reads, ``torch.nonzero`` and CPU SVD are all
+replaced by masked fixed-budget ops, cf. SURVEY §7.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from se3et_tpu.nn import matching as matching_lib
+from se3et_tpu.nn.epn import E2PNBackbone, EPNConfig
+from se3et_tpu.nn.kpconv import KPConvFPN
+from se3et_tpu.nn.matching import LearnableLogOptimalTransport
+from se3et_tpu.nn.transformer import GeometricTransformer
+from se3et_tpu.ops import geometry
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Experiment model hyper-parameters (cf. per-experiment ``config.py``)."""
+
+    # backbone
+    backbone: str = "e2pn"  # 'e2pn' | 'kpconv'
+    num_stages: int = 4
+    input_dim: int = 1
+    init_dim: int = 64
+    output_dim: int = 256
+    kernel_size: int = 15
+    init_radius: float = 0.0625
+    init_sigma: float = 0.05
+    group_norm: int = 32
+    epn: EPNConfig = EPNConfig()
+    # transformer
+    gt_input_dim: int = 1024
+    gt_hidden_dim: int = 256
+    gt_output_dim: int = 256
+    num_heads: int = 4
+    blocks: Sequence[str] = (
+        "self_eq", "cross_a_soft", "self_eq", "cross_r_soft",
+        "self", "cross", "self", "cross", "self", "cross",
+    )
+    sigma_d: float = 0.2
+    sigma_a: float = 15.0
+    angle_k: int = 3
+    reduction_a: str = "max"
+    supervise_rotation: bool = False
+    align_mode: str = "0"
+    n_level_equiv: int = 0
+    attn_r_positive: Optional[str] = "sq"
+    attn_r_positive_rot_supervise: Optional[str] = "sigmoid"
+    # matching
+    ground_truth_matching_radius: float = 0.05
+    num_points_in_patch: int = 64
+    num_sinkhorn_iterations: int = 100
+    num_targets: int = 128
+    overlap_threshold: float = 0.1
+    num_correspondences: int = 256
+    dual_normalization: bool = True
+    gt_candidates: int = 48
+    # fine matching / LGR
+    fine_topk: int = 3
+    acceptance_radius: float = 0.1
+    mutual: bool = True
+    confidence_threshold: float = 0.05
+    use_dustbin: bool = False
+    correspondence_threshold: int = 3
+    correspondence_limit: int = 1024
+    num_refinement_steps: int = 5
+
+    @property
+    def kanchor(self) -> int:
+        return self.epn.kanchor if self.backbone == "e2pn" else 1
+
+
+class SE3ETModel(nn.Module):
+    """Full registration model (forward mirrors ``model.py:79-227``)."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        if c.backbone == "e2pn":
+            self.backbone_net = E2PNBackbone(
+                input_dim=c.input_dim,
+                output_dim=c.output_dim,
+                init_dim=c.init_dim,
+                init_radius=c.init_radius,
+                init_sigma=c.init_sigma,
+                group_norm=c.group_norm,
+                config=c.epn,
+                num_stages=c.num_stages,
+            )
+        else:
+            self.backbone_net = KPConvFPN(
+                input_dim=c.input_dim,
+                output_dim=c.output_dim,
+                init_dim=c.init_dim,
+                kernel_size=c.kernel_size,
+                init_radius=c.init_radius,
+                init_sigma=c.init_sigma,
+                group_norm=c.group_norm,
+                num_stages=c.num_stages,
+            )
+        self.transformer = GeometricTransformer(
+            input_dim=c.gt_input_dim,
+            output_dim=c.gt_output_dim,
+            hidden_dim=c.gt_hidden_dim,
+            num_heads=c.num_heads,
+            blocks=tuple(c.blocks),
+            sigma_d=c.sigma_d,
+            sigma_a=c.sigma_a,
+            angle_k=c.angle_k,
+            supervise_rotation=c.supervise_rotation,
+            reduction_a=c.reduction_a,
+            na=c.kanchor if c.backbone == "e2pn" else None,
+            attn_r_positive=c.attn_r_positive,
+            attn_r_positive_rot_supervise=c.attn_r_positive_rot_supervise,
+            align_mode=c.align_mode,
+            n_level_equiv=c.n_level_equiv,
+        )
+        self.optimal_transport = LearnableLogOptimalTransport(
+            c.num_sinkhorn_iterations
+        )
+
+    def __call__(self, data, train: bool = False, with_registration: bool = True):
+        c = self.cfg
+        out = {}
+        coarse = c.num_stages - 1
+        fine = 1
+
+        points_c = data[f"points_{coarse}"]  # (2, Nc, 3)
+        masks_c = data[f"masks_{coarse}"]
+        points_f = data[f"points_{fine}"]
+        masks_f = data[f"masks_{fine}"]
+        transform = data["transform"]
+
+        # 1. point-to-node partition per cloud (vmap over the cloud axis)
+        p2n, node_masks, knn_idx, knn_masks = jax.vmap(
+            geometry.point_to_node_partition, in_axes=(0, 0, None, 0, 0)
+        )(points_f, points_c, c.num_points_in_patch, masks_f, masks_c)
+
+        knn_points = jax.vmap(geometry.gather_with_sentinel)(points_f, knn_idx)
+
+        ref_node_masks, src_node_masks = node_masks[0], node_masks[1]
+        ref_knn_idx, src_knn_idx = knn_idx[0], knn_idx[1]
+        ref_knn_masks, src_knn_masks = knn_masks[0], knn_masks[1]
+        ref_knn_points, src_knn_points = knn_points[0], knn_points[1]
+
+        # 2. ground-truth node correspondence overlaps
+        overlap_mat = matching_lib.node_correspondences(
+            points_c[0], points_c[1], ref_knn_points, src_knn_points, transform,
+            c.ground_truth_matching_radius, ref_node_masks, src_node_masks,
+            ref_knn_masks, src_knn_masks, num_candidates=c.gt_candidates,
+        )
+        out["gt_overlap_mat"] = overlap_mat
+
+        # 3. backbone
+        feats_f, feats_c = self.backbone_net(data["features"], data)
+        # feats_f: (2, Nf, C); feats_c: (2, Nc, [A,] C)
+
+        # 4. coarse transformer (batch of one pair)
+        ref_in = feats_c[0][None]  # (1, Nc, [A,] C)
+        src_in = feats_c[1][None]
+        ref_c_out, src_c_out, ref_feat_m, src_feat_m, am0, am1 = self.transformer(
+            points_c[0][None], points_c[1][None], ref_in, src_in,
+            ref_masks=masks_c[0][None], src_masks=masks_c[1][None],
+        )
+        out["attn_matrix0"] = am0
+        out["attn_matrix1"] = am1
+
+        ref_feats_c = ref_c_out[0]
+        src_feats_c = src_c_out[0]
+        ref_feats_c = ref_feats_c / (
+            jnp.linalg.norm(ref_feats_c, axis=-1, keepdims=True) + 1e-12
+        )
+        src_feats_c = src_feats_c / (
+            jnp.linalg.norm(src_feats_c, axis=-1, keepdims=True) + 1e-12
+        )
+        out["ref_feats_c"] = ref_feats_c
+        out["src_feats_c"] = src_feats_c
+        out["ref_feats_f"] = feats_f[0]
+        out["src_feats_f"] = feats_f[1]
+
+        # 5. coarse correspondences (feature top-k, no grad)
+        ref_idx, src_idx, corr_scores, corr_valid = matching_lib.superpoint_matching(
+            jax.lax.stop_gradient(ref_feats_c),
+            jax.lax.stop_gradient(src_feats_c),
+            ref_node_masks, src_node_masks, c.num_correspondences,
+            c.dual_normalization,
+        )
+        out["ref_node_corr_indices"] = ref_idx
+        out["src_node_corr_indices"] = src_idx
+        out["node_corr_valid"] = corr_valid
+
+        if train:
+            key = self.make_rng("targets")
+            ref_idx, src_idx, corr_scores, corr_valid = (
+                matching_lib.superpoint_targets(
+                    key, overlap_mat, c.num_targets, c.overlap_threshold
+                )
+            )
+
+        # 6. patch gather for fine matching
+        sel_ref_knn_idx = ref_knn_idx[ref_idx]  # (P, K)
+        sel_src_knn_idx = src_knn_idx[src_idx]
+        sel_ref_knn_masks = ref_knn_masks[ref_idx] & corr_valid[:, None]
+        sel_src_knn_masks = src_knn_masks[src_idx] & corr_valid[:, None]
+        sel_ref_knn_points = ref_knn_points[ref_idx]
+        sel_src_knn_points = src_knn_points[src_idx]
+        sel_ref_knn_feats = geometry.gather_with_sentinel(feats_f[0], sel_ref_knn_idx)
+        sel_src_knn_feats = geometry.gather_with_sentinel(feats_f[1], sel_src_knn_idx)
+
+        out["ref_node_corr_knn_points"] = sel_ref_knn_points
+        out["src_node_corr_knn_points"] = sel_src_knn_points
+        out["ref_node_corr_knn_masks"] = sel_ref_knn_masks
+        out["src_node_corr_knn_masks"] = sel_src_knn_masks
+
+        # 7. optimal transport
+        scores = jnp.einsum(
+            "pnd,pmd->pnm", sel_ref_knn_feats, sel_src_knn_feats, precision=_PREC
+        ) / jnp.sqrt(jnp.asarray(feats_f.shape[-1], jnp.float32))
+        matching_scores = self.optimal_transport(
+            scores, sel_ref_knn_masks, sel_src_knn_masks
+        )
+        out["matching_scores"] = matching_scores
+
+        # 8. local-to-global registration (inference tail, no grad)
+        if with_registration:
+            reg = matching_lib.local_global_registration(
+                jax.lax.stop_gradient(sel_ref_knn_points),
+                jax.lax.stop_gradient(sel_src_knn_points),
+                sel_ref_knn_masks,
+                sel_src_knn_masks,
+                jax.lax.stop_gradient(matching_scores),
+                k=c.fine_topk,
+                acceptance_radius=c.acceptance_radius,
+                mutual=c.mutual,
+                confidence_threshold=c.confidence_threshold,
+                use_dustbin=c.use_dustbin,
+                correspondence_threshold=c.correspondence_threshold,
+                correspondence_limit=c.correspondence_limit,
+                num_refinement_steps=c.num_refinement_steps,
+            )
+            out.update(reg)
+        return out
