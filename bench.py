@@ -1,0 +1,76 @@
+"""Benchmark: SE3ET-E end-to-end registration throughput on one TPU chip.
+
+Runs the flagship SE3ET-E forward (backbone + equivariant transformer +
+Sinkhorn + LGR, i.e. the full inference path through to the estimated
+transform) over synthetic 3DMatch-scale pairs and reports steady-state
+pairs/sec.  Prints ONE JSON line:
+
+    {"metric": "pairs_per_sec_per_chip", "value": N, "unit": "pairs/s",
+     "vs_baseline": N / 20.0}
+
+Baseline: the BASELINE.json north star of >= 20 registration pairs/sec per
+TPU v5e chip.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    import __graft_entry__ as graft
+    from se3et_tpu.nn.model import SE3ETModel
+
+    _, pipeline, model_cfg = graft._flagship_configs(tiny=False)
+    model = SE3ETModel(model_cfg)
+
+    # a handful of distinct synthetic pairs at 3DMatch scale
+    num_pairs = 4
+    datas = [
+        graft._example_pair(pipeline, num_points=6000, seed=i)
+        for i in range(num_pairs)
+    ]
+    datas = [{k: jax.numpy.asarray(v) for k, v in d.items()} for d in datas]
+
+    rngs = {"params": jax.random.PRNGKey(0), "targets": jax.random.PRNGKey(1)}
+    from se3et_tpu.nn.init_util import jit_init
+
+    params = jit_init(model, rngs, datas[0], train=False, with_registration=False)
+
+    @jax.jit
+    def forward(params, data):
+        return model.apply(params, data, train=False, with_registration=True)
+
+    # warmup / compile
+    out = forward(params, datas[0])
+    jax.block_until_ready(out["estimated_transform"])
+
+    # steady state
+    reps = int(os.environ.get("BENCH_REPS", "20"))
+    t0 = time.time()
+    for i in range(reps):
+        out = forward(params, datas[i % num_pairs])
+    jax.block_until_ready(out["estimated_transform"])
+    dt = time.time() - t0
+    pairs_per_sec = reps / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "pairs_per_sec_per_chip",
+                "value": round(pairs_per_sec, 3),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_sec / 20.0, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,15 @@
+"""Train + validate se3ete.3dmatch (reference: experiments/se3ete.3dmatch/trainval.py)."""
+
+import sys
+
+from config import make_cfg  # noqa: E402
+
+from se3et_tpu.experiments.runner import run_trainval
+
+
+def main():
+    run_trainval(make_cfg(), sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main()

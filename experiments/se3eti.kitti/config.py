@@ -1,0 +1,14 @@
+"""Experiment config for se3eti.kitti (reference: experiments/se3eti.kitti/config.py)."""
+
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), "..", ".."))
+
+from se3et_tpu.experiments import make_cfg as _make_cfg
+
+EXPERIMENT_NAME = "se3eti.kitti"
+
+
+def make_cfg():
+    return _make_cfg(EXPERIMENT_NAME)

@@ -28,6 +28,10 @@ try:  # scipy is available in the image; guard anyway.
 except Exception:  # pragma: no cover
     _HAVE_SCIPY = False
 
+from se3et_tpu.data import native_bridge
+
+_USE_NATIVE = native_bridge.available()
+
 
 def grid_subsample_single(
     points: np.ndarray, voxel_size: float, normals: np.ndarray | None = None
@@ -38,6 +42,9 @@ def grid_subsample_single(
     (deterministic).
     """
     points = np.asarray(points, dtype=np.float32)
+    if _USE_NATIVE:
+        idx = native_bridge.grid_subsample_indices(points, voxel_size)
+        return points[idx], (normals[idx] if normals is not None else None)
     min_corner = np.floor(points.min(axis=0) / voxel_size) * voxel_size
     coords = np.floor((points - min_corner) / voxel_size).astype(np.int64)
     dims = coords.max(axis=0) + 1
@@ -102,6 +109,8 @@ def radius_search_single(
     Returns (len(q_points), limit) int64; sentinel = len(s_points).
     """
     num_s = s_points.shape[0]
+    if _USE_NATIVE and num_s > 0:
+        return native_bridge.radius_search(q_points, s_points, radius, limit)
     out = np.full((q_points.shape[0], limit), num_s, dtype=np.int64)
     if _HAVE_SCIPY and num_s > 0:
         tree = cKDTree(s_points)

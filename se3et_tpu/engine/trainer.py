@@ -114,8 +114,11 @@ class Trainer:
             "targets": jax.random.PRNGKey(self.seed + 1),
         }
         data = {k: jnp.asarray(v) for k, v in example_data.items()}
-        self.params = self.model.init(data=data, train=True,
-                                      with_registration=False, rngs=rngs)
+        from se3et_tpu.nn.init_util import jit_init
+
+        self.params = jit_init(
+            self.model, rngs, data, train=True, with_registration=False
+        )
         self.tx = make_optimizer(self.optim_cfg, steps_per_epoch)
         self.opt_state = self.tx.init(self.params)
         num_params = sum(

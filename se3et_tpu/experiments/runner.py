@@ -141,8 +141,10 @@ def _load_params(cfg: ExperimentConfig, snapshot: str | None):
         "params": jax.random.PRNGKey(cfg.seed),
         "targets": jax.random.PRNGKey(cfg.seed + 1),
     }
+    from se3et_tpu.nn.init_util import jit_init
+
     data = {k: jnp.asarray(v) for k, v in example.items()}
-    params = model.init(rngs, data, train=False, with_registration=False)
+    params = jit_init(model, rngs, data, train=False, with_registration=False)
     if snapshot:
         import orbax.checkpoint as ocp
 

@@ -1,0 +1,114 @@
+"""Unit tests for the matching tail: Sinkhorn, superpoint matching, LGR."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from se3et_tpu.core import se3
+from se3et_tpu.nn import matching as M
+
+
+def test_sinkhorn_doubly_stochastic():
+    rng = np.random.RandomState(0)
+    scores = jnp.asarray(rng.normal(size=(2, 8, 10)).astype(np.float32))
+    ot = M.LearnableLogOptimalTransport(num_iterations=100)
+    params = ot.init(jax.random.PRNGKey(0), scores)
+    out = ot.apply(params, scores)  # (2, 9, 11) log probs
+    p = np.exp(np.asarray(out))
+    # SuperGlue OT marginals: each real row/col carries unit mass, the dustbin
+    # row/col absorbs the opposite side's total
+    rowsums = p.sum(axis=2)
+    colsums = p.sum(axis=1)
+    np.testing.assert_allclose(rowsums[:, :8], 1.0, rtol=1e-3)
+    np.testing.assert_allclose(colsums[:, :10], 1.0, rtol=1e-3)
+    np.testing.assert_allclose(rowsums[:, 8], 10.0, rtol=1e-3)
+    np.testing.assert_allclose(colsums[:, 10], 8.0, rtol=1e-3)
+    np.testing.assert_allclose(p.sum(axis=(1, 2)), 18.0, rtol=1e-3)
+
+
+def test_sinkhorn_masked():
+    rng = np.random.RandomState(1)
+    scores = jnp.asarray(rng.normal(size=(1, 6, 6)).astype(np.float32))
+    row_masks = jnp.asarray(np.array([[1, 1, 1, 1, 0, 0]], bool))
+    col_masks = jnp.asarray(np.array([[1, 1, 1, 0, 0, 0]], bool))
+    ot = M.LearnableLogOptimalTransport(num_iterations=100)
+    params = ot.init(jax.random.PRNGKey(0), scores, row_masks, col_masks)
+    out = np.exp(np.asarray(ot.apply(params, scores, row_masks, col_masks)))
+    # masked rows/cols carry ~zero mass
+    assert out[0, 4:6, :].sum() < 1e-6
+    assert out[0, :, 3:6].sum() < 1e-6 + out[0, :, 6].sum()
+
+
+def test_superpoint_matching_identity():
+    rng = np.random.RandomState(2)
+    feats = rng.normal(size=(20, 16)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    masks = np.ones(20, bool)
+    ref_idx, src_idx, scores, valid = M.superpoint_matching(
+        jnp.asarray(feats), jnp.asarray(feats), jnp.asarray(masks),
+        jnp.asarray(masks), num_correspondences=20,
+    )
+    ref_idx, src_idx = np.asarray(ref_idx), np.asarray(src_idx)
+    # identical features: top matches should be the diagonal
+    diag = ref_idx == src_idx
+    assert diag.mean() > 0.9
+
+
+def test_superpoint_matching_respects_masks():
+    rng = np.random.RandomState(3)
+    feats = rng.normal(size=(10, 8)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    masks = np.ones(10, bool)
+    masks[7:] = False
+    ref_idx, src_idx, scores, valid = M.superpoint_matching(
+        jnp.asarray(feats), jnp.asarray(feats), jnp.asarray(masks),
+        jnp.asarray(masks), num_correspondences=16,
+    )
+    sel = np.asarray(valid)
+    assert np.asarray(ref_idx)[sel].max() < 7
+    assert np.asarray(src_idx)[sel].max() < 7
+
+
+def test_node_correspondences_overlap():
+    # two identical patch grids => full overlap on the diagonal
+    rng = np.random.RandomState(4)
+    nodes = rng.uniform(-1, 1, size=(6, 3)).astype(np.float32)
+    knn = nodes[:, None, :] + rng.uniform(-0.05, 0.05, size=(6, 8, 3)).astype(
+        np.float32
+    )
+    masks = np.ones(6, bool)
+    knn_masks = np.ones((6, 8), bool)
+    overlap = M.node_correspondences(
+        jnp.asarray(nodes), jnp.asarray(nodes), jnp.asarray(knn), jnp.asarray(knn),
+        jnp.eye(4), 0.1, jnp.asarray(masks), jnp.asarray(masks),
+        jnp.asarray(knn_masks), jnp.asarray(knn_masks), num_candidates=4,
+    )
+    overlap = np.asarray(overlap)
+    np.testing.assert_allclose(np.diag(overlap), 1.0, atol=1e-5)
+
+
+def test_lgr_recovers_transform():
+    rng = np.random.RandomState(5)
+    p, k = 12, 16
+    src_knn = rng.uniform(-1, 1, size=(p, k, 3)).astype(np.float32)
+    axis = rng.normal(size=3)
+    rot = np.asarray(se3.rodrigues_rotation(jnp.asarray(axis), jnp.asarray(0.7)))
+    t = rng.normal(size=3).astype(np.float32) * 0.3
+    tf = np.eye(4, dtype=np.float32)
+    tf[:3, :3] = rot
+    tf[:3, 3] = t
+    ref_knn = (src_knn @ rot.T + t).astype(np.float32)
+    masks = np.ones((p, k), bool)
+    # perfect diagonal matching scores
+    eye = np.full((p, k + 1, k + 1), -8.0, np.float32)
+    for i in range(k):
+        eye[:, i, i] = 0.0
+    out = M.local_global_registration(
+        jnp.asarray(ref_knn), jnp.asarray(src_knn), jnp.asarray(masks),
+        jnp.asarray(masks), jnp.asarray(eye), k=3, acceptance_radius=0.1,
+        correspondence_limit=64,
+    )
+    rre, rte = se3.isotropic_transform_error(
+        jnp.asarray(tf), out["estimated_transform"]
+    )
+    assert float(rre) < 0.1 and float(rte) < 1e-3
