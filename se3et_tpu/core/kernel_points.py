@@ -112,6 +112,29 @@ def load_kernels(
     return (radius * pts).astype(np.float32)
 
 
+def so2_symmetric_kernel_points(radius: float, num_kpoints: int, m: int) -> np.ndarray:
+    """Kernel points exactly symmetric under m-fold rotation about z.
+
+    For the EPN/E2PN SO(2) modes (``fixed_kernel_points='verticals'`` with
+    ``equiv_mode_kp``): a center point, two poles, and rings of m points at
+    staggered longitudes/latitudes.  Requires ``(num_kpoints - 3) % m == 0``.
+    """
+    assert num_kpoints >= 3 and (num_kpoints - 3) % m == 0, (num_kpoints, m)
+    num_rings = (num_kpoints - 3) // m
+    pts = [np.zeros(3), np.array([0.0, 0.0, 0.66]), np.array([0.0, 0.0, -0.66])]
+    # ring latitudes spread in (-60, 60) degrees; radius ~0.66
+    lats = np.linspace(-np.pi / 3, np.pi / 3, num_rings) if num_rings > 1 else [0.0]
+    for ri, lat in enumerate(lats):
+        r = 0.66 * np.cos(lat)
+        z = 0.66 * np.sin(lat)
+        phase = (ri % 2) * np.pi / m  # stagger alternate rings
+        for j in range(m):
+            a = 2.0 * np.pi * j / m + phase
+            pts.append(np.array([r * np.cos(a), r * np.sin(a), z]))
+    out = np.stack(pts, 0) * radius
+    return out.astype(np.float32)
+
+
 def equivariant_kernel_points(
     radius: float, num_kpoints: int, kanchor: int, quotient_factor: int
 ) -> np.ndarray:

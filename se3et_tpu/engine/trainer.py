@@ -96,6 +96,9 @@ class Trainer:
         self.snapshot_dir = os.path.join(output_dir, "snapshots")
         os.makedirs(self.snapshot_dir, exist_ok=True)
         self.logger = get_logger(os.path.join(output_dir, "logs"))
+        from se3et_tpu.utils.metrics_writer import MetricsWriter
+
+        self.metrics_writer = MetricsWriter(os.path.join(output_dir, "events"))
         self.log_steps = log_steps
         self.model = SE3ETModel(model_cfg)
         self.seed = seed
@@ -230,7 +233,11 @@ class Trainer:
                     f"epoch {self.epoch} iter {i + 1}: {board.format()} "
                     f"(prep {timer.prepare_time:.3f}s step {timer.process_time:.3f}s)"
                 )
+                self.metrics_writer.add_dict(
+                    board.summary(), self.iteration, prefix="train/"
+                )
             timer.tic()
+        self.metrics_writer.flush()
         return board.summary()
 
     def validate(self, loader: Iterable[dict]):
@@ -242,6 +249,8 @@ class Trainer:
             board.update_from_dict({k: float(v) for k, v in metrics.items()})
         summary = board.summary()
         self.logger.info(f"validation epoch {self.epoch}: " + board.format())
+        self.metrics_writer.add_dict(summary, self.iteration, prefix="val/")
+        self.metrics_writer.flush()
         return summary
 
     def run(self, train_loader_fn: Callable[[], Iterable[dict]],

@@ -218,6 +218,14 @@ def run_demo(cfg: ExperimentConfig, argv=None):
     from se3et_tpu.nn import loss as loss_lib
     from se3et_tpu.nn.model import SE3ETModel
 
+    if not args.src_file:
+        # look for a shipped demo pair (reference format: data/demo/{src,ref,gt}.npy)
+        for root in (osp.join(osp.dirname(cfg.data.dataset_root), "demo"),):
+            if osp.isfile(osp.join(root, "src.npy")):
+                args.src_file = osp.join(root, "src.npy")
+                args.ref_file = osp.join(root, "ref.npy")
+                args.gt_file = osp.join(root, "gt.npy")
+                break
     if args.src_file and args.ref_file:
         src = np.load(args.src_file).astype(np.float32)
         ref = np.load(args.ref_file).astype(np.float32)

@@ -124,7 +124,20 @@ class KPConvInterSO3(nn.Module):
             self.num_k_real = cfg.num_kernel_points
             self.wg_index = None
         elif cfg.fixed_kernel_points == "verticals":
-            raise NotImplementedError("SO(2) vertical kernels: use anchors_z path")
+            # EPN/E2PN SO(2) mode: C_m-symmetric kernel about z
+            m = cfg.kanchor * cfg.quotient_factor
+            kp = kp_lib.so2_symmetric_kernel_points(
+                self.radius, cfg.num_kernel_points, m
+            )
+            kidx_rot, fold, num_real = kp_lib.kernel_permutation_tables(
+                kp, space, cfg.ignore_steer_constraint, radius=self.radius
+            )
+            a = cfg.kanchor
+            idx = fold[kidx_rot][:, :, None] * a + space.ridx_rot.T[:, None, :]
+            self.num_weight_blocks = num_real * a
+            self.kernel_points = jnp.asarray(kp)
+            self.num_k_real = num_real
+            self.wg_index = jnp.asarray(idx.astype(np.int32))
         else:
             kp = kp_lib.equivariant_kernel_points(
                 self.radius, cfg.num_kernel_points, cfg.kanchor, cfg.quotient_factor

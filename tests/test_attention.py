@@ -1,0 +1,93 @@
+"""Equivariance and correctness tests for the attention stack."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from se3et_tpu.nn import attention as A
+
+
+@pytest.mark.parametrize("mode", [None, "a_soft", "a_best", "r_soft", "r_best"])
+def test_eq_cross_attention_permutation_covariance(mode):
+    """When both clouds rotate by the same group element g (features permute by
+    trace_idx_rot[g]), EQ cross-attention output permutes identically."""
+    rng = np.random.RandomState(0)
+    b, a, n, m, c = 1, 6, 10, 12, 16
+    attn = A.MultiHeadAttentionEQ(
+        d_model=c, num_heads=2, attn_mode=mode, kanchor=a, attn_r_positive="sq"
+    )
+    q = jnp.asarray(rng.normal(size=(b, a, n, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, a, m, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, a, m, c)).astype(np.float32))
+    params = attn.init(jax.random.PRNGKey(0), q, k, v)
+    out, _ = attn.apply(params, q, k, v)
+    out = np.asarray(out)
+
+    space = attn.space
+    for g in [1, 9, 17]:
+        perm = space.trace_idx_rot[g]
+        out_r, _ = attn.apply(params, q[:, perm], k[:, perm], v[:, perm])
+        np.testing.assert_allclose(
+            np.asarray(out_r), out[:, perm], rtol=1e-3, atol=1e-4,
+            err_msg=f"mode={mode} g={g}",
+        )
+
+
+def test_eq_attention_masking():
+    """Padded keys must not influence outputs."""
+    rng = np.random.RandomState(1)
+    b, a, n, m, c = 1, 6, 8, 10, 16
+    attn = A.MultiHeadAttentionEQ(
+        d_model=c, num_heads=2, attn_mode="a_soft", kanchor=a
+    )
+    q = jnp.asarray(rng.normal(size=(b, a, n, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, a, m, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, a, m, c)).astype(np.float32))
+    key_masks = jnp.asarray(np.array([[1] * 7 + [0] * 3], bool))
+    q_masks = jnp.asarray(np.ones((b, n), bool))
+    params = attn.init(jax.random.PRNGKey(0), q, k, v, key_masks, q_masks)
+    out1, _ = attn.apply(params, q, k, v, key_masks, q_masks)
+    # perturb masked keys/values: output must not change
+    k2 = k.at[:, :, 7:].add(100.0)
+    v2 = v.at[:, :, 7:].add(100.0)
+    out2, _ = attn.apply(params, q, k2, v2, key_masks, q_masks)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-4)
+
+
+def test_rpe_attention_folded_projection_equivalence():
+    """The folded positional projection equals the direct (q . (emb W + b))."""
+    rng = np.random.RandomState(2)
+    b, n, c = 1, 12, 16
+    attn = A.RPEMultiHeadAttention(d_model=c, num_heads=2)
+    x = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(b, n, n, c)).astype(np.float32))
+    params = attn.init(jax.random.PRNGKey(0), x, x, x, emb)
+    out, aux = attn.apply(params, x, x, x, emb)
+
+    # direct computation
+    p = params["params"]
+    import numpy as onp
+
+    def lin(name, inp):
+        return inp @ onp.asarray(p[name]["kernel"]) + onp.asarray(p[name]["bias"])
+
+    q = lin("TorchLinear_0", onp.asarray(x))
+    k = lin("TorchLinear_1", onp.asarray(x))
+    v = lin("TorchLinear_2", onp.asarray(x))
+    wp = onp.asarray(p["proj_p_kernel"])
+    bp = onp.asarray(p["proj_p_bias"])
+    pe = onp.asarray(emb) @ wp + bp  # (b, n, n, c)
+    h, dh = 2, c // 2
+    qh = q.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+    ph = pe.reshape(b, n, n, h, dh).transpose(0, 3, 1, 2, 4)
+    s = (
+        onp.einsum("bhnc,bhmc->bhnm", qh, kh)
+        + onp.einsum("bhnc,bhnmc->bhnm", qh, ph)
+    ) / onp.sqrt(dh)
+    sm = onp.exp(s - s.max(-1, keepdims=True))
+    sm = sm / sm.sum(-1, keepdims=True)
+    expect = onp.einsum("bhnm,bhmc->bhnc", sm, vh).transpose(0, 2, 1, 3).reshape(b, n, c)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-3, atol=1e-4)

@@ -142,3 +142,29 @@ def test_backbone_equivariance_and_invariance():
         c_r[mask_c], c0[:, :, perm][mask_c], rtol=2e-2, atol=2e-3
     )
     np.testing.assert_allclose(f_r[mask_f], f0[mask_f], rtol=2e-2, atol=2e-3)
+
+
+def test_so2_mode_equivariance():
+    """EPN SO(2) mode (kanchor=3, quotient=1, 'verticals' kernel): exact
+    equivariance under the cyclic z-rotation group."""
+    rng = np.random.RandomState(3)
+    pts, nbrs = _make_inputs(rng)
+    cfg = epn.EPNConfig(
+        kanchor=3, quotient_factor=1, num_kernel_points=15,
+        fixed_kernel_points="verticals",
+    )
+    sp = cfg.space
+    conv = epn.KPConvInterSO3(4, 8, radius=0.25, sigma=0.2, config=cfg)
+    feats = rng.normal(size=(1, pts.shape[0], 3, 4)).astype(np.float32)
+    params = conv.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                       jnp.asarray(pts[None]), jnp.asarray(pts[None]),
+                       jnp.asarray(nbrs[None]))
+    out = np.asarray(_apply(conv, params, jnp.asarray(feats),
+                            jnp.asarray(pts), jnp.asarray(nbrs)))
+    for g in [1, 2]:
+        rot = sp.rotations[g].astype(np.float64)
+        pts_r = (pts @ rot.T).astype(np.float32)
+        perm = sp.trace_idx_rot[g]
+        out_r = np.asarray(_apply(conv, params, jnp.asarray(feats[:, :, perm]),
+                                  jnp.asarray(pts_r), jnp.asarray(nbrs)))
+        np.testing.assert_allclose(out_r[0], out[0][:, perm], rtol=1e-3, atol=1e-4)
