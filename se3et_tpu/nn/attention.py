@@ -22,10 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from se3et_tpu import precision as prec
 from se3et_tpu.core import anchors as anchor_lib
 from se3et_tpu.nn.layers import LayerNorm, TorchLinear, build_activation
 
-_PREC = jax.lax.Precision.HIGHEST
 _NEG = -1e9
 
 
@@ -83,15 +83,15 @@ class MultiHeadAttention(nn.Module):
         v = _split_heads(TorchLinear(self.d_model)(input_v), h)  # (B,[A],H,M,c)
 
         dh = self.d_model // h
-        scores = jnp.einsum("bhnc,bhmc->bhnm", q, k, precision=_PREC) / np.sqrt(dh)
+        scores = jnp.einsum("bhnc,bhmc->bhnm", q, k, precision=prec.feature()) / np.sqrt(dh)
         if key_masks is not None:
             scores = jnp.where(key_masks[:, None, None, :], scores, _NEG)
         scores = jax.nn.softmax(scores, axis=-1)
 
         if input_v.ndim == 4:  # equivariant values (B, A, M, C)
-            hidden = jnp.einsum("bhnm,bahmc->bahnc", scores, v, precision=_PREC)
+            hidden = jnp.einsum("bhnm,bahmc->bahnc", scores, v, precision=prec.feature())
         else:
-            hidden = jnp.einsum("bhnm,bhmc->bhnc", scores, v, precision=_PREC)
+            hidden = jnp.einsum("bhnm,bhmc->bhnc", scores, v, precision=prec.feature())
         return _merge_heads(hidden), {"scores": scores}
 
 
@@ -136,15 +136,15 @@ class RPEMultiHeadAttention(nn.Module):
         wp_h = wp.reshape(self.d_model, h, dh)
         bp_h = bp.reshape(h, dh)
         if self.equivariant:
-            qp = jnp.einsum("bahnc,dhc->bahnd", q, wp_h, precision=_PREC)
-            s_p = jnp.einsum("bahnd,bnmd->bahnm", qp, embed_qk, precision=_PREC)
+            qp = jnp.einsum("bahnc,dhc->bahnd", q, wp_h, precision=prec.feature())
+            s_p = jnp.einsum("bahnd,bnmd->bahnm", qp, embed_qk, precision=prec.feature())
             s_p = s_p + jnp.einsum("bahnc,hc->bahn", q, bp_h)[..., None]
-            s_e = jnp.einsum("bahnc,bahmc->bahnm", q, k, precision=_PREC)
+            s_e = jnp.einsum("bahnc,bahmc->bahnm", q, k, precision=prec.feature())
         else:
-            qp = jnp.einsum("bhnc,dhc->bhnd", q, wp_h, precision=_PREC)
-            s_p = jnp.einsum("bhnd,bnmd->bhnm", qp, embed_qk, precision=_PREC)
+            qp = jnp.einsum("bhnc,dhc->bhnd", q, wp_h, precision=prec.feature())
+            s_p = jnp.einsum("bhnd,bnmd->bhnm", qp, embed_qk, precision=prec.feature())
             s_p = s_p + jnp.einsum("bhnc,hc->bhn", q, bp_h)[..., None]
-            s_e = jnp.einsum("bhnc,bhmc->bhnm", q, k, precision=_PREC)
+            s_e = jnp.einsum("bhnc,bhmc->bhnm", q, k, precision=prec.feature())
 
         scores = s_e + s_p
         if self.equivariant and self.d_equiv_embed > 0:
@@ -166,8 +166,8 @@ class RPEMultiHeadAttention(nn.Module):
                 (self.d_model,),
             )
             we_h = we.reshape(de, h, dh)
-            qe = jnp.einsum("bahnc,dhc->bahnd", q, we_h, precision=_PREC)
-            s_eq = jnp.einsum("bahnd,banmd->bahnm", qe, embed_eq, precision=_PREC)
+            qe = jnp.einsum("bahnc,dhc->bahnd", q, we_h, precision=prec.feature())
+            s_eq = jnp.einsum("bahnd,banmd->bahnm", qe, embed_eq, precision=prec.feature())
             s_eq = s_eq + jnp.einsum("bahnc,hc->bahn", q, be.reshape(h, dh))[..., None]
             scores = scores + s_eq
 
@@ -178,7 +178,7 @@ class RPEMultiHeadAttention(nn.Module):
                 km = key_masks[:, None, None, None, :]
             scores = jnp.where(km, scores, _NEG)
         scores = jax.nn.softmax(scores, axis=-1)
-        hidden = jnp.einsum("...nm,...mc->...nc", scores, v, precision=_PREC)
+        hidden = jnp.einsum("...nm,...mc->...nc", scores, v, precision=prec.feature())
         return _merge_heads(hidden), {"scores": scores}
 
 
@@ -223,7 +223,7 @@ class MultiHeadAttentionEQ(nn.Module):
         v = _split_heads(TorchLinear(self.d_model)(input_v), h)
 
         scale = 1.0 / np.sqrt(dh)
-        s_ae = jnp.einsum("bahnc,behmc->baehnm", q, k, precision=_PREC) * scale
+        s_ae = jnp.einsum("bahnc,behmc->baehnm", q, k, precision=prec.feature()) * scale
 
         pair_mask = None
         if key_masks is not None or q_masks is not None:
@@ -237,7 +237,7 @@ class MultiHeadAttentionEQ(nn.Module):
             if key_masks is not None:
                 scores = jnp.where(key_masks[:, None, None, None, None, :], scores, _NEG)
             scores = jax.nn.softmax(scores, axis=-1)
-            hidden = jnp.einsum("baehnm,behmc->bahnc", scores, v, precision=_PREC)
+            hidden = jnp.einsum("baehnm,behmc->bahnc", scores, v, precision=prec.feature())
             return _merge_heads(hidden), aux
 
         # ---- global attention: head-mean -> positive -> masked point-mean ----
@@ -256,7 +256,7 @@ class MultiHeadAttentionEQ(nn.Module):
             qn = q / (jnp.linalg.norm(
                 q, axis=(-2, -1), keepdims=True) + 1e-9)
             kn = k / (jnp.linalg.norm(k, axis=(-2, -1), keepdims=True) + 1e-9)
-            s_sup = jnp.einsum("bahnc,behmc->baehnm", qn, kn, precision=_PREC) * scale
+            s_sup = jnp.einsum("bahnc,behmc->baehnm", qn, kn, precision=prec.feature()) * scale
             if self.attn_mode in ("r_soft", "r_best"):
                 if pair_mask is not None:
                     s_sup = jnp.where(pair_mask[:, None, None, None], s_sup, _NEG)
@@ -277,7 +277,7 @@ class MultiHeadAttentionEQ(nn.Module):
             w = attn_ae / (jnp.sum(attn_ae, axis=2, keepdims=True) + 1e-9)
             scores = masked_softmax_m(s_ae)
             scores = scores * w[:, :, :, None, None, None]
-            hidden = jnp.einsum("baehnm,behmc->bahnc", scores, v, precision=_PREC)
+            hidden = jnp.einsum("baehnm,behmc->bahnc", scores, v, precision=prec.feature())
             aux["attn_w"] = w
         elif self.attn_mode == "a_best":
             idx = jnp.argmax(attn_ae, axis=2)  # (B, A)
@@ -286,7 +286,7 @@ class MultiHeadAttentionEQ(nn.Module):
             )[:, :, 0]  # (B, A, H, N, M)
             scores = masked_softmax_m(s_best)
             v_perm = jnp.take_along_axis(v, idx[:, :, None, None, None], axis=1)
-            hidden = jnp.einsum("bahnm,bahmc->bahnc", scores, v_perm, precision=_PREC)
+            hidden = jnp.einsum("bahnm,bahmc->bahnc", scores, v_perm, precision=prec.feature())
             aux["attn_idx"] = idx
         elif self.attn_mode == "r_soft":
             # attn_r[b, r] = mean_a attn_ae[b, a, trace_ori[r, a]]
@@ -300,7 +300,7 @@ class MultiHeadAttentionEQ(nn.Module):
             scores = masked_softmax_m(s_r)
             scores = scores * attn_r[:, :, None, None, None, None]
             v_perm = v[:, trace_ori]  # (B, R, A, H, M, c)
-            hidden = jnp.einsum("brahnm,brahmc->bahnc", scores, v_perm, precision=_PREC)
+            hidden = jnp.einsum("brahnm,brahmc->bahnc", scores, v_perm, precision=prec.feature())
             aux["attn_w"] = attn_r
         elif self.attn_mode == "r_best":
             a_ids = jnp.broadcast_to(jnp.arange(a)[None, :], (nr, a))
@@ -309,10 +309,10 @@ class MultiHeadAttentionEQ(nn.Module):
             r_idx = jnp.argmax(attn_r, axis=1)  # (B,)
             perm = trace_ori[r_idx]  # (B, A)
             k_perm = jnp.take_along_axis(k, perm[:, :, None, None, None], axis=1)
-            scores = jnp.einsum("bahnc,bahmc->bahnm", q, k_perm, precision=_PREC) * scale
+            scores = jnp.einsum("bahnc,bahmc->bahnm", q, k_perm, precision=prec.feature()) * scale
             scores = masked_softmax_m(scores)
             v_perm = jnp.take_along_axis(v, perm[:, :, None, None, None], axis=1)
-            hidden = jnp.einsum("bahnm,bahmc->bahnc", scores, v_perm, precision=_PREC)
+            hidden = jnp.einsum("bahnm,bahmc->bahnc", scores, v_perm, precision=prec.feature())
             aux["attn_idx"] = perm
         else:
             raise ValueError(self.attn_mode)

@@ -39,6 +39,7 @@ import numpy as np
 
 from se3et_tpu.core import anchors as anchor_lib
 from se3et_tpu.core import kernel_points as kp_lib
+from se3et_tpu import precision as prec
 from se3et_tpu.nn.layers import MaskedGroupNorm, TorchLinear, UnaryBlock
 
 _PREC = jax.lax.Precision.HIGHEST
@@ -195,14 +196,14 @@ class KPConvInterSO3(nn.Module):
         nbr_x = jnp.where((neighbor_indices < num_s)[..., None, None], nbr_x, 0.0)
 
         # wf[b, n, k, a, c] = sum_h nbr_x[b,n,h,a,c] * w[b,n,h,k]
-        wf = jnp.einsum("bnhac,bnhk->bnkac", nbr_x, w, precision=_PREC)
+        wf = jnp.einsum("bnhac,bnhk->bnkac", nbr_x, w, precision=prec.feature())
 
         if cfg.kanchor == 1:
-            out = jnp.einsum("bnkac,kcd->bnad", wf, self.weights, precision=_PREC)
+            out = jnp.einsum("bnkac,kcd->bnad", wf, self.weights, precision=prec.feature())
             return out
         if not cfg.non_sep_conv:
             # Separable EPN: shared weights over anchors (per kernel point).
-            out = jnp.einsum("bnkac,kcd->bnad", wf, self.weights, precision=_PREC)
+            out = jnp.einsum("bnkac,kcd->bnad", wf, self.weights, precision=prec.feature())
             return out
 
         # Gathered effective weight: (R, K, A, Cin, Cout) -> matmul layout.
@@ -212,7 +213,7 @@ class KPConvInterSO3(nn.Module):
         rhs = jnp.transpose(wg, (1, 2, 3, 0, 4)).reshape(
             k * a * cin, a * self.out_channels
         )
-        out = jnp.einsum("bnm,mo->bno", lhs, rhs, precision=_PREC)
+        out = jnp.einsum("bnm,mo->bno", lhs, rhs, precision=prec.feature())
         return out.reshape(out.shape[0], out.shape[1], a, self.out_channels)
 
 
@@ -237,7 +238,7 @@ class KPConvIntraSO3(nn.Module):
             (ki, cin, self.out_channels),
         )
         gathered = x[:, :, intra]  # (B, N, A, Ki, C)
-        return jnp.einsum("bnakc,kcd->bnad", gathered, w, precision=_PREC)
+        return jnp.einsum("bnakc,kcd->bnad", gathered, w, precision=prec.feature())
 
 
 def max_pool_neighbors(x, neighbor_indices):

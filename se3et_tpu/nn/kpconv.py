@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from se3et_tpu import precision as prec
 from se3et_tpu.core import kernel_points as kp_lib
 from se3et_tpu.nn.epn import _influence_weights, max_pool_neighbors, nearest_upsample
 from se3et_tpu.nn.layers import MaskedGroupNorm, TorchLinear, UnaryBlock
@@ -65,12 +66,9 @@ class KPConv(nn.Module):
         valid = neighbor_indices < num_s
         nbr_x = jnp.where(valid[..., None], nbr_x, 0.0)
 
-        wf = jnp.einsum("bnhc,bnhk->bnkc", nbr_x, w, precision=_PREC)
+        wf = jnp.einsum("bnhc,bnhk->bnkc", nbr_x, w, precision=prec.feature())
         out = jnp.einsum(
-            "bnkc,kcd->bnd",
-            wf,
-            self.weights,
-            precision=_PREC,
+            "bnkc,kcd->bnd", wf, self.weights, precision=prec.feature()
         )
         count = jnp.maximum(jnp.sum(valid, axis=-1), 1)
         out = out / count[..., None]

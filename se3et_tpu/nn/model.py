@@ -234,8 +234,11 @@ class SE3ETModel(nn.Module):
         out["src_node_corr_knn_masks"] = sel_src_knn_masks
 
         # 7. optimal transport
+        from se3et_tpu import precision as prec
+
         scores = jnp.einsum(
-            "pnd,pmd->pnm", sel_ref_knn_feats, sel_src_knn_feats, precision=_PREC
+            "pnd,pmd->pnm", sel_ref_knn_feats, sel_src_knn_feats,
+            precision=prec.feature(),
         ) / jnp.sqrt(jnp.asarray(feats_f.shape[-1], jnp.float32))
         matching_scores = self.optimal_transport(
             scores, sel_ref_knn_masks, sel_src_knn_masks
