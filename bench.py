@@ -55,16 +55,22 @@ def main():
     def forward(params, data):
         return model.apply(params, data, train=False, with_registration=True)
 
+    # NOTE: block_until_ready does not reliably block on the experimental
+    # remote-TPU backend; a host transfer of the final output is the only
+    # trustworthy sync, and it forces the whole queued execution chain to
+    # complete (device execution is sequential).
+    def sync(o):
+        return np.asarray(o["estimated_transform"])
+
     # warmup / compile
-    out = forward(params, datas[0])
-    jax.block_until_ready(out["estimated_transform"])
+    sync(forward(params, datas[0]))
 
     # steady state
-    reps = int(os.environ.get("BENCH_REPS", "20"))
+    reps = int(os.environ.get("BENCH_REPS", "50"))
     t0 = time.time()
     for i in range(reps):
         out = forward(params, datas[i % num_pairs])
-    jax.block_until_ready(out["estimated_transform"])
+    sync(out)
     dt = time.time() - t0
     pairs_per_sec = reps / dt
 

@@ -70,12 +70,61 @@ def rodrigues_rotation(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     return eye + s * k + (1.0 - c) * (k @ k)
 
 
+def quaternion_to_rotation(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion (w, x, y, z) -> rotation matrix, batched."""
+    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r = jnp.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    )
+    return r.reshape(q.shape[:-1] + (3, 3))
+
+
+def _horn_rotation(h: jnp.ndarray, num_iters: int = 30) -> jnp.ndarray:
+    """Optimal rotation from the covariance ``h = sum_n w_n src_n ref_n^T``
+    via Horn's quaternion method: the top eigenvector of the symmetric 4x4 N
+    matrix, found by shifted power iteration.
+
+    Rationale (TPU): batched tiny ``jnp.linalg.svd`` lowers to slow iterative
+    HLO; the power iteration is a fixed unrolled chain of 4x4 matmuls that
+    vectorizes perfectly and always yields a *proper* rotation (no det-sign
+    fixup needed).
+    """
+    s = h  # s[a, b] = sum src_a ref_b
+    sxx, sxy, sxz = s[..., 0, 0], s[..., 0, 1], s[..., 0, 2]
+    syx, syy, syz = s[..., 1, 0], s[..., 1, 1], s[..., 1, 2]
+    szx, szy, szz = s[..., 2, 0], s[..., 2, 1], s[..., 2, 2]
+    n = jnp.stack(
+        [
+            sxx + syy + szz, syz - szy, szx - sxz, sxy - syx,
+            syz - szy, sxx - syy - szz, sxy + syx, szx + sxz,
+            szx - sxz, sxy + syx, -sxx + syy - szz, syz + szy,
+            sxy - syx, szx + sxz, syz + szy, -sxx - syy + szz,
+        ],
+        axis=-1,
+    ).reshape(h.shape[:-2] + (4, 4))
+    # shift so the target eigenvalue is the dominant one in magnitude
+    shift = 2.0 * jnp.linalg.norm(n, axis=(-2, -1), keepdims=True) + 1e-9
+    m = n + shift * jnp.eye(4, dtype=h.dtype)
+    v = jnp.ones(h.shape[:-2] + (4,), h.dtype)
+    for _ in range(num_iters):
+        v = jnp.einsum("...ij,...j->...i", m, v, precision=_PREC)
+        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-20)
+    return quaternion_to_rotation(v)
+
+
 def weighted_procrustes(
     src_points: jnp.ndarray,
     ref_points: jnp.ndarray,
     weights: jnp.ndarray | None = None,
     weight_thresh: float = 0.0,
     eps: float = 1e-5,
+    method: str = "horn",
 ) -> jnp.ndarray:
     """Weighted Kabsch/Procrustes: rigid transform aligning src -> ref.
 
@@ -83,12 +132,14 @@ def weighted_procrustes(
         src_points: (..., N, 3)
         ref_points: (..., N, 3)
         weights: (..., N) or None
+        method: 'horn' (quaternion power iteration — fast batched TPU path) or
+            'svd' (jnp.linalg.svd with det-sign correction).
 
     Returns:
         transform: (..., 4, 4)
 
-    Reference: ``modules/registration/procrustes.py:6-73`` (device SVD instead
-    of the reference's CPU round-trip).
+    Reference: ``modules/registration/procrustes.py:6-73`` (device math instead
+    of the reference's CPU SVD round-trip).
     """
     if weights is None:
         weights = jnp.ones(src_points.shape[:-1], dtype=src_points.dtype)
@@ -102,14 +153,17 @@ def weighted_procrustes(
     ref_c = ref_points - ref_centroid
 
     h = jnp.einsum("...ni,...nj->...ij", src_c, w * ref_c, precision=_PREC)  # (..., 3, 3)
-    u, _, vt = jnp.linalg.svd(h, full_matrices=False)
-    v = jnp.swapaxes(vt, -1, -2)
-    ut = jnp.swapaxes(u, -1, -2)
-    det = jnp.linalg.det(v @ ut)
-    diag = jnp.stack(
-        [jnp.ones_like(det), jnp.ones_like(det), jnp.sign(det)], axis=-1
-    )
-    r = jnp.einsum("...ij,...j,...jk->...ik", v, diag, ut, precision=_PREC)
+    if method == "horn":
+        r = _horn_rotation(h)
+    else:
+        u, _, vt = jnp.linalg.svd(h, full_matrices=False)
+        v = jnp.swapaxes(vt, -1, -2)
+        ut = jnp.swapaxes(u, -1, -2)
+        det = jnp.linalg.det(v @ ut)
+        diag = jnp.stack(
+            [jnp.ones_like(det), jnp.ones_like(det), jnp.sign(det)], axis=-1
+        )
+        r = jnp.einsum("...ij,...j,...jk->...ik", v, diag, ut, precision=_PREC)
     t = ref_centroid[..., 0, :] - jnp.einsum("...ij,...j->...i", r, src_centroid[..., 0, :], precision=_PREC)
     return compose_transform(r, t)
 

@@ -113,6 +113,7 @@ def _se3et_3dmatch(
         kanchor=6, quotient_factor=4, num_kernel_points=15, steerability=steerability
     )
     model = ModelConfig(
+        compute_dtype="bfloat16",
         backbone="e2pn",
         num_stages=4,
         init_dim=init_dim,
@@ -172,6 +173,7 @@ def _se3et_3dmatch(
 
 def _geotransformer_3dmatch(name: str, rotated: bool = False) -> ExperimentConfig:
     model = ModelConfig(
+        compute_dtype="bfloat16",
         backbone="kpconv",
         num_stages=4,
         init_dim=64,
@@ -213,6 +215,7 @@ def _geotransformer_3dmatch(name: str, rotated: bool = False) -> ExperimentConfi
 def _se3et_kitti(name: str, rotated: bool = False) -> ExperimentConfig:
     epn = EPNConfig(kanchor=6, quotient_factor=4, num_kernel_points=15)
     model = ModelConfig(
+        compute_dtype="bfloat16",
         backbone="e2pn",
         num_stages=5,
         init_dim=64,

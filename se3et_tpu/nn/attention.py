@@ -86,7 +86,7 @@ class MultiHeadAttention(nn.Module):
         scores = jnp.einsum("bhnc,bhmc->bhnm", q, k, precision=prec.feature()) / np.sqrt(dh)
         if key_masks is not None:
             scores = jnp.where(key_masks[:, None, None, :], scores, _NEG)
-        scores = jax.nn.softmax(scores, axis=-1)
+        scores = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
 
         if input_v.ndim == 4:  # equivariant values (B, A, M, C)
             hidden = jnp.einsum("bhnm,bahmc->bahnc", scores, v, precision=prec.feature())
@@ -177,7 +177,7 @@ class RPEMultiHeadAttention(nn.Module):
             if self.equivariant:
                 km = key_masks[:, None, None, None, :]
             scores = jnp.where(km, scores, _NEG)
-        scores = jax.nn.softmax(scores, axis=-1)
+        scores = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
         hidden = jnp.einsum("...nm,...mc->...nc", scores, v, precision=prec.feature())
         return _merge_heads(hidden), {"scores": scores}
 
@@ -233,10 +233,10 @@ class MultiHeadAttentionEQ(nn.Module):
 
         aux = {}
         if self.attn_mode is None:
-            scores = s_ae
+            scores = s_ae.astype(jnp.float32)
             if key_masks is not None:
                 scores = jnp.where(key_masks[:, None, None, None, None, :], scores, _NEG)
-            scores = jax.nn.softmax(scores, axis=-1)
+            scores = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
             hidden = jnp.einsum("baehnm,behmc->bahnc", scores, v, precision=prec.feature())
             return _merge_heads(hidden), aux
 
@@ -266,12 +266,13 @@ class MultiHeadAttentionEQ(nn.Module):
             aux["attn_matrix"] = _positive(sup, self.attn_r_positive_rot_supervise)
 
         def masked_softmax_m(s):
-            if key_masks is None:
-                return jax.nn.softmax(s, axis=-1)
-            km = key_masks.reshape(
-                key_masks.shape[0], *(1,) * (s.ndim - 3), 1, key_masks.shape[1]
-            )
-            return jax.nn.softmax(jnp.where(km, s, _NEG), axis=-1)
+            s = s.astype(jnp.float32)
+            if key_masks is not None:
+                km = key_masks.reshape(
+                    key_masks.shape[0], *(1,) * (s.ndim - 3), 1, key_masks.shape[1]
+                )
+                s = jnp.where(km, s, _NEG)
+            return jax.nn.softmax(s, axis=-1).astype(v.dtype)
 
         if self.attn_mode == "a_soft":
             w = attn_ae / (jnp.sum(attn_ae, axis=2, keepdims=True) + 1e-9)

@@ -84,7 +84,7 @@ def _influence_weights(
     num_s = s_points.shape[1]
     safe = jnp.clip(neighbor_indices, 0, num_s - 1)
     nbr = jnp.take_along_axis(
-        s_points, safe[..., None].reshape(safe.shape[0], -1, 1).repeat(3, -1), axis=1
+        s_points, safe.reshape(safe.shape[0], -1, 1), axis=1
     ).reshape(safe.shape + (3,))
     valid = neighbor_indices < num_s
     rel = nbr - q_points[:, :, None, :]  # (B, Nq, H, 3)
@@ -187,6 +187,8 @@ class KPConvInterSO3(nn.Module):
         num_s = s_points.shape[1]
         safe = jnp.clip(neighbor_indices, 0, num_s - 1)
         a_dim, cin = x.shape[2], x.shape[3]
+        x = prec.cast_feature(x)
+        w = prec.cast_feature(w)
         flat = x.reshape(x.shape[0], num_s, a_dim * cin)
         nbr_x = jnp.take_along_axis(
             flat,
@@ -198,22 +200,23 @@ class KPConvInterSO3(nn.Module):
         # wf[b, n, k, a, c] = sum_h nbr_x[b,n,h,a,c] * w[b,n,h,k]
         wf = jnp.einsum("bnhac,bnhk->bnkac", nbr_x, w, precision=prec.feature())
 
-        if cfg.kanchor == 1:
-            out = jnp.einsum("bnkac,kcd->bnad", wf, self.weights, precision=prec.feature())
-            return out
-        if not cfg.non_sep_conv:
-            # Separable EPN: shared weights over anchors (per kernel point).
-            out = jnp.einsum("bnkac,kcd->bnad", wf, self.weights, precision=prec.feature())
-            return out
+        if cfg.kanchor == 1 or not cfg.non_sep_conv:
+            # kanchor==1 (plain KPConv) or separable EPN: shared anchor weights
+            out = jnp.einsum(
+                "bnkac,kcd->bnad", wf, prec.cast_feature(self.weights),
+                precision=prec.feature(),
+            )
+            return out.astype(jnp.float32)
 
         # Gathered effective weight: (R, K, A, Cin, Cout) -> matmul layout.
         k, a = cfg.num_kernel_points, cfg.kanchor
-        wg = self.weights[self.wg_index]  # (R, K, A, Cin, Cout)
+        wg = prec.cast_feature(self.weights)[self.wg_index]  # (R, K, A, Cin, Cout)
         lhs = wf.reshape(wf.shape[0], wf.shape[1], k * a * cin)
         rhs = jnp.transpose(wg, (1, 2, 3, 0, 4)).reshape(
             k * a * cin, a * self.out_channels
         )
         out = jnp.einsum("bnm,mo->bno", lhs, rhs, precision=prec.feature())
+        out = out.astype(jnp.float32)
         return out.reshape(out.shape[0], out.shape[1], a, self.out_channels)
 
 

@@ -60,6 +60,8 @@ class KPConv(nn.Module):
         )  # (B, Nq, H, K)
         num_s = s_points.shape[1]
         safe = jnp.clip(neighbor_indices, 0, num_s - 1)
+        x = prec.cast_feature(x)
+        w = prec.cast_feature(w)
         nbr_x = jnp.take_along_axis(
             x, safe.reshape(safe.shape[0], -1, 1), axis=1
         ).reshape(safe.shape + (x.shape[-1],))
@@ -68,8 +70,9 @@ class KPConv(nn.Module):
 
         wf = jnp.einsum("bnhc,bnhk->bnkc", nbr_x, w, precision=prec.feature())
         out = jnp.einsum(
-            "bnkc,kcd->bnd", wf, self.weights, precision=prec.feature()
-        )
+            "bnkc,kcd->bnd", wf, prec.cast_feature(self.weights),
+            precision=prec.feature(),
+        ).astype(jnp.float32)
         count = jnp.maximum(jnp.sum(valid, axis=-1), 1)
         out = out / count[..., None]
         if self.use_bias:

@@ -16,6 +16,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from se3et_tpu import precision as prec
+
 
 def torch_kernel_init(in_axis: int | Sequence[int] = -2):
     """U(±1/sqrt(fan_in)) — PyTorch's kaiming_uniform(a=sqrt(5)) for Linear."""
@@ -51,10 +53,11 @@ class TorchLinear(nn.Module):
         kernel = self.param(
             "kernel", torch_kernel_init(0), (in_features, self.features)
         )
-        y = jnp.einsum("...i,io->...o", x, kernel)
+        x = prec.cast_feature(x)
+        y = jnp.einsum("...i,io->...o", x, prec.cast_feature(kernel))
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(in_features), (self.features,))
-            y = y + bias
+            y = y + prec.cast_feature(bias)
         return y
 
 
@@ -90,6 +93,8 @@ class MaskedGroupNorm(nn.Module):
         c = x.shape[-1]
         g = min(self.num_groups, c)
         assert c % g == 0, (c, g)
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
         orig_shape = x.shape
         # (B, N, [A], G, C/G)
         xg = x.reshape(orig_shape[:-1] + (g, c // g))
@@ -114,7 +119,7 @@ class MaskedGroupNorm(nn.Module):
         out = out * scale + bias
         if mask is not None:
             out = out * mask.reshape(mask.shape + (1,) * (out.ndim - mask.ndim))
-        return out
+        return out.astype(in_dtype)
 
 
 class LayerNorm(nn.Module):
@@ -124,13 +129,15 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        in_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        return y * scale + bias
+        return (y * scale + bias).astype(in_dtype)
 
 
 class UnaryBlock(nn.Module):

@@ -43,6 +43,7 @@ class LearnableLogOptimalTransport(nn.Module):
     def __call__(self, scores, row_masks=None, col_masks=None):
         """scores: (B, M, N); masks True = valid.  Returns (B, M+1, N+1) log-probs."""
         b, m, n = scores.shape
+        scores = scores.astype(jnp.float32)
         alpha = self.param("alpha", nn.initializers.ones, ())
         if row_masks is None:
             row_masks = jnp.ones((b, m), bool)

@@ -37,6 +37,8 @@ _PREC = jax.lax.Precision.HIGHEST
 class ModelConfig:
     """Experiment model hyper-parameters (cf. per-experiment ``config.py``)."""
 
+    # activation dtype for feature math: 'float32' | 'bfloat16'
+    compute_dtype: str = "float32"
     # backbone
     backbone: str = "e2pn"  # 'e2pn' | 'kpconv'
     num_stages: int = 4
@@ -141,7 +143,10 @@ class SE3ETModel(nn.Module):
         )
 
     def __call__(self, data, train: bool = False, with_registration: bool = True):
+        from se3et_tpu import precision as prec_mod
+
         c = self.cfg
+        prec_mod.set_compute_dtype(c.compute_dtype)
         out = {}
         coarse = c.num_stages - 1
         fine = 1
@@ -174,6 +179,8 @@ class SE3ETModel(nn.Module):
 
         # 3. backbone
         feats_f, feats_c = self.backbone_net(data["features"], data)
+        feats_f = feats_f.astype(jnp.float32)
+        feats_c = feats_c.astype(jnp.float32)
         # feats_f: (2, Nf, C); feats_c: (2, Nc, [A,] C)
 
         # 4. coarse transformer (batch of one pair)
@@ -186,8 +193,8 @@ class SE3ETModel(nn.Module):
         out["attn_matrix0"] = am0
         out["attn_matrix1"] = am1
 
-        ref_feats_c = ref_c_out[0]
-        src_feats_c = src_c_out[0]
+        ref_feats_c = ref_c_out[0].astype(jnp.float32)
+        src_feats_c = src_c_out[0].astype(jnp.float32)
         ref_feats_c = ref_feats_c / (
             jnp.linalg.norm(ref_feats_c, axis=-1, keepdims=True) + 1e-12
         )

@@ -207,3 +207,23 @@ def test_calibrate_neighbor_limits():
     limits = pipeline.calibrate_neighbor_limits(pairs, cfg, sample_threshold=10)
     assert len(limits) == 3
     assert all(1 <= l <= 200 for l in limits)
+
+
+def test_horn_matches_svd_procrustes():
+    rng = np.random.RandomState(11)
+    tfs = np.stack([_random_transform(rng) for _ in range(8)])
+    src = rng.normal(size=(8, 50, 3)).astype(np.float32)
+    ref = np.array(se3.apply_transform(jnp.asarray(src), jnp.asarray(tfs)))
+    ref += rng.normal(scale=0.01, size=ref.shape).astype(np.float32)  # noise
+    w = rng.uniform(0.1, 1.0, size=(8, 50)).astype(np.float32)
+    est_h = se3.weighted_procrustes(
+        jnp.asarray(src), jnp.asarray(ref), jnp.asarray(w), method="horn")
+    est_s = se3.weighted_procrustes(
+        jnp.asarray(src), jnp.asarray(ref), jnp.asarray(w), method="svd")
+    np.testing.assert_allclose(np.asarray(est_h), np.asarray(est_s), atol=2e-4)
+    # proper rotations
+    r = np.asarray(est_h)[:, :3, :3]
+    np.testing.assert_allclose(
+        np.einsum("bij,bkj->bik", r, r), np.tile(np.eye(3), (8, 1, 1)), atol=1e-4
+    )
+    assert np.all(np.linalg.det(r) > 0.99)
