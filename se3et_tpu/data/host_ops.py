@@ -165,6 +165,34 @@ def radius_search(
     return np.concatenate(rows, axis=0)
 
 
+def morton_order(points: np.ndarray, bits: int = 10) -> np.ndarray:
+    """Indices sorting points along a Morton (Z-order) space-filling curve.
+
+    Device-side neighbor gathers hit HBM with the point ordering the host
+    emits; Morton order makes neighbor indices spatially local so gathers are
+    near-sequential (a pure host-side optimization with no semantic effect —
+    neighbor lists are built after sorting).
+    """
+    points = np.asarray(points, np.float64)
+    lo = points.min(axis=0)
+    hi = points.max(axis=0)
+    scale = (2**bits - 1) / np.maximum(hi - lo, 1e-9)
+    q = ((points - lo) * scale).astype(np.uint64)
+
+    def spread(v):
+        v &= np.uint64((1 << bits) - 1)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x030000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x0300F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x030C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x09249249)
+        return v
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
+        spread(q[:, 2]) << np.uint64(2)
+    )
+    return np.argsort(code, kind="stable")
+
+
 def estimate_normals(points: np.ndarray, k: int = 33) -> np.ndarray:
     """KNN-PCA surface normals (unoriented, matching open3d's default pipeline).
 

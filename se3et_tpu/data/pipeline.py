@@ -99,6 +99,13 @@ def build_cloud_pyramid(
             cur_p = cur_p[: cfg.coarse_point_cap]
             if cur_n is not None:
                 cur_n = cur_n[: cfg.coarse_point_cap]
+        # Morton-sort each stage: device-side neighbor gathers become
+        # spatially local (pure reordering; all index matrices are built
+        # afterwards against the sorted points)
+        order = host_ops.morton_order(cur_p)
+        cur_p = cur_p[order]
+        if cur_n is not None:
+            cur_n = cur_n[order]
         stage_points.append(cur_p)
         stage_normals.append(cur_n)
         voxel *= 2.0

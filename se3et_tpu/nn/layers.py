@@ -104,9 +104,17 @@ class MaskedGroupNorm(nn.Module):
             var = jnp.mean((xg - mean) ** 2, axis=red_axes, keepdims=True)
         else:
             m = mask.reshape(mask.shape + (1,) * (xg.ndim - mask.ndim)).astype(x.dtype)
-            # m broadcasts over [A] and C/G axes; count the broadcast elements
-            denom = jnp.sum(
-                jnp.broadcast_to(m, xg.shape), axis=red_axes, keepdims=True
+            # element count = (#valid points) * prod(broadcast axes): mask spans
+            # axis 1; the remaining reduction axes ([A], C/G) are full
+            per_point = 1
+            for ax in red_axes:
+                if ax >= mask.ndim:
+                    per_point *= xg.shape[ax]
+            denom = (
+                jnp.sum(mask.astype(x.dtype), axis=1).reshape(
+                    (mask.shape[0],) + (1,) * (xg.ndim - 1)
+                )
+                * per_point
             )
             mean = jnp.sum(xg * m, axis=red_axes, keepdims=True) / (denom + 1e-9)
             var = jnp.sum(((xg - mean) ** 2) * m, axis=red_axes, keepdims=True) / (

@@ -40,8 +40,13 @@ class LearnableLogOptimalTransport(nn.Module):
     inf: float = 1e12
 
     @nn.compact
-    def __call__(self, scores, row_masks=None, col_masks=None):
-        """scores: (B, M, N); masks True = valid.  Returns (B, M+1, N+1) log-probs."""
+    def __call__(self, scores, row_masks=None, col_masks=None, use_fused=False):
+        """scores: (B, M, N); masks True = valid.  Returns (B, M+1, N+1) log-probs.
+
+        ``use_fused=True`` runs the iteration loop as a single Pallas kernel
+        (VMEM-resident; ~10x less dispatch overhead).  The fused path has no
+        custom VJP yet — callers use it for inference/eval only.
+        """
         b, m, n = scores.shape
         scores = scores.astype(jnp.float32)
         alpha = self.param("alpha", nn.initializers.ones, ())
@@ -89,6 +94,14 @@ class LearnableLogOptimalTransport(nn.Module):
             axis=1,
         )
         log_nu = jnp.where(padded_col_valid, log_nu, -self.inf)
+
+        if use_fused and jax.default_backend() == "tpu":
+            from se3et_tpu.ops.pallas.sinkhorn import sinkhorn_pallas
+
+            fused = sinkhorn_pallas(
+                padded, log_mu, log_nu, num_iterations=self.num_iterations
+            )
+            return fused - norm[:, None, None]
 
         def body(carry, _):
             u, v = carry

@@ -248,7 +248,7 @@ class SE3ETModel(nn.Module):
             precision=prec.feature(),
         ) / jnp.sqrt(jnp.asarray(feats_f.shape[-1], jnp.float32))
         matching_scores = self.optimal_transport(
-            scores, sel_ref_knn_masks, sel_src_knn_masks
+            scores, sel_ref_knn_masks, sel_src_knn_masks, use_fused=not train
         )
         out["matching_scores"] = matching_scores
 

@@ -112,3 +112,32 @@ def test_lgr_recovers_transform():
         jnp.asarray(tf), out["estimated_transform"]
     )
     assert float(rre) < 0.1 and float(rte) < 1e-3
+
+
+def test_pallas_sinkhorn_matches_scan():
+    """Fused Pallas Sinkhorn (interpret mode on CPU) == lax.scan reference."""
+    from se3et_tpu.ops.pallas.sinkhorn import sinkhorn_pallas
+
+    rng = np.random.RandomState(7)
+    b, m, n = 8, 17, 17
+    padded = jnp.asarray(rng.normal(size=(b, m, n)).astype(np.float32))
+    # emulate masked entries
+    padded = padded.at[:, -3:, :].set(-1e12)
+    log_mu = jnp.asarray(rng.normal(size=(b, m)).astype(np.float32))
+    log_nu = jnp.asarray(rng.normal(size=(b, n)).astype(np.float32))
+
+    def scan_ref(padded, log_mu, log_nu, iters=50):
+        def body(carry, _):
+            u, v = carry
+            u = log_mu - jax.nn.logsumexp(padded + v[:, None, :], axis=2)
+            v = log_nu - jax.nn.logsumexp(padded + u[:, :, None], axis=1)
+            return (u, v), None
+        (u, v), _ = jax.lax.scan(
+            body, (jnp.zeros_like(log_mu), jnp.zeros_like(log_nu)), None, length=iters)
+        return padded + u[:, :, None] + v[:, None, :]
+
+    want = np.asarray(scan_ref(padded, log_mu, log_nu))
+    got = np.asarray(sinkhorn_pallas(
+        padded, log_mu, log_nu, num_iterations=50, tile=4, interpret=True))
+    finite = want > -1e11
+    np.testing.assert_allclose(got[finite], want[finite], rtol=1e-4, atol=1e-4)
