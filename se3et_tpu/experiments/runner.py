@@ -149,13 +149,11 @@ def _load_params(cfg: ExperimentConfig, snapshot: str | None):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        target = {"params": params, "opt_state": None, "epoch": 0, "iteration": 0}
-        try:
-            state = ckptr.restore(osp.abspath(snapshot), target)
-            params = state["params"]
-        except Exception:
-            state = ckptr.restore(osp.abspath(snapshot), params)
-            params = state
+        # restore without a target (raw pytree), then pick the params subtree
+        state = ckptr.restore(osp.abspath(snapshot))
+        if isinstance(state, dict) and "params" in state:
+            state = state["params"]
+        params = jax.tree_util.tree_map(jnp.asarray, state)
     return params
 
 

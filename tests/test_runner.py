@@ -1,0 +1,76 @@
+"""Integration test of the experiment API: trainval -> test -> eval roundtrip.
+
+Exercises the same CLI surface the reference exposes per experiment
+(`trainval.py`, `test.py --benchmark`, `eval.py --method`), on a tiny
+synthetic-config experiment, entirely on CPU.
+"""
+
+import dataclasses
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from se3et_tpu.data.pipeline import PyramidConfig
+from se3et_tpu.engine.trainer import OptimConfig
+from se3et_tpu.experiments import configs as cfg_lib
+from se3et_tpu.experiments import runner
+from se3et_tpu.nn import loss as loss_lib
+from se3et_tpu.nn.epn import EPNConfig
+from se3et_tpu.nn.model import ModelConfig
+
+
+def _tiny_experiment(tmp_path):
+    model = ModelConfig(
+        backbone="e2pn", num_stages=3, init_dim=8, output_dim=32,
+        init_radius=0.25, init_sigma=0.2, group_norm=4,
+        epn=EPNConfig(kanchor=6, quotient_factor=4),
+        gt_input_dim=32, gt_hidden_dim=32, gt_output_dim=32, num_heads=2,
+        blocks=("self_eq", "cross", "self_eq", "cross"),
+        ground_truth_matching_radius=0.1, num_points_in_patch=16,
+        num_sinkhorn_iterations=10, num_targets=16, num_correspondences=24,
+        gt_candidates=12, correspondence_limit=128, acceptance_radius=0.15,
+    )
+    cfg = cfg_lib.ExperimentConfig(
+        name="tiny.synthetic",
+        seed=1,
+        data=cfg_lib.DataConfig(
+            dataset="synthetic", dataset_root=str(tmp_path), point_limit=700,
+            benchmarks=("test",),
+        ),
+        pipeline=PyramidConfig(
+            num_stages=3, voxel_size=0.1, search_radius=0.25,
+            neighbor_limits=(10, 10, 10), stage_caps=(512, 256, 96),
+            coarse_point_cap=96,
+        ),
+        model=model,
+        loss=loss_lib.LossConfig(fine_positive_radius=0.1, kanchor=6),
+        eval=loss_lib.EvalConfig(acceptance_radius=0.15),
+        optim=OptimConfig(max_epoch=1),
+    )
+    return cfg, str(tmp_path / "output")
+
+
+@pytest.mark.slow
+def test_trainval_test_eval_roundtrip(tmp_path, monkeypatch):
+    cfg, outdir = _tiny_experiment(tmp_path)
+    monkeypatch.setattr(
+        cfg_lib.ExperimentConfig, "output_dir",
+        property(lambda self: outdir),
+    )
+
+    trainer = runner.run_trainval(cfg, ["--max_epoch", "1", "--max_steps_per_epoch", "3"])
+    assert trainer.epoch == 1
+    assert osp.isdir(osp.join(outdir, "snapshots", "latest"))
+
+    summary = runner.run_test(
+        cfg, ["--snapshot", osp.join(outdir, "snapshots", "latest"), "--max_pairs", "2"]
+    )
+    assert "RR" in summary and np.isfinite(summary["RRE"])
+
+    result = runner.run_eval(cfg, ["--benchmark", "test", "--method", "svd"])
+    assert "overall" in result
+    assert np.isfinite(result["overall"]["RRE"])
+
+    result_ransac = runner.run_eval(cfg, ["--benchmark", "test", "--method", "ransac"])
+    assert np.isfinite(result_ransac["overall"]["RRE"])
