@@ -181,6 +181,65 @@ def isotropic_transform_error(
     return rre, rte
 
 
+def anisotropic_transform_error(
+    gt_transform: jnp.ndarray, est_transform: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-axis rotation/translation errors (r_mse, r_mae, t_mse, t_mae).
+
+    Reference: ``registration/metrics.py:114-162`` (Euler-angle decomposition).
+    """
+    rel = inverse_transform(gt_transform) @ est_transform
+    r = rel[..., :3, :3]
+    # xyz Euler angles of the relative rotation
+    sy = jnp.sqrt(r[..., 0, 0] ** 2 + r[..., 1, 0] ** 2)
+    ax = jnp.arctan2(r[..., 2, 1], r[..., 2, 2])
+    ay = jnp.arctan2(-r[..., 2, 0], sy)
+    az = jnp.arctan2(r[..., 1, 0], r[..., 0, 0])
+    angles = jnp.degrees(jnp.stack([ax, ay, az], axis=-1))
+    t = rel[..., :3, 3]
+    r_mse = jnp.mean(angles**2, axis=-1)
+    r_mae = jnp.mean(jnp.abs(angles), axis=-1)
+    t_mse = jnp.mean(t**2, axis=-1)
+    t_mae = jnp.mean(jnp.abs(t), axis=-1)
+    return r_mse, r_mae, t_mse, t_mae
+
+
+def modified_chamfer_distance(
+    raw_points, ref_points, src_points, gt_transform, est_transform,
+    raw_masks=None, ref_masks=None, src_masks=None,
+):
+    """Modified Chamfer distance (``registration/metrics.py:8-44``):
+    mean NN distance of est-aligned src to raw ref + of gt-aligned raw to src.
+    """
+    from se3et_tpu.ops import geometry
+
+    aligned_src = apply_transform(src_points, est_transform)
+    sq1 = geometry.pairwise_distance(aligned_src, raw_points)
+    if raw_masks is not None:
+        sq1 = jnp.where(raw_masks[None, :], sq1, geometry.INF)
+    d1 = jnp.min(sq1, axis=-1)
+    if src_masks is not None:
+        chamfer1 = jnp.sum(jnp.sqrt(d1) * src_masks) / jnp.maximum(
+            jnp.sum(src_masks), 1
+        )
+    else:
+        chamfer1 = jnp.mean(jnp.sqrt(d1))
+
+    composed = inverse_transform(est_transform) @ gt_transform
+    aligned_raw = apply_transform(raw_points, composed)
+    sq2 = geometry.pairwise_distance(aligned_raw, src_points)
+    if src_masks is not None:
+        sq2 = jnp.where(src_masks[None, :], sq2, geometry.INF)
+    d2 = jnp.min(sq2, axis=-1)
+    if raw_masks is not None:
+        chamfer2 = jnp.sum(jnp.sqrt(d2) * raw_masks) / jnp.maximum(
+            jnp.sum(raw_masks), 1
+        )
+    else:
+        chamfer2 = jnp.mean(jnp.sqrt(d2))
+    return chamfer1 + chamfer2
+
+
 def random_rotation(key: jax.Array, factor: float = 1.0) -> jnp.ndarray:
     """Uniform-ish random rotation: random axis, angle in [0, 2*pi*factor].
 

@@ -218,3 +218,28 @@ def estimate_normals(points: np.ndarray, k: int = 33) -> np.ndarray:
     flip = normals[:, 2] < 0
     normals[flip] = -normals[flip]
     return normals.astype(np.float32)
+
+
+def get_correspondences(
+    ref_points: np.ndarray, src_points: np.ndarray, transform: np.ndarray,
+    matching_radius: float,
+) -> np.ndarray:
+    """Ground-truth correspondence pairs within ``matching_radius`` after
+    alignment (KD-tree ball query; ``utils/registration.py get_correspondences``).
+
+    Returns (C, 2) int64 [ref_index, src_index] pairs.
+    """
+    aligned = src_points @ np.asarray(transform)[:3, :3].T + np.asarray(transform)[:3, 3]
+    if _HAVE_SCIPY:
+        tree = cKDTree(ref_points)
+        pairs = []
+        hits = tree.query_ball_point(aligned, matching_radius)
+        for si, refs in enumerate(hits):
+            for ri in refs:
+                pairs.append((ri, si))
+        if not pairs:
+            return np.zeros((0, 2), np.int64)
+        return np.asarray(pairs, np.int64)
+    d = np.linalg.norm(ref_points[:, None] - aligned[None], axis=-1)
+    ri, si = np.nonzero(d < matching_radius)
+    return np.stack([ri, si], 1).astype(np.int64)

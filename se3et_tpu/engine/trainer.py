@@ -253,6 +253,40 @@ class Trainer:
         self.metrics_writer.flush()
         return summary
 
+    def run_iterations(self, loader: Iterable[dict], max_iterations: int,
+                       val_loader_fn: Optional[Callable[[], Iterable[dict]]] = None,
+                       val_every: int = 1000, snapshot_every: int = 1000):
+        """Iteration-based training (reference ``IterBasedTrainer`` +
+        ``CycleLoader``, ``engine/iter_based_trainer.py:17-200``): a single
+        stream of steps with periodic validation/snapshots."""
+        board = SummaryBoard(last_n=self.log_steps)
+        rng = jax.random.PRNGKey(self.seed + 2000)
+        it = iter(loader)
+        while self.iteration < max_iterations:
+            try:
+                data = next(it)
+            except StopIteration:
+                it = iter(loader)
+                data = next(it)
+            data = {k: jnp.asarray(v) for k, v in data.items()}
+            rng, sub = jax.random.split(rng)
+            self.params, self.opt_state, losses = self._train_step(
+                self.params, self.opt_state, data, sub
+            )
+            self.iteration += 1
+            board.update_from_dict({k: float(v) for k, v in losses.items()})
+            if self.iteration % self.log_steps == 0:
+                self.logger.info(f"iter {self.iteration}: {board.format()}")
+                self.metrics_writer.add_dict(board.summary(), self.iteration,
+                                             prefix="train/")
+            if val_loader_fn is not None and self.iteration % val_every == 0:
+                self.validate(val_loader_fn())
+            if self.iteration % snapshot_every == 0:
+                self.save_snapshot(f"iter-{self.iteration}")
+                self.save_snapshot("latest")
+        self.save_snapshot("latest")
+        return board.summary()
+
     def run(self, train_loader_fn: Callable[[], Iterable[dict]],
             val_loader_fn: Optional[Callable[[], Iterable[dict]]] = None,
             resume: bool = False):

@@ -362,3 +362,47 @@ def local_global_registration(
         "corr_valid": corr_valid,
         "estimated_transform": estimated,
     }
+
+
+def point_matching(
+    ref_knn_points,
+    src_knn_points,
+    ref_knn_masks,
+    src_knn_masks,
+    matching_scores,
+    k: int = 3,
+    mutual: bool = True,
+    confidence_threshold: float = 0.05,
+    use_dustbin: bool = False,
+    global_scores=None,
+    correspondence_limit: int = 1024,
+):
+    """Top-k point matching WITHOUT registration (``point_matching.py:5-100``).
+
+    Returns the fixed-budget global correspondence set (points, scores, valid)
+    extracted from the per-patch Sinkhorn scores — the reference's
+    ``PointMatching`` head used when only correspondences are needed.
+    """
+    kk = ref_knn_masks.shape[1]
+    scores = jnp.exp(matching_scores)
+    if not use_dustbin:
+        scores = scores[:, :kk, :kk]
+    corr_mat = fine_correspondence_matrix(
+        scores, ref_knn_masks, src_knn_masks, k, confidence_threshold, mutual
+    )
+    score_mat = jnp.where(corr_mat, scores, 0.0)
+    if global_scores is not None:
+        score_mat = score_mat * global_scores[:, None, None]
+    p = score_mat.shape[0]
+    flat = score_mat.reshape(-1)
+    corr_scores, corr_idx = jax.lax.top_k(flat, correspondence_limit)
+    cp = corr_idx // (kk * kk)
+    ci = (corr_idx // kk) % kk
+    cj = corr_idx % kk
+    return {
+        "ref_corr_points": ref_knn_points[cp, ci],
+        "src_corr_points": src_knn_points[cp, cj],
+        "corr_scores": corr_scores,
+        "corr_valid": corr_scores > 0.0,
+        "patch_indices": cp,
+    }
