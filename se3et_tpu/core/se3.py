@@ -225,15 +225,16 @@ def modified_chamfer_distance(
     else:
         chamfer1 = jnp.mean(jnp.sqrt(d1))
 
-    composed = inverse_transform(est_transform) @ gt_transform
+    # Q -> P_raw: raw points moved by (est o gt^-1), matched against ref points
+    composed = est_transform @ inverse_transform(gt_transform)
     aligned_raw = apply_transform(raw_points, composed)
-    sq2 = geometry.pairwise_distance(aligned_raw, src_points)
-    if src_masks is not None:
-        sq2 = jnp.where(src_masks[None, :], sq2, geometry.INF)
-    d2 = jnp.min(sq2, axis=-1)
+    sq2 = geometry.pairwise_distance(ref_points, aligned_raw)
     if raw_masks is not None:
-        chamfer2 = jnp.sum(jnp.sqrt(d2) * raw_masks) / jnp.maximum(
-            jnp.sum(raw_masks), 1
+        sq2 = jnp.where(raw_masks[None, :], sq2, geometry.INF)
+    d2 = jnp.min(sq2, axis=-1)
+    if ref_masks is not None:
+        chamfer2 = jnp.sum(jnp.sqrt(d2) * ref_masks) / jnp.maximum(
+            jnp.sum(ref_masks), 1
         )
     else:
         chamfer2 = jnp.mean(jnp.sqrt(d2))

@@ -227,3 +227,42 @@ def test_horn_matches_svd_procrustes():
         np.einsum("bij,bkj->bik", r, r), np.tile(np.eye(3), (8, 1, 1)), atol=1e-4
     )
     assert np.all(np.linalg.det(r) > 0.99)
+
+
+def test_anisotropic_transform_error():
+    rng = np.random.RandomState(12)
+    tf = _random_transform(rng)
+    r_mse, r_mae, t_mse, t_mae = se3.anisotropic_transform_error(
+        jnp.asarray(tf), jnp.asarray(tf)
+    )
+    assert float(r_mae) < 1e-4 and float(t_mae) < 1e-6
+    est = tf.copy()
+    est[:3, 3] += np.array([0.3, 0.0, 0.0])
+    _, _, t_mse2, t_mae2 = se3.anisotropic_transform_error(
+        jnp.asarray(tf), jnp.asarray(est)
+    )
+    # relative translation error appears in the local frame; magnitude preserved
+    np.testing.assert_allclose(float(t_mse2) * 3, 0.09, atol=1e-5)
+
+
+def test_modified_chamfer_distance():
+    rng = np.random.RandomState(13)
+    tf = _random_transform(rng)
+    raw = rng.uniform(-1, 1, size=(80, 3)).astype(np.float32)  # ref-frame raw cloud
+    ref = raw[:50]
+    src = np.array(
+        se3.apply_transform(jnp.asarray(raw[20:]), se3.inverse_transform(jnp.asarray(tf)))
+    )
+    # perfect estimate: both chamfer terms ~0
+    d = se3.modified_chamfer_distance(
+        jnp.asarray(raw), jnp.asarray(ref), jnp.asarray(src),
+        jnp.asarray(tf), jnp.asarray(tf),
+    )
+    assert float(d) < 1e-3
+    # a wrong estimate must score worse
+    bad = tf.copy(); bad[:3, 3] += 0.5
+    d_bad = se3.modified_chamfer_distance(
+        jnp.asarray(raw), jnp.asarray(ref), jnp.asarray(src),
+        jnp.asarray(tf), jnp.asarray(bad),
+    )
+    assert float(d_bad) > float(d) + 0.1

@@ -141,3 +141,23 @@ def test_pallas_sinkhorn_matches_scan():
         padded, log_mu, log_nu, num_iterations=50, tile=4, interpret=True))
     finite = want > -1e11
     np.testing.assert_allclose(got[finite], want[finite], rtol=1e-4, atol=1e-4)
+
+
+def test_point_matching_head():
+    rng = np.random.RandomState(8)
+    p, k = 6, 12
+    ref_knn = jnp.asarray(rng.uniform(-1, 1, (p, k, 3)).astype(np.float32))
+    src_knn = ref_knn + 0.001
+    masks = jnp.asarray(np.ones((p, k), bool))
+    eye = np.full((p, k + 1, k + 1), -8.0, np.float32)
+    for i in range(k):
+        eye[:, i, i] = 0.0
+    out = M.point_matching(
+        ref_knn, src_knn, masks, masks, jnp.asarray(eye), k=2,
+        correspondence_limit=128,
+    )
+    valid = np.asarray(out["corr_valid"])
+    rc = np.asarray(out["ref_corr_points"])[valid]
+    sc = np.asarray(out["src_corr_points"])[valid]
+    assert valid.sum() == p * k  # diagonal matches all extracted
+    np.testing.assert_allclose(rc, sc - 0.001, atol=1e-5)
