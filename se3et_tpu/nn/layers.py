@@ -15,6 +15,7 @@ from typing import Callable, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from se3et_tpu import precision as prec
 
@@ -96,16 +97,18 @@ class MaskedGroupNorm(nn.Module):
         in_dtype = x.dtype
         x = x.astype(jnp.float32)
         orig_shape = x.shape
-        # (B, N, [A], G, C/G)
+        # (B, N, [A], G, C/G); single-pass sum/sum-of-squares statistics
         xg = x.reshape(orig_shape[:-1] + (g, c // g))
         red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
         if mask is None:
-            mean = jnp.mean(xg, axis=red_axes, keepdims=True)
-            var = jnp.mean((xg - mean) ** 2, axis=red_axes, keepdims=True)
+            s1 = jnp.sum(xg, axis=red_axes, keepdims=True)
+            s2 = jnp.sum(xg * xg, axis=red_axes, keepdims=True)
+            denom = float(np.prod([xg.shape[a] for a in red_axes]))
         else:
             m = mask.reshape(mask.shape + (1,) * (xg.ndim - mask.ndim)).astype(x.dtype)
-            # element count = (#valid points) * prod(broadcast axes): mask spans
-            # axis 1; the remaining reduction axes ([A], C/G) are full
+            xm = xg * m  # padded rows (already zeroed upstream) contribute 0
+            s1 = jnp.sum(xm, axis=red_axes, keepdims=True)
+            s2 = jnp.sum(xm * xg, axis=red_axes, keepdims=True)
             per_point = 1
             for ax in red_axes:
                 if ax >= mask.ndim:
@@ -115,18 +118,17 @@ class MaskedGroupNorm(nn.Module):
                     (mask.shape[0],) + (1,) * (xg.ndim - 1)
                 )
                 * per_point
+                + 1e-9
             )
-            mean = jnp.sum(xg * m, axis=red_axes, keepdims=True) / (denom + 1e-9)
-            var = jnp.sum(((xg - mean) ** 2) * m, axis=red_axes, keepdims=True) / (
-                denom + 1e-9
-            )
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
-        out = xg.reshape(orig_shape)
+        mean = s1 / denom
+        var = jnp.maximum(s2 / denom - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        out = out * scale + bias
-        if mask is not None:
-            out = out * mask.reshape(mask.shape + (1,) * (out.ndim - mask.ndim))
+        out = (xg - mean) * inv
+        out = out.reshape(orig_shape) * scale + bias
+        # NOTE: no trailing re-mask pass — padded rows are never read downstream
+        # (sentinel-index gathers and masked attention/losses).
         return out.astype(in_dtype)
 
 
