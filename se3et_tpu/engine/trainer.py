@@ -87,7 +87,17 @@ class Trainer:
         output_dir: str,
         seed: int = 7351,
         log_steps: int = 10,
+        data_parallel: bool | None = None,
     ):
+        # data_parallel=None: auto-enable on multi-chip TPU only (the CPU
+        # test mesh and the single-chip bench use the per-pair step)
+        import jax as _jax
+
+        if data_parallel is None:
+            data_parallel = (
+                _jax.default_backend() == "tpu" and len(_jax.devices()) > 1
+            )
+        self.data_parallel = data_parallel
         self.model_cfg = model_cfg
         self.loss_cfg = loss_cfg
         self.eval_cfg = eval_cfg
@@ -173,6 +183,21 @@ class Trainer:
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._val_step = jax.jit(val_step)
 
+        if self.data_parallel:
+            from se3et_tpu.engine.steps import make_batched_train_step
+            from se3et_tpu.parallel.mesh import DataParallel
+
+            self._dp = DataParallel()
+            batched = make_batched_train_step(model, loss_cfg, tx)
+            self._dp_train_step = self._dp.shard_step(batched, donate_argnums=())
+            self.params = self._dp.replicate(self.params)
+            self.opt_state = self._dp.replicate(self.opt_state)
+            self.logger.info(
+                f"data parallelism over {self._dp.num_devices} devices"
+            )
+        else:
+            self._dp = None
+
     # ------------------------------------------------------- checkpointing
     def save_snapshot(self, name: str):
         if not _HAVE_ORBAX:
@@ -212,6 +237,8 @@ class Trainer:
 
     # ------------------------------------------------------------- loops
     def train_epoch(self, loader: Iterable[dict]):
+        if self._dp is not None:
+            return self._train_epoch_dp(loader)
         board = SummaryBoard(last_n=self.log_steps)
         timer = Timer()
         rng = jax.random.PRNGKey(self.seed + 1000 + self.epoch)
@@ -237,6 +264,50 @@ class Trainer:
                     board.summary(), self.iteration, prefix="train/"
                 )
             timer.tic()
+        self.metrics_writer.flush()
+        return board.summary()
+
+    def _train_epoch_dp(self, loader: Iterable[dict]):
+        """Data-parallel epoch: pairs grouped into per-device batches, sharded
+        over the mesh; XLA all-reduces gradients over ICI (the reference's DDP,
+        ``base_trainer.py:181-196``)."""
+        from se3et_tpu.parallel.mesh import stack_pairs
+
+        board = SummaryBoard(last_n=self.log_steps)
+        rng = jax.random.PRNGKey(self.seed + 1000 + self.epoch)
+        nd = self._dp.num_devices
+        pending = []
+        steps = 0
+        for data in loader:
+            pending.append(data)
+            if len(pending) < nd:
+                continue
+            batch = self._dp.shard_batch(stack_pairs(pending))
+            pending = []
+            rng, sub = jax.random.split(rng)
+            sub = jax.device_put(sub, self._dp.replicated_sharding())
+            self.params, self.opt_state, losses = self._dp_train_step(
+                self.params, self.opt_state, batch, sub
+            )
+            self.iteration += 1
+            steps += 1
+            board.update_from_dict({k: float(v) for k, v in losses.items()})
+            if steps % self.log_steps == 0:
+                self.logger.info(
+                    f"epoch {self.epoch} step {steps} (x{nd} pairs): {board.format()}"
+                )
+                self.metrics_writer.add_dict(
+                    board.summary(), self.iteration, prefix="train/"
+                )
+        # leftovers smaller than a full device batch: single-pair steps
+        for data in pending:
+            data = {k: jnp.asarray(v) for k, v in data.items()}
+            rng, sub = jax.random.split(rng)
+            self.params, self.opt_state, losses = self._train_step(
+                self.params, self.opt_state, data, sub
+            )
+            self.iteration += 1
+            board.update_from_dict({k: float(v) for k, v in losses.items()})
         self.metrics_writer.flush()
         return board.summary()
 
