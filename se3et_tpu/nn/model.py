@@ -186,9 +186,12 @@ class SE3ETModel(nn.Module):
         # 4. coarse transformer (batch of one pair)
         ref_in = feats_c[0][None]  # (1, Nc, [A,] C)
         src_in = feats_c[1][None]
+        normals_c = data.get(f"normals_{coarse}")
         ref_c_out, src_c_out, ref_feat_m, src_feat_m, am0, am1 = self.transformer(
             points_c[0][None], points_c[1][None], ref_in, src_in,
             ref_masks=masks_c[0][None], src_masks=masks_c[1][None],
+            ref_normal=None if normals_c is None else normals_c[0][None],
+            src_normal=None if normals_c is None else normals_c[1][None],
         )
         out["attn_matrix0"] = am0
         out["attn_matrix1"] = am1

@@ -30,6 +30,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -108,6 +109,18 @@ class RPEConditionalTransformer(nn.Module):
         quotient = {1: 1, 3: 1, 4: 3, 6: 4, 12: 5}.get(self.na, 1)
         self._space = anchor_lib.get_anchor_space(self.na, quotient)
 
+    def _eq2inv_normal(self, feats, normals, weighted=True):
+        """Normal-guided anchor pooling (``conditional_transformer.py:143-175``):
+        weight (or select) anchors by alignment of the point normal with the
+        anchor vertex.  feats (B, A, N, C); normals (B, N, 3)."""
+        verts = jnp.asarray(self._space.vertices)  # (A, 3)
+        sim = jnp.einsum("bnc,ac->ban", normals, verts)  # (B, A, N)
+        if weighted:
+            w = jax.nn.sigmoid(sim)[..., None]
+            return jnp.sum(feats * w, axis=1)
+        idx = jnp.argmax(sim, axis=1)  # (B, N)
+        return jnp.take_along_axis(feats, idx[:, None, :, None], axis=1)[:, 0]
+
     def _eq2inv_soft(self, feats0, feats1, attn_w0, attn_w1):
         """Soft rotation-weighted anchor fusion (``conditional_transformer.py:209-249``).
 
@@ -158,7 +171,8 @@ class RPEConditionalTransformer(nn.Module):
         return out0, out1
 
     def __call__(self, feats0, feats1, embeddings0, embeddings1, masks0=None,
-                 masks1=None, equiv_embed0=None, equiv_embed1=None):
+                 masks1=None, equiv_embed0=None, equiv_embed1=None,
+                 ref_normal=None, src_normal=None):
         """feats: (B, A, N, C) equivariant or (B, N, C) invariant coarse feats."""
         feats0_eq = feats1_eq = None
         attn_matrix0 = attn_matrix1 = None
@@ -178,8 +192,12 @@ class RPEConditionalTransformer(nn.Module):
                 if block == "self_eq" and i + 1 < len(blocks) and blocks[i + 1] == "cross":
                     # next block is plain cross: pool to invariant, remember eq
                     feats0_eq, feats1_eq = feats0, feats1
-                    feats0 = jnp.max(feats0_eq, axis=1)
-                    feats1 = jnp.max(feats1_eq, axis=1)
+                    if ref_normal is not None and src_normal is not None:
+                        feats0 = self._eq2inv_normal(feats0_eq, ref_normal)
+                        feats1 = self._eq2inv_normal(feats1_eq, src_normal)
+                    else:
+                        feats0 = jnp.max(feats0_eq, axis=1)
+                        feats1 = jnp.max(feats1_eq, axis=1)
                 continue
 
             # cross blocks
@@ -218,6 +236,10 @@ class RPEConditionalTransformer(nn.Module):
                         feats0, feats1 = self._eq2inv_best(
                             feats0, feats1, aux0["attn_idx"], aux1["attn_idx"]
                         )
+                    elif ref_normal is not None and src_normal is not None:
+                        feats0_eq = feats1_eq = None
+                        feats0 = self._eq2inv_normal(feats0, ref_normal)
+                        feats1 = self._eq2inv_normal(feats1, src_normal)
                     else:
                         feats0_eq = feats1_eq = None
                         feats0, feats1 = self._eq2inv_soft(
@@ -260,7 +282,8 @@ class GeometricTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, ref_points, src_points, ref_feats, src_feats,
-                 ref_masks=None, src_masks=None):
+                 ref_masks=None, src_masks=None, ref_normal=None,
+                 src_normal=None):
         """points: (B, N, 3); feats: (B, N, C_in) or (B, N, A, C_in).
 
         Returns (ref_out, src_out, ref_feat_m, src_feat_m, attn_matrix0,
@@ -298,5 +321,6 @@ class GeometricTransformer(nn.Module):
         f0, f1, ref_feat_m, src_feat_m, am0, am1 = transformer(
             f0, f1, ref_emb, src_emb, masks0=ref_masks, masks1=src_masks,
             equiv_embed0=ref_eq_emb, equiv_embed1=src_eq_emb,
+            ref_normal=ref_normal, src_normal=src_normal,
         )
         return out_proj(f0), out_proj(f1), ref_feat_m, src_feat_m, am0, am1

@@ -91,3 +91,30 @@ def test_rpe_attention_folded_projection_equivalence():
     sm = sm / sm.sum(-1, keepdims=True)
     expect = onp.einsum("bhnm,bhmc->bhnc", sm, vh).transpose(0, 2, 1, 3).reshape(b, n, c)
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-3, atol=1e-4)
+
+
+def test_eq2inv_normal_path():
+    """Conditional transformer with normals: eq2inv uses normal-guided pooling."""
+    import jax
+    from se3et_tpu.nn.transformer import RPEConditionalTransformer
+
+    rng = np.random.RandomState(5)
+    b, a, n, c = 1, 6, 12, 16
+    tr = RPEConditionalTransformer(
+        blocks=("self_eq", "cross"), d_model=c, num_heads=2, na=a
+    )
+    feats = jnp.asarray(rng.normal(size=(b, a, n, c)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(b, n, n, c)).astype(np.float32))
+    masks = jnp.asarray(np.ones((b, n), bool))
+    normals = rng.normal(size=(b, n, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    normals = jnp.asarray(normals)
+    params = tr.init(jax.random.PRNGKey(0), feats, feats, emb, emb, masks, masks,
+                     ref_normal=normals, src_normal=normals)
+    out = tr.apply(params, feats, feats, emb, emb, masks, masks,
+                   ref_normal=normals, src_normal=normals)
+    f0 = np.asarray(out[0])
+    assert f0.shape == (b, n, c) and np.isfinite(f0).all()
+    # without normals the pooled features differ (max-pool path)
+    out2 = tr.apply(params, feats, feats, emb, emb, masks, masks)
+    assert np.abs(f0 - np.asarray(out2[0])).max() > 1e-5
