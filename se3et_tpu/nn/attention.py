@@ -296,12 +296,19 @@ class MultiHeadAttentionEQ(nn.Module):
             attn_ar = attn_ae[:, a_ids, trace_ori]  # (B, R, A)
             attn_r = jnp.mean(attn_ar, axis=2)
             attn_r = attn_r / (jnp.sum(attn_r, axis=1, keepdims=True) + 1e-9)  # (B, R)
-            # local scores permuted to rotation layout: s_r[b,r,a] = s_ae[b,a,tr(r,a)]
-            s_r = s_ae[:, a_ids, trace_ori]  # (B, R, A, H, N, M)
-            scores = masked_softmax_m(s_r)
-            scores = scores * attn_r[:, :, None, None, None, None]
-            v_perm = v[:, trace_ori]  # (B, R, A, H, M, c)
-            hidden = jnp.einsum("brahnm,brahmc->bahnc", scores, v_perm, precision=prec.feature())
+            # The rotation-expanded form
+            #   hidden = sum_r attn_r[r] softmax(s_ae[a, tr(r,a)]) @ v[tr(r,a)]
+            # collapses EXACTLY to the anchor-pair form with the effective
+            # weight W[a, e] = sum_r attn_r[r] * 1[trace_ori[r, a] == e]
+            # (softmax over keys commutes with the e-gather) — no (B,R,A,H,N,M)
+            # materialization needed.
+            onehot = jax.nn.one_hot(trace_ori, a, dtype=attn_r.dtype)  # (R, A, E)
+            w_ae = jnp.einsum("br,rae->bae", attn_r, onehot)
+            scores = masked_softmax_m(s_ae)
+            scores = scores * w_ae[:, :, :, None, None, None].astype(scores.dtype)
+            hidden = jnp.einsum(
+                "baehnm,behmc->bahnc", scores, v, precision=prec.feature()
+            )
             aux["attn_w"] = attn_r
         elif self.attn_mode == "r_best":
             a_ids = jnp.broadcast_to(jnp.arange(a)[None, :], (nr, a))

@@ -118,3 +118,56 @@ def test_eq2inv_normal_path():
     # without normals the pooled features differ (max-pool path)
     out2 = tr.apply(params, feats, feats, emb, emb, masks, masks)
     assert np.abs(f0 - np.asarray(out2[0])).max() > 1e-5
+
+
+def test_r_soft_collapse_equals_rotation_expansion():
+    """The collapsed r_soft (effective W[a,e]) must equal the brute-force
+    rotation-expanded computation of the reference
+    (``vanilla_transformer.py:506-577, 839-845``)."""
+    rng = np.random.RandomState(9)
+    b, a, h, n, m, c = 1, 6, 2, 10, 12, 16
+    attn = A.MultiHeadAttentionEQ(
+        d_model=c, num_heads=h, attn_mode="r_soft", kanchor=a, attn_r_positive="sq"
+    )
+    q = jnp.asarray(rng.normal(size=(b, a, n, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, a, m, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, a, m, c)).astype(np.float32))
+    params = attn.init(jax.random.PRNGKey(0), q, k, v)
+    out, aux = attn.apply(params, q, k, v)
+
+    # brute force with the same projections
+    p = params["params"]
+
+    def lin(i, x):
+        w = np.asarray(p[f"TorchLinear_{i}"]["kernel"])
+        bs = np.asarray(p[f"TorchLinear_{i}"]["bias"])
+        return np.asarray(x) @ w + bs
+
+    dh = c // h
+    def heads(x):
+        return x.reshape(b, a, -1, h, dh).transpose(0, 1, 3, 2, 4)
+
+    qh, kh, vh = heads(lin(0, q)), heads(lin(1, k)), heads(lin(2, v))
+    s_ae = np.einsum("bahnc,behmc->baehnm", qh, kh) / np.sqrt(dh)
+    g = np.mean(s_ae, axis=3) ** 2  # wait: mean over h then square? order matters
+    g = np.mean(s_ae, axis=3)
+    g = g ** 2
+    attn_ae = g.mean(axis=(-2, -1))
+    sp = attn.space
+    trace = sp.trace_idx_ori
+    attn_r = np.stack([
+        np.mean([attn_ae[0, aa, trace[r, aa]] for aa in range(a)])
+        for r in range(trace.shape[0])
+    ])
+    attn_r = attn_r / attn_r.sum()
+    sm = np.exp(s_ae - s_ae.max(-1, keepdims=True))
+    sm = sm / sm.sum(-1, keepdims=True)
+    hidden = np.zeros((b, a, h, n, dh), np.float32)
+    for r in range(trace.shape[0]):
+        for aa in range(a):
+            e = trace[r, aa]
+            hidden[0, aa] += attn_r[r] * np.einsum(
+                "hnm,hmc->hnc", sm[0, aa, e], vh[0, e]
+            )
+    want = hidden.transpose(0, 1, 3, 2, 4).reshape(b, a, n, c)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-3, atol=2e-4)
