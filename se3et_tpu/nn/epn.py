@@ -177,13 +177,21 @@ class KPConvInterSO3(nn.Module):
             w_shape,
         )
 
-    def __call__(self, x, q_points, s_points, neighbor_indices):
-        """x: (B, Ns, A, Cin) -> (B, Nq, A, Cout)."""
+    def __call__(self, x, q_points, s_points, neighbor_indices, influence=None):
+        """x: (B, Ns, A, Cin) -> (B, Nq, A, Cout).
+
+        ``influence``: optional precomputed (B, Nq, H, K) kernel-point weights —
+        they depend only on geometry, so the backbone computes them once per
+        (stage, neighbor set) and shares them across the convs of that stage
+        (each per-row coordinate gather costs ~N*H row-fetches on TPU).
+        """
         cfg = self.config
-        w = _influence_weights(
-            q_points, s_points, neighbor_indices, self.kernel_points, self.sigma,
-            cfg.kp_influence,
-        )  # (B, Nq, H, K)
+        w = influence
+        if w is None:
+            w = _influence_weights(
+                q_points, s_points, neighbor_indices, self.kernel_points,
+                self.sigma, cfg.kp_influence,
+            )  # (B, Nq, H, K)
         num_s = s_points.shape[1]
         safe = jnp.clip(neighbor_indices, 0, num_s - 1)
         a_dim, cin = x.shape[2], x.shape[3]
@@ -289,10 +297,11 @@ class KPConvInterSO3Block(nn.Module):
     config: EPNConfig
 
     @nn.compact
-    def __call__(self, x, q_points, s_points, neighbor_indices, q_mask=None):
+    def __call__(self, x, q_points, s_points, neighbor_indices, q_mask=None,
+                 influence=None):
         x = KPConvInterSO3(
             self.in_dim, self.out_dim, self.radius, self.sigma, self.config
-        )(x, q_points, s_points, neighbor_indices)
+        )(x, q_points, s_points, neighbor_indices, influence=influence)
         x = MaskedGroupNorm(self.group_norm)(x, q_mask)
         return jax.nn.leaky_relu(x, 0.1)
 
@@ -308,11 +317,12 @@ class SimpleBlockEPN(nn.Module):
     config: EPNConfig
 
     @nn.compact
-    def __call__(self, x, q_points, s_points, neighbor_indices, q_mask=None):
+    def __call__(self, x, q_points, s_points, neighbor_indices, q_mask=None,
+                 influence=None):
         x = KPConvInterSO3Block(
             self.in_dim, self.out_dim, self.radius, self.sigma, self.group_norm,
             self.config,
-        )(x, q_points, s_points, neighbor_indices, q_mask)
+        )(x, q_points, s_points, neighbor_indices, q_mask, influence=influence)
         if not self.config.non_sep_conv:
             x = KPConvIntraSO3(self.out_dim, self.config)(x)
         x = MaskedGroupNorm(self.group_norm)(x, q_mask)
@@ -331,7 +341,8 @@ class ResnetBottleneckBlockEPN(nn.Module):
     strided: bool = False
 
     @nn.compact
-    def __call__(self, x, q_points, s_points, neighbor_indices, q_mask=None, s_mask=None):
+    def __call__(self, x, q_points, s_points, neighbor_indices, q_mask=None,
+                 s_mask=None, influence=None):
         if s_mask is None:
             s_mask = q_mask if not self.strided else None
         mid = self.out_dim // 4
@@ -342,7 +353,7 @@ class ResnetBottleneckBlockEPN(nn.Module):
             h = x
         h = KPConvInterSO3Block(
             mid, mid, self.radius, self.sigma, self.group_norm, self.config
-        )(h, q_points, s_points, neighbor_indices, q_mask)
+        )(h, q_points, s_points, neighbor_indices, q_mask, influence=influence)
         if not self.config.non_sep_conv:
             h = KPConvIntraSO3(mid, self.config)(h)
         h = MaskedGroupNorm(self.group_norm)(h, q_mask)
@@ -443,12 +454,41 @@ class E2PNBackbone(nn.Module):
         subs = [pyramid[f"subsampling_{i}"] for i in range(self.num_stages - 1)]
         ups = [pyramid[f"upsampling_{i}"] for i in range(self.num_stages - 1)]
 
+        def make_influence(radius, sigma, q, sup, idx):
+            if cfg.kanchor == 1:
+                kp = kp_lib.load_kernels(radius, cfg.num_kernel_points,
+                                         fixed=cfg.fixed_kernel_points)
+            elif cfg.fixed_kernel_points == "verticals":
+                kp = kp_lib.so2_symmetric_kernel_points(
+                    radius, cfg.num_kernel_points, cfg.kanchor * cfg.quotient_factor
+                )
+            else:
+                kp = kp_lib.equivariant_kernel_points(
+                    radius, cfg.num_kernel_points, cfg.kanchor, cfg.quotient_factor
+                )
+            return _influence_weights(q, sup, idx, jnp.asarray(kp), sigma,
+                                      cfg.kp_influence)
+
+        # influence weights shared by all convs on the same (stage, neighbor
+        # set, radius): geometry-only, so compute once per stage
+        inf_same = [None] * self.num_stages
+        inf_sub = [None] * self.num_stages
+        inf_same[0] = make_influence(r, s, pts[0], pts[0], nbs[0])
+        for st in range(1, self.num_stages):
+            mult = 2 ** (st - 1)
+            inf_sub[st] = make_influence(
+                r * mult, s * mult, pts[st], pts[st - 1], subs[st - 1]
+            )
+            inf_same[st] = make_influence(
+                r * mult * 2, s * mult * 2, pts[st], pts[st], nbs[st]
+            )
+
         x = lift_features(feats, cfg.kanchor)
         x = SimpleBlockEPN(self.input_dim, d, r, s, self.group_norm, cfg)(
-            x, pts[0], pts[0], nbs[0], msk[0]
+            x, pts[0], pts[0], nbs[0], msk[0], influence=inf_same[0]
         )
         x = ResnetBottleneckBlockEPN(d, d * 2, r, s, self.group_norm, cfg)(
-            x, pts[0], pts[0], nbs[0], msk[0]
+            x, pts[0], pts[0], nbs[0], msk[0], influence=inf_same[0]
         )
 
         stage_feats = [x]
@@ -458,13 +498,14 @@ class E2PNBackbone(nn.Module):
             in_dim = dims[-1]
             x = ResnetBottleneckBlockEPN(
                 in_dim, in_dim, r * mult, s * mult, self.group_norm, cfg, strided=True
-            )(x, pts[st], pts[st - 1], subs[st - 1], msk[st], s_mask=msk[st - 1])
+            )(x, pts[st], pts[st - 1], subs[st - 1], msk[st], s_mask=msk[st - 1],
+              influence=inf_sub[st])
             x = ResnetBottleneckBlockEPN(
                 in_dim, in_dim * 2, r * mult * 2, s * mult * 2, self.group_norm, cfg
-            )(x, pts[st], pts[st], nbs[st], msk[st])
+            )(x, pts[st], pts[st], nbs[st], msk[st], influence=inf_same[st])
             x = ResnetBottleneckBlockEPN(
                 in_dim * 2, in_dim * 2, r * mult * 2, s * mult * 2, self.group_norm, cfg
-            )(x, pts[st], pts[st], nbs[st], msk[st])
+            )(x, pts[st], pts[st], nbs[st], msk[st], influence=inf_same[st])
             stage_feats.append(x)
             dims.append(in_dim * 2)
 

@@ -53,11 +53,13 @@ class KPConv(nn.Module):
                 "bias", nn.initializers.zeros, (self.out_channels,)
             )
 
-    def __call__(self, x, q_points, s_points, neighbor_indices):
+    def __call__(self, x, q_points, s_points, neighbor_indices, influence=None):
         """x: (B, Ns, C) -> (B, Nq, Cout)."""
-        w = _influence_weights(
-            q_points, s_points, neighbor_indices, self.kernel_points, self.sigma
-        )  # (B, Nq, H, K)
+        w = influence
+        if w is None:
+            w = _influence_weights(
+                q_points, s_points, neighbor_indices, self.kernel_points, self.sigma
+            )  # (B, Nq, H, K)
         num_s = s_points.shape[1]
         safe = jnp.clip(neighbor_indices, 0, num_s - 1)
         x = prec.cast_feature(x)
@@ -91,9 +93,10 @@ class ConvBlock(nn.Module):
     group_norm: int
 
     @nn.compact
-    def __call__(self, x, q_points, s_points, neighbor_indices, q_mask=None):
+    def __call__(self, x, q_points, s_points, neighbor_indices, q_mask=None,
+                 influence=None):
         x = KPConv(self.in_dim, self.out_dim, self.kernel_size, self.radius, self.sigma)(
-            x, q_points, s_points, neighbor_indices
+            x, q_points, s_points, neighbor_indices, influence=influence
         )
         x = MaskedGroupNorm(self.group_norm)(x, q_mask)
         return jax.nn.leaky_relu(x, 0.1)
@@ -111,7 +114,8 @@ class ResidualBlock(nn.Module):
     strided: bool = False
 
     @nn.compact
-    def __call__(self, x, q_points, s_points, neighbor_indices, q_mask=None, s_mask=None):
+    def __call__(self, x, q_points, s_points, neighbor_indices, q_mask=None,
+                 s_mask=None, influence=None):
         if s_mask is None:
             s_mask = q_mask if not self.strided else None
         mid = self.out_dim // 4
@@ -119,7 +123,7 @@ class ResidualBlock(nn.Module):
         h = UnaryBlock(mid, self.group_norm)(x, s_mask) if self.in_dim != mid else x
         h = ConvBlock(
             mid, mid, self.kernel_size, self.radius, self.sigma, self.group_norm
-        )(h, q_points, s_points, neighbor_indices, q_mask)
+        )(h, q_points, s_points, neighbor_indices, q_mask, influence=influence)
         h = UnaryBlock(self.out_dim, self.group_norm, no_relu=True)(h, q_mask)
         if self.strided:
             skip = max_pool_neighbors(skip, neighbor_indices)
@@ -155,11 +159,27 @@ class KPConvFPN(nn.Module):
         subs = [pyramid[f"subsampling_{i}"] for i in range(self.num_stages - 1)]
         ups = [pyramid[f"upsampling_{i}"] for i in range(self.num_stages - 1)]
 
+        def make_influence(radius, sigma, q, sup, idx):
+            kp = kp_lib.load_kernels(radius, self.kernel_size, dimension=3,
+                                     fixed="center", equiv_mode=True)
+            return _influence_weights(q, sup, idx, jnp.asarray(kp), sigma)
+
+        inf_same = [make_influence(r, s, pts[0], pts[0], nbs[0])]
+        inf_sub = [None]
+        for st in range(1, self.num_stages):
+            mult = 2 ** (st - 1)
+            inf_sub.append(
+                make_influence(r * mult, s * mult, pts[st], pts[st - 1], subs[st - 1])
+            )
+            inf_same.append(
+                make_influence(r * mult * 2, s * mult * 2, pts[st], pts[st], nbs[st])
+            )
+
         x = ConvBlock(self.input_dim, d, self.kernel_size, r, s, self.group_norm)(
-            feats, pts[0], pts[0], nbs[0], msk[0]
+            feats, pts[0], pts[0], nbs[0], msk[0], influence=inf_same[0]
         )
         x = ResidualBlock(d, d * 2, self.kernel_size, r, s, self.group_norm)(
-            x, pts[0], pts[0], nbs[0], msk[0]
+            x, pts[0], pts[0], nbs[0], msk[0], influence=inf_same[0]
         )
         stage_feats = [x]
         dims = [d * 2]
@@ -169,15 +189,16 @@ class KPConvFPN(nn.Module):
             x = ResidualBlock(
                 in_dim, in_dim, self.kernel_size, r * mult, s * mult, self.group_norm,
                 strided=True,
-            )(x, pts[st], pts[st - 1], subs[st - 1], msk[st], s_mask=msk[st - 1])
+            )(x, pts[st], pts[st - 1], subs[st - 1], msk[st], s_mask=msk[st - 1],
+              influence=inf_sub[st])
             x = ResidualBlock(
                 in_dim, in_dim * 2, self.kernel_size, r * mult * 2, s * mult * 2,
                 self.group_norm,
-            )(x, pts[st], pts[st], nbs[st], msk[st])
+            )(x, pts[st], pts[st], nbs[st], msk[st], influence=inf_same[st])
             x = ResidualBlock(
                 in_dim * 2, in_dim * 2, self.kernel_size, r * mult * 2, s * mult * 2,
                 self.group_norm,
-            )(x, pts[st], pts[st], nbs[st], msk[st])
+            )(x, pts[st], pts[st], nbs[st], msk[st], influence=inf_same[st])
             stage_feats.append(x)
             dims.append(in_dim * 2)
 
