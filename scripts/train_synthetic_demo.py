@@ -1,0 +1,134 @@
+"""End-to-end training validation on rotated synthetic pairs.
+
+Trains a small SE3ET (kanchor=6, full-SO(3)-rotated structured-scene pairs)
+for a few hundred steps and reports registration metrics before/after —
+the smoke-scale analog of the reference's trainval loop, demonstrating that
+the pipeline learns (loss down, inlier ratio and recall up) under arbitrary
+rotations, where equivariance does the work.
+
+Usage:  python scripts/train_synthetic_demo.py [--steps 300] [--val_pairs 12]
+"""
+
+import argparse
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=300)
+    parser.add_argument("--train_pairs", type=int, default=64)
+    parser.add_argument("--val_pairs", type=int, default=12)
+    parser.add_argument("--lr", type=float, default=3e-4)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                               ".jax_cache"))
+
+    from se3et_tpu.data import datasets, pipeline
+    from se3et_tpu.engine.steps import make_train_step
+    from se3et_tpu.nn import loss as loss_lib
+    from se3et_tpu.nn.epn import EPNConfig
+    from se3et_tpu.nn.init_util import jit_init
+    from se3et_tpu.nn.model import ModelConfig, SE3ETModel
+
+    pcfg = pipeline.PyramidConfig(
+        num_stages=3, voxel_size=0.05, search_radius=0.125,
+        neighbor_limits=(24, 24, 24), stage_caps=(2048, 1024, 384),
+        coarse_point_cap=384,
+    )
+    mcfg = ModelConfig(
+        compute_dtype="bfloat16",
+        backbone="e2pn", num_stages=3, init_dim=32, output_dim=128,
+        init_radius=0.125, init_sigma=0.1, group_norm=16,
+        epn=EPNConfig(kanchor=6, quotient_factor=4),
+        gt_input_dim=128, gt_hidden_dim=128, gt_output_dim=128, num_heads=4,
+        blocks=("self_eq", "cross", "self_eq", "cross", "self_eq", "cross"),
+        sigma_d=0.2, attn_r_positive="softplus",
+        ground_truth_matching_radius=0.05, num_points_in_patch=32,
+        num_sinkhorn_iterations=100, num_targets=96, num_correspondences=192,
+        gt_candidates=32, correspondence_limit=1024, acceptance_radius=0.1,
+        fine_topk=3,
+    )
+    lcfg = loss_lib.LossConfig(fine_positive_radius=0.05, kanchor=6)
+    ecfg = loss_lib.EvalConfig(acceptance_radius=0.1, rmse_threshold=0.2)
+
+    train_ds = datasets.SyntheticPairDataset(
+        num_pairs=args.train_pairs, num_points=2500, noise=0.003, seed=0,
+        rotated=True,
+    )
+    val_ds = datasets.SyntheticPairDataset(
+        num_pairs=args.val_pairs, num_points=2500, noise=0.003, seed=1000,
+        rotated=True,
+    )
+
+    def build(ds, i):
+        item = ds[i]
+        d = pipeline.build_pair_pyramid(
+            item["ref_points"], item["src_points"], item["transform"], pcfg
+        )
+        return {k: jnp.asarray(v) for k, v in d.items()}
+
+    print("building pyramids...", flush=True)
+    train_data = [build(train_ds, i) for i in range(len(train_ds))]
+    val_data = [build(val_ds, i) for i in range(len(val_ds))]
+
+    model = SE3ETModel(mcfg)
+    rngs = {"params": jax.random.PRNGKey(0), "targets": jax.random.PRNGKey(1)}
+    params = jit_init(model, rngs, train_data[0], train=True,
+                      with_registration=False)
+    tx = optax.adamw(args.lr, weight_decay=1e-6)
+    opt_state = tx.init(params)
+    step = jax.jit(make_train_step(model, lcfg, tx), donate_argnums=(0, 1))
+
+    @jax.jit
+    def val_step(p, d):
+        out = model.apply(p, d, train=False, with_registration=True)
+        return loss_lib.evaluate(out, d, ecfg)
+
+    def validate(p):
+        ms = [val_step(p, d) for d in val_data]
+        keys = ms[0].keys()
+        return {k: float(np.mean([float(m[k]) for m in ms])) for k in keys}
+
+    before = validate(params)
+    print("before training:", {k: round(v, 4) for k, v in before.items()}, flush=True)
+
+    rng = jax.random.PRNGKey(7)
+    t0 = time.time()
+    for i in range(args.steps):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, losses = step(
+            params, opt_state, train_data[i % len(train_data)], sub
+        )
+        if (i + 1) % 50 == 0:
+            print(
+                f"step {i + 1}: loss {float(losses['loss']):.4f} "
+                f"c {float(losses['c_loss']):.4f} f {float(losses['f_loss']):.4f} "
+                f"({(time.time() - t0) / (i + 1) * 1000:.0f} ms/step)",
+                flush=True,
+            )
+
+    after = validate(params)
+    print("after training:", {k: round(v, 4) for k, v in after.items()}, flush=True)
+    print(
+        f"IR {before['IR']:.3f} -> {after['IR']:.3f}; "
+        f"PIR {before['PIR']:.3f} -> {after['PIR']:.3f}; "
+        f"RR {before['RR']:.3f} -> {after['RR']:.3f}; "
+        f"RRE {before['RRE']:.2f} -> {after['RRE']:.2f} deg",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
