@@ -29,7 +29,13 @@ _PREC = jax.lax.Precision.HIGHEST
 
 
 class SinusoidalPositionalEmbedding(nn.Module):
-    """d-dim sinusoid of scalar indices (``positional_embedding.py:8-34``)."""
+    """d-dim sinusoid of scalar indices (``positional_embedding.py:8-34``).
+
+    Layout deviation: [sin | cos] concatenated instead of interleaved — the
+    following learned projection absorbs any feature permutation, and the
+    non-interleaved form lets XLA fuse sin/cos into the consumer matmul
+    instead of materializing the (N, M, d) tensor through a shuffle.
+    """
 
     d_model: int
 
@@ -38,8 +44,7 @@ class SinusoidalPositionalEmbedding(nn.Module):
         d = self.d_model
         div = jnp.exp(jnp.arange(0, d, 2) * (-np.log(10000.0) / d))
         ang = indices[..., None] * div
-        emb = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)
-        return emb.reshape(indices.shape + (d,))
+        return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 
 
 class GeometricStructureEmbedding(nn.Module):

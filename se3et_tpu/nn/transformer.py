@@ -296,8 +296,24 @@ class GeometricTransformer(nn.Module):
             reduction_a=self.reduction_a, kanchor=self.na or 1,
             n_level_equiv=self.n_level_equiv,
         )
-        ref_emb, ref_eq_emb = embedding(ref_points, ref_masks)
-        src_emb, src_eq_emb = embedding(src_points, src_masks)
+        # both clouds batched through one embedding evaluation
+        if (
+            ref_points.shape == src_points.shape
+            and ref_masks is not None
+            and src_masks is not None
+        ):
+            pts = jnp.concatenate([ref_points, src_points], axis=0)
+            mks = jnp.concatenate([ref_masks, src_masks], axis=0)
+            emb, eq_emb = embedding(pts, mks)
+            nb = ref_points.shape[0]
+            ref_emb, src_emb = emb[:nb], emb[nb:]
+            if eq_emb is not None:
+                ref_eq_emb, src_eq_emb = eq_emb[:nb], eq_emb[nb:]
+            else:
+                ref_eq_emb = src_eq_emb = None
+        else:
+            ref_emb, ref_eq_emb = embedding(ref_points, ref_masks)
+            src_emb, src_eq_emb = embedding(src_points, src_masks)
 
         in_proj = TorchLinear(self.hidden_dim)
         out_proj = TorchLinear(self.output_dim)
