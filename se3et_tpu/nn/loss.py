@@ -84,8 +84,12 @@ def coarse_matching_loss(output, cfg: LossConfig):
     dists = jnp.sqrt(
         geometry.pairwise_distance(ref_feats, src_feats, normalized=True)
     )
-    pos_masks = overlaps > cfg.positive_overlap
-    neg_masks = overlaps == 0.0
+    # padded / empty nodes must not act as positives OR negatives
+    valid_pair = (
+        output["ref_node_masks"][:, None] & output["src_node_masks"][None, :]
+    )
+    pos_masks = (overlaps > cfg.positive_overlap) & valid_pair
+    neg_masks = (overlaps == 0.0) & valid_pair
     pos_scales = jnp.sqrt(overlaps * pos_masks)
     return weighted_circle_loss(
         pos_masks, neg_masks, dists, pos_scales,

@@ -146,7 +146,10 @@ class SE3ETModel(nn.Module):
         from se3et_tpu import precision as prec_mod
 
         c = self.cfg
-        prec_mod.set_compute_dtype(c.compute_dtype)
+        # bf16 activations are inference-only: through the ~35-layer backbone
+        # the backward pass underflows in bf16 (measured: coarse-loss backbone
+        # grad^2 1e-10 vs 1.1e3 in fp32), freezing the encoder.
+        prec_mod.set_compute_dtype(None if train else c.compute_dtype)
         out = {}
         coarse = c.num_stages - 1
         fine = 1
@@ -176,6 +179,8 @@ class SE3ETModel(nn.Module):
             ref_knn_masks, src_knn_masks, num_candidates=c.gt_candidates,
         )
         out["gt_overlap_mat"] = overlap_mat
+        out["ref_node_masks"] = ref_node_masks
+        out["src_node_masks"] = src_node_masks
 
         # 3. backbone
         feats_f, feats_c = self.backbone_net(data["features"], data)
