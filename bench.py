@@ -58,7 +58,10 @@ def main():
     batch_size = int(os.environ.get("BENCH_BATCH", "0"))
     @jax.jit
     def forward(params, data):
-        return model.apply(params, data, train=False, with_registration=True)
+        # pure serving path: no ground-truth overlap computation
+        return model.apply(
+            params, data, train=False, with_registration=True, with_gt=False
+        )
 
     if batch_size > 1:
         batch = stack_pairs(

@@ -142,7 +142,8 @@ class SE3ETModel(nn.Module):
             c.num_sinkhorn_iterations
         )
 
-    def __call__(self, data, train: bool = False, with_registration: bool = True):
+    def __call__(self, data, train: bool = False, with_registration: bool = True,
+                 with_gt: bool = True):
         from se3et_tpu import precision as prec_mod
 
         c = self.cfg
@@ -172,13 +173,17 @@ class SE3ETModel(nn.Module):
         ref_knn_masks, src_knn_masks = knn_masks[0], knn_masks[1]
         ref_knn_points, src_knn_points = knn_points[0], knn_points[1]
 
-        # 2. ground-truth node correspondence overlaps
-        overlap_mat = matching_lib.node_correspondences(
-            points_c[0], points_c[1], ref_knn_points, src_knn_points, transform,
-            c.ground_truth_matching_radius, ref_node_masks, src_node_masks,
-            ref_knn_masks, src_knn_masks, num_candidates=c.gt_candidates,
-        )
-        out["gt_overlap_mat"] = overlap_mat
+        # 2. ground-truth node correspondence overlaps (training / evaluation
+        # only; pure serving sets with_gt=False — reference computes them
+        # unconditionally, model.py:120)
+        if with_gt or train:
+            overlap_mat = matching_lib.node_correspondences(
+                points_c[0], points_c[1], ref_knn_points, src_knn_points,
+                transform, c.ground_truth_matching_radius, ref_node_masks,
+                src_node_masks, ref_knn_masks, src_knn_masks,
+                num_candidates=c.gt_candidates,
+            )
+            out["gt_overlap_mat"] = overlap_mat
         out["ref_node_masks"] = ref_node_masks
         out["src_node_masks"] = src_node_masks
 
@@ -227,6 +232,7 @@ class SE3ETModel(nn.Module):
 
         if train:
             key = self.make_rng("targets")
+            overlap_mat = out["gt_overlap_mat"]
             ref_idx, src_idx, corr_scores, corr_valid = (
                 matching_lib.superpoint_targets(
                     key, overlap_mat, c.num_targets, c.overlap_threshold
