@@ -171,3 +171,27 @@ def test_evaluator():
     for k in ("PIR", "IR", "RRE", "RTE", "RMSE", "RR"):
         assert np.isfinite(float(metrics[k])), k
     assert float(metrics["RR"]) == 1.0  # easy pair must register
+
+
+def test_five_stage_backbone_kitti_style():
+    """The 5-stage E2PN backbone (KITTI config shape) builds and runs."""
+    rng = np.random.RandomState(11)
+    pcfg = pipeline.PyramidConfig(
+        num_stages=5, voxel_size=0.08, search_radius=0.2,
+        neighbor_limits=(8, 8, 8, 8, 8), stage_caps=(512, 256, 128, 64, 32),
+        coarse_point_cap=32,
+    )
+    ref, src, tf = _make_pair(rng, n=400, rotate=False)
+    data = pipeline.build_pair_pyramid(ref, src, tf, pcfg)
+    data = {k: jnp.asarray(v) for k, v in data.items()}
+    from se3et_tpu.nn.epn import E2PNBackbone
+
+    bb = E2PNBackbone(
+        input_dim=1, output_dim=32, init_dim=4, init_radius=0.2, init_sigma=0.16,
+        group_norm=4, config=EPNConfig(kanchor=6, quotient_factor=4), num_stages=5,
+    )
+    params = bb.init(jax.random.PRNGKey(0), data["features"], data)
+    feats_f, feats_c = bb.apply(params, data["features"], data)
+    assert feats_f.shape == (2, 256, 32)           # fine = stage 1
+    assert feats_c.shape == (2, 32, 6, 4 * 32)     # coarse = stage 4, d*2^5
+    assert np.all(np.isfinite(np.asarray(feats_f)))
