@@ -30,9 +30,6 @@ from se3et_tpu.nn.matching import LearnableLogOptimalTransport
 from se3et_tpu.nn.transformer import GeometricTransformer
 from se3et_tpu.ops import geometry
 
-_PREC = jax.lax.Precision.HIGHEST
-
-
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
     """Experiment model hyper-parameters (cf. per-experiment ``config.py``)."""
