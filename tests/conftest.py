@@ -20,5 +20,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compile cache: the JIT-heavy model tests dominate the suite's
+# wall-clock on a 1-core box; warm reruns skip recompilation entirely.
+_here = os.path.dirname(os.path.abspath(__file__))
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(_here, os.pardir, ".jax_cache_tests")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
