@@ -33,15 +33,19 @@ def main():
         pass
 
     import __graft_entry__ as graft
+    from se3et_tpu.experiments import make_cfg
     from se3et_tpu.nn.model import SE3ETModel
 
-    _, pipeline, model_cfg = graft._flagship_configs(tiny=False)
+    # honest production shapes: the registered se3ete.3dmatch config
+    # (point_limit 20000 -> stage caps 20000/10000/2500/1024, coarse 1000)
+    cfg = make_cfg("se3ete.3dmatch")
+    pipeline, model_cfg = cfg.pipeline, cfg.model
     model = SE3ETModel(model_cfg)
 
-    # a handful of distinct synthetic pairs at 3DMatch scale
+    # a handful of distinct synthetic pairs at the dataset point_limit
     num_pairs = 4
     datas = [
-        graft._example_pair(pipeline, num_points=6000, seed=i)
+        graft._example_pair(pipeline, num_points=cfg.data.point_limit, seed=i)
         for i in range(num_pairs)
     ]
     datas = [{k: jax.numpy.asarray(v) for k, v in d.items()} for d in datas]
@@ -66,7 +70,7 @@ def main():
     if batch_size > 1:
         batch = stack_pairs(
             [
-                graft._example_pair(pipeline, num_points=6000, seed=i)
+                graft._example_pair(pipeline, num_points=cfg.data.point_limit, seed=i)
                 for i in range(batch_size)
             ]
         )

@@ -1,0 +1,15 @@
+"""Benchmark evaluation for geotransformer.kitti (reference: experiments/geotransformer.kitti/eval.py)."""
+
+import sys
+
+from config import make_cfg  # noqa: E402
+
+from se3et_tpu.experiments.runner import run_eval
+
+
+def main():
+    run_eval(make_cfg(), sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main()

@@ -268,6 +268,47 @@ class OdometryKittiPairDataset:
         }
 
 
+class OdometryKittiPairTestDataset(OdometryKittiPairDataset):
+    """KITTI odometry pairs rescaled x0.1 to 3DMatch scale, for cross-dataset
+    generalization tests of 3DMatch-trained models
+    (``kitti_test/dataset.py:16-129``): keep only returns within 30 m of the
+    sensor, random-subsample to ``point_limit``, scale points and the gt
+    translation by 0.1."""
+
+    SCALE = 0.1
+    NEAR_RANGE = 30.0
+
+    def _load_point_cloud(self, file_name):
+        points = np.load(osp.join(self.dataset_root, file_name)).astype(np.float32)
+        if self.point_limit is not None and points.shape[0] > self.point_limit:
+            close = points[np.linalg.norm(points, axis=1) < self.NEAR_RANGE]
+            idx = self.rng.permutation(close.shape[0])[: self.point_limit]
+            points = close[idx]
+        # the reference scales inside the subsample branch only
+        # (kitti_test/dataset.py:89-94) — a latent inconsistency that never
+        # fires because KITTI clouds always exceed the limit; scale always.
+        return self.SCALE * points
+
+    def __getitem__(self, index):
+        meta = self.metadata[index]
+        ref_points = self._load_point_cloud(meta["pcd0"])
+        src_points = self._load_point_cloud(meta["pcd1"])
+        transform = np.asarray(meta["transform"], np.float64).copy()
+        transform[:3, 3] = transform[:3, 3] * self.SCALE  # match 3DMatch scale
+        if self.use_augmentation:
+            ref_points, src_points, transform = self._augment(
+                ref_points, src_points, transform
+            )
+        return {
+            "seq_id": meta.get("seq_id"),
+            "ref_frame": meta.get("frame0"),
+            "src_frame": meta.get("frame1"),
+            "ref_points": ref_points.astype(np.float32),
+            "src_points": src_points.astype(np.float32),
+            "transform": transform.astype(np.float32),
+        }
+
+
 class ModelNetPairDataset:
     """ModelNet40 crop/transform pairs for generalization tests.
 

@@ -81,7 +81,7 @@ class Tester:
 
     def _save_pair(self, out, data, meta, benchmark, index):
         """Per-pair dump mirroring ``test.py:65-92``."""
-        scene = meta.get("scene_name") or "scene"
+        scene = meta.get("scene_name") or meta.get("seq_id") or "scene"
         scene_dir = osp.join(self.feature_dir, benchmark, str(scene))
         os.makedirs(scene_dir, exist_ok=True)
         ref_frame = meta.get("ref_frame", index)
@@ -109,18 +109,27 @@ def evaluate_benchmark(
     acceptance_radius: float = 0.1,
     inlier_ratio_threshold: float = 0.05,
     rmse_threshold: float = 0.2,
+    rre_threshold: float = 5.0,
+    rte_threshold: float = 2.0,
+    kitti_registration: bool = False,
     gt_root: str | None = None,
     ransac_kwargs: dict | None = None,
 ):
     """Offline evaluation over per-pair dumps (port of ``eval.py``).
 
     method: 'lgr' (stored transform) | 'ransac' | 'svd'.
-    When ``gt_root`` contains per-scene gt.log/gt.info, the official 3DMatch
-    scene recall is additionally computed; otherwise RR falls back to the
-    RMSE<0.2 realignment criterion per pair.
+
+    3DMatch protocol (default): RR per pair is realignment RMSE < 0.2 m,
+    scene-averaged; plus the official gt.log/gt.info covariance scene recall
+    when ``gt_root`` metadata is present.
+
+    KITTI protocol (``kitti_registration=True``): RR = (RRE < rre_threshold
+    AND RTE < rte_threshold), averaged over all pairs with no scene grouping
+    (``se3eti.kitti/eval.py:120-140``).
     """
     root = osp.join(feature_dir, benchmark)
     scene_metrics = defaultdict(lambda: SummaryBoard())
+    pair_board = SummaryBoard()  # KITTI protocol: pair-averaged, no scenes
     est_logs = defaultdict(list)
 
     for scene in sorted(os.listdir(root)):
@@ -154,13 +163,22 @@ def evaluate_benchmark(
             board.update("FMR", float(ir >= inlier_ratio_threshold))
             board.update("RRE", rre)
             board.update("RTE", rte)
-            # realignment RMSE RR
-            src_points = d["src_points"]
-            realign = np.linalg.inv(gt) @ est
-            moved = src_points @ realign[:3, :3].T + realign[:3, 3]
-            rmse = float(np.linalg.norm(moved - src_points, axis=1).mean())
-            board.update("RMSE", rmse)
-            board.update("RR", float(rmse < rmse_threshold))
+            if kitti_registration:
+                rr = float(rre < rre_threshold and rte < rte_threshold)
+                board.update("RR", rr)
+                pair_board.update("IR", ir)
+                pair_board.update("FMR", float(ir >= inlier_ratio_threshold))
+                pair_board.update("RRE", rre)
+                pair_board.update("RTE", rte)
+                pair_board.update("RR", rr)
+            else:
+                # realignment RMSE RR
+                src_points = d["src_points"]
+                realign = np.linalg.inv(gt) @ est
+                moved = src_points @ realign[:3, :3].T + realign[:3, 3]
+                rmse = float(np.linalg.norm(moved - src_points, axis=1).mean())
+                board.update("RMSE", rmse)
+                board.update("RR", float(rmse < rmse_threshold))
             est_logs[scene].append(
                 dict(
                     test_pair=[int(d["ref_frame"]), int(d["src_frame"])],
@@ -172,6 +190,9 @@ def evaluate_benchmark(
     result = {}
     for scene, board in scene_metrics.items():
         result[scene] = board.summary()
+    if kitti_registration:
+        result["overall"] = pair_board.summary()
+        return result
     overall = SummaryBoard()
     for scene, vals in result.items():
         for k, v in vals.items():

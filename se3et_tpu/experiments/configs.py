@@ -263,8 +263,129 @@ def _se3et_kitti(name: str, rotated: bool = False) -> ExperimentConfig:
         eval=loss_lib.EvalConfig(
             acceptance_radius=1.0, rre_threshold=5.0, rte_threshold=2.0,
             kitti_registration=True,
+            ransac_distance_threshold=0.3, ransac_num_points=4,
         ),
         optim=OptimConfig(lr=1e-4, lr_decay=0.95, lr_decay_steps=4, max_epoch=160),
+    )
+
+
+def _geotransformer_kitti(name: str, rotated: bool = False) -> ExperimentConfig:
+    """GeoTransformer baseline on KITTI (``geotransformer.kitti/config.py``):
+    5-stage KPConv-FPN, voxel 0.3, transformer 2048/128/256, sigma_d 4.8."""
+    model = ModelConfig(
+        compute_dtype="bfloat16",
+        backbone="kpconv",
+        num_stages=5,
+        init_dim=64,
+        output_dim=256,
+        kernel_size=15,
+        init_radius=1.275,  # base_radius 4.25 * voxel 0.3 (config.py:81-83)
+        init_sigma=0.6,
+        group_norm=32,
+        epn=EPNConfig(kanchor=1, quotient_factor=1),
+        gt_input_dim=2048,
+        gt_hidden_dim=128,
+        gt_output_dim=256,
+        num_heads=4,
+        blocks=GEO_BLOCKS,
+        sigma_d=4.8,
+        sigma_a=15.0,
+        angle_k=3,
+        ground_truth_matching_radius=0.6,
+        num_points_in_patch=128,
+        num_sinkhorn_iterations=100,
+        num_targets=128,
+        num_correspondences=256,
+        fine_topk=2,
+        acceptance_radius=0.6,
+        correspondence_limit=2048,
+    )
+    return ExperimentConfig(
+        name=name,
+        seed=7351,
+        data=DataConfig(
+            dataset="kitti",
+            dataset_root=osp.join(REPO_ROOT, "data", "Kitti"),
+            benchmarks=("test",),
+            point_limit=30000,
+            augmentation_noise=0.01,
+            rotated=rotated,
+        ),
+        pipeline=_kitti_pipeline(24576),
+        model=model,
+        loss=loss_lib.LossConfig(
+            log_scale=40.0, fine_positive_radius=0.6, kanchor=1
+        ),
+        eval=loss_lib.EvalConfig(
+            acceptance_radius=1.0, rre_threshold=5.0, rte_threshold=2.0,
+            kitti_registration=True,
+            ransac_distance_threshold=0.3, ransac_num_points=4,
+        ),
+        optim=OptimConfig(lr=1e-4, lr_decay=0.95, lr_decay_steps=4, max_epoch=160),
+    )
+
+
+def _geotransformer_kitti_scaled(name: str, generalization: bool) -> ExperimentConfig:
+    """3DMatch-shaped GeoTransformer evaluated on x0.1-scaled KITTI
+    (``geotransformer.kitti.test/config.py`` and
+    ``geotransformer.kitti.generalization_test/config.py``): 4-stage backbone
+    at voxel 0.025 over ``OdometryKittiPairTestDataset``."""
+    model = ModelConfig(
+        compute_dtype="bfloat16",
+        backbone="kpconv",
+        num_stages=4,
+        init_dim=64,
+        output_dim=256,
+        kernel_size=15,
+        init_radius=0.0625,  # base_radius 2.5 * voxel 0.025
+        init_sigma=0.05,
+        group_norm=32,
+        epn=EPNConfig(kanchor=1, quotient_factor=1),
+        gt_input_dim=1024,
+        gt_hidden_dim=256,
+        gt_output_dim=256,
+        num_heads=4,
+        blocks=GEO_BLOCKS,
+        sigma_d=0.2,
+        sigma_a=15.0,
+        angle_k=3,
+        ground_truth_matching_radius=0.05,
+        num_points_in_patch=64,
+        num_sinkhorn_iterations=100,
+        num_targets=128,
+        num_correspondences=256,
+        # fine_matching section is unchanged from the KITTI base config in the
+        # reference (topk 2, acceptance 0.6)
+        fine_topk=2,
+        acceptance_radius=0.6,
+        correspondence_limit=2048,
+    )
+    return ExperimentConfig(
+        name=name,
+        seed=7351,
+        data=DataConfig(
+            dataset="kitti_test",
+            dataset_root=osp.join(REPO_ROOT, "data", "Kitti"),
+            benchmarks=("test",),
+            point_limit=10000,
+            test_point_limit=10000,
+            augmentation_noise=0.005 if generalization else 0.01,
+        ),
+        pipeline=_threedmatch_pipeline(10240),
+        model=model,
+        loss=loss_lib.LossConfig(
+            log_scale=40.0, fine_positive_radius=0.6, kanchor=1
+        ),
+        eval=loss_lib.EvalConfig(
+            acceptance_radius=0.1 if generalization else 1.0,
+            rmse_threshold=0.2,
+            rre_threshold=5.0,
+            rte_threshold=0.2,
+            kitti_registration=True,
+            ransac_distance_threshold=0.03 if generalization else 0.3,
+            ransac_num_points=4,
+        ),
+        optim=OptimConfig(lr=1e-4, lr_decay=0.95, lr_decay_steps=1, max_epoch=40),
     )
 
 
@@ -323,6 +444,20 @@ def _build_registry():
     )
     reg["geotransformer.3dmatch.evalrot"] = lambda: _geotransformer_3dmatch(
         "geotransformer.3dmatch.evalrot", rotated=True
+    )
+    reg["geotransformer.kitti"] = lambda: _geotransformer_kitti(
+        "geotransformer.kitti"
+    )
+    reg["geotransformer.kitti.evalrot"] = lambda: _geotransformer_kitti(
+        "geotransformer.kitti.evalrot", rotated=True
+    )
+    reg["geotransformer.kitti.test"] = lambda: _geotransformer_kitti_scaled(
+        "geotransformer.kitti.test", generalization=False
+    )
+    reg["geotransformer.kitti.generalization_test"] = (
+        lambda: _geotransformer_kitti_scaled(
+            "geotransformer.kitti.generalization_test", generalization=True
+        )
     )
     return reg
 

@@ -36,21 +36,42 @@ def build_dataset(cfg: ExperimentConfig, subset: str, training: bool):
                 augmentation_rotation=d.augmentation_rotation,
                 rotated=d.rotated, z_rotated=d.z_rotated,
             )
-    elif d.dataset == "kitti":
+    elif d.dataset in ("kitti", "kitti_test"):
         meta = osp.join(d.dataset_root, "metadata", f"{subset}.pkl")
         if osp.isfile(meta):
-            return ds_lib.OdometryKittiPairDataset(
+            cls = (
+                ds_lib.OdometryKittiPairTestDataset
+                if d.dataset == "kitti_test"
+                else ds_lib.OdometryKittiPairDataset
+            )
+            # the KITTI .evalrot experiments stress equivariance by applying
+            # the full training augmentation (rotation/scale/shift) to the
+            # test split too (geotransformer.kitti.evalrot/dataset.py:87-92)
+            augment = (training and d.use_augmentation) or (
+                not training and d.rotated
+            )
+            return cls(
                 d.dataset_root, subset,
                 point_limit=d.point_limit if training else d.test_point_limit,
-                use_augmentation=training and d.use_augmentation,
+                use_augmentation=augment,
                 augmentation_noise=d.augmentation_noise,
+            )
+    elif d.dataset == "modelnet":
+        meta = osp.join(d.dataset_root, f"{subset}.pkl")
+        if osp.isfile(meta):
+            return ds_lib.ModelNetPairDataset(
+                d.dataset_root, subset,
+                num_points=d.point_limit or 1024,
+                deterministic=not training,
             )
     logger = get_logger()
     logger.warning(
         f"dataset {d.dataset}/{subset} not found under {d.dataset_root}; "
         "falling back to the synthetic pair generator"
     )
-    scale = 1.0 if d.dataset == "threedmatch" else 20.0
+    scale = {"threedmatch": 1.0, "kitti_test": 2.0, "modelnet": 0.8}.get(
+        d.dataset, 20.0
+    )
     return ds_lib.SyntheticPairDataset(
         num_pairs=32 if training else 8,
         num_points=min(d.point_limit or 6000, 6000),
@@ -192,7 +213,15 @@ def run_eval(cfg: ExperimentConfig, argv=None):
         osp.join(cfg.output_dir, "features"), benchmark, method=args.method,
         acceptance_radius=cfg.eval.acceptance_radius,
         rmse_threshold=cfg.eval.rmse_threshold,
+        rre_threshold=cfg.eval.rre_threshold,
+        rte_threshold=cfg.eval.rte_threshold,
+        kitti_registration=cfg.eval.kitti_registration,
         gt_root=gt_root if osp.isdir(gt_root) else None,
+        ransac_kwargs=dict(
+            distance_threshold=cfg.eval.ransac_distance_threshold,
+            num_points=cfg.eval.ransac_num_points,
+            num_iterations=cfg.eval.ransac_num_iterations,
+        ),
     )
     logger = get_logger()
     for scene, vals in result.items():

@@ -189,6 +189,11 @@ class EvalConfig:
     rre_threshold: float = 15.0
     rte_threshold: float = 0.3
     kitti_registration: bool = False  # RR = (RRE<rre_thr) & (RTE<rte_thr)
+    # eval.py --method=ransac parameters (reference config.py `_C.ransac`:
+    # 0.05 m / 3 pts indoor, 0.3 m / 4 pts KITTI)
+    ransac_distance_threshold: float = 0.05
+    ransac_num_points: int = 3
+    ransac_num_iterations: int = 50000
 
 
 def evaluate(output, data, cfg: EvalConfig):
