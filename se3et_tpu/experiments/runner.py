@@ -80,6 +80,37 @@ def build_dataset(cfg: ExperimentConfig, subset: str, training: bool):
     )
 
 
+def with_calibrated_limits(cfg: ExperimentConfig, max_pairs: int = 8):
+    """Replace the pipeline's neighbor widths with calibrated ones.
+
+    Mirrors the reference flow where every train/test loader first runs
+    ``calibrate_neighbors_stack_mode`` over the train set
+    (``dataset.py:21-27``, ``utils/data.py:212-252``).  The result is cached
+    under ``output_dir`` so calibration runs once per experiment.
+    """
+    import dataclasses
+    import json
+
+    cache = osp.join(cfg.output_dir, "neighbor_limits.json")
+    if osp.isfile(cache):
+        with open(cache) as f:
+            limits = tuple(json.load(f))
+    else:
+        train_ds = build_dataset(cfg, cfg.data.train_subset, training=True)
+        sample = (
+            (train_ds[i]["ref_points"], train_ds[i]["src_points"])
+            for i in range(min(len(train_ds), max_pairs))
+        )
+        limits = pipe_lib.calibrate_neighbor_limits(sample, cfg.pipeline)
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        with open(cache, "w") as f:
+            json.dump(list(limits), f)
+        get_logger().info(f"calibrated neighbor limits: {limits}")
+    return dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline, neighbor_limits=limits)
+    )
+
+
 def pyramid_loader(dataset, cfg: ExperimentConfig, with_meta=False, workers=4):
     """Generator of padded pyramid dicts, built in a worker pool and prefetched."""
 
@@ -109,8 +140,12 @@ def run_trainval(cfg: ExperimentConfig, argv=None):
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--max_epoch", type=int, default=None)
     parser.add_argument("--max_steps_per_epoch", type=int, default=None)
+    parser.add_argument("--no_calibrate", action="store_true",
+                        help="skip neighbor-limit calibration")
     args = parser.parse_args(argv)
 
+    if not args.no_calibrate:
+        cfg = with_calibrated_limits(cfg)
     optim = cfg.optim
     if args.max_epoch is not None:
         import dataclasses
@@ -183,8 +218,14 @@ def run_test(cfg: ExperimentConfig, argv=None):
     parser.add_argument("--snapshot", type=str, default=None)
     parser.add_argument("--benchmark", type=str, default=None)
     parser.add_argument("--max_pairs", type=int, default=None)
+    parser.add_argument("--no_calibrate", action="store_true",
+                        help="skip neighbor-limit calibration")
     args = parser.parse_args(argv)
 
+    if not args.no_calibrate:
+        # the reference test loader recalibrates on the train set
+        # (dataset.py:75-81); the cached limits keep train/test consistent
+        cfg = with_calibrated_limits(cfg)
     benchmark = args.benchmark or cfg.data.benchmarks[0]
     params = _load_params(cfg, args.snapshot)
     tester = Tester(cfg.model, cfg.eval, cfg.output_dir)

@@ -202,6 +202,18 @@ class MultiHeadAttentionEQ(nn.Module):
     attn_r_positive: Optional[str] = "sq"
     attn_r_positive_rot_supervise: Optional[str] = "sigmoid"
     with_rot_supervision: bool = False
+    # global-pooling variants (reference code-level switches,
+    # ``vanilla_transformer.py:131-134``):
+    # 'mean' point-mean pooling | 'double_norm' dual-normalized top-k pooling
+    # (``vanilla_transformer.py:424-454``)
+    attn_r_summ: str = "mean"
+    # compute the global rotation weight from the 2-anchor subset
+    # {0, adj(0)} only (``vanilla_transformer.py:284-287,510-537``)
+    attn_on_sub: bool = False
+    # keep a per-head rotation weight instead of head-averaging
+    # (``vanilla_transformer.py:516-521``)
+    attn_r_multihead: bool = False
+    num_correspondences: int = 256  # double_norm top-k budget
 
     @property
     def space(self):
@@ -240,16 +252,48 @@ class MultiHeadAttentionEQ(nn.Module):
             hidden = jnp.einsum("baehnm,behmc->bahnc", scores, v, precision=prec.feature())
             return _merge_heads(hidden), aux
 
-        # ---- global attention: head-mean -> positive -> masked point-mean ----
-        g = jnp.mean(s_ae, axis=3)  # (B, A, E, N, M)
-        g = _positive(g, self.attn_r_positive)
-        if pair_mask is not None:
-            m = pair_mask[:, None, None].astype(g.dtype)
-            attn_ae = jnp.sum(g * m, axis=(-2, -1)) / (
-                jnp.sum(m, axis=(-2, -1)) + 1e-9
+        # ---- global attention: [head-mean ->] positive -> masked pooling ----
+        if self.attn_on_sub:
+            # rotation weight from query anchors {0, adj(0)} only — every
+            # rotation is already determined by where two adjacent vertices go
+            assert self.attn_mode in ("r_soft", "r_best"), self.attn_mode
+            assert space.v_adjs is not None, (
+                "attn_on_sub requires vertex-quotient anchors (kanchor 4/6/12)"
             )
+            sub_idx = np.asarray([0, int(space.v_adjs[0, 0])])
+            s_sub = s_ae[:, jnp.asarray(sub_idx)]  # (B, 2, E, H, N, M)
         else:
-            attn_ae = jnp.mean(g, axis=(-2, -1))  # (B, A, E)
+            sub_idx = None
+            s_sub = s_ae
+        if self.attn_r_multihead:
+            g = s_sub  # (B, A', E, H, N, M)
+        else:
+            g = jnp.mean(s_sub, axis=3, keepdims=True)  # (B, A', E, 1, N, M)
+        g = _positive(g, self.attn_r_positive)
+
+        if self.attn_r_summ == "mean":
+            if pair_mask is not None:
+                m = pair_mask[:, None, None, None].astype(g.dtype)
+                attn_ae_h = jnp.sum(g * m, axis=(-2, -1)) / (
+                    jnp.sum(m, axis=(-2, -1)) + 1e-9
+                )
+            else:
+                attn_ae_h = jnp.mean(g, axis=(-2, -1))  # (B, A', E, H')
+        elif self.attn_r_summ == "double_norm":
+            # dual-normalized matching scores, top-k mean
+            # (``vanilla_transformer.py:430-441``)
+            if pair_mask is not None:
+                g = g * pair_mask[:, None, None, None].astype(g.dtype)
+            ref_n = g / (jnp.sum(g, axis=-1, keepdims=True) + 1e-9)
+            src_n = g / (jnp.sum(g, axis=-2, keepdims=True) + 1e-9)
+            ms = (ref_n * src_n).reshape(g.shape[:-2] + (-1,))
+            kk = min(self.num_correspondences, ms.shape[-1])
+            topk, _ = jax.lax.top_k(ms, kk)
+            attn_ae_h = jnp.mean(topk, axis=-1)  # (B, A', E, H')
+        else:
+            raise ValueError(self.attn_r_summ)
+        # head-averaged view for the anchor (a_*) modes and aux outputs
+        attn_ae = jnp.mean(attn_ae_h, axis=-1)  # (B, A', E)
 
         if self.with_rot_supervision:
             # normalized-feature anchor similarity for the rotation loss
@@ -290,29 +334,35 @@ class MultiHeadAttentionEQ(nn.Module):
             hidden = jnp.einsum("bahnm,bahmc->bahnc", scores, v_perm, precision=prec.feature())
             aux["attn_idx"] = idx
         elif self.attn_mode == "r_soft":
-            # attn_r[b, r] = mean_a attn_ae[b, a, trace_ori[r, a]]
-            a_ids = jnp.broadcast_to(jnp.arange(a)[None, :], (nr, a))
-            # attn_ar[b, r, a] = attn_ae[b, a, trace_ori[r, a]]
-            attn_ar = attn_ae[:, a_ids, trace_ori]  # (B, R, A)
-            attn_r = jnp.mean(attn_ar, axis=2)
-            attn_r = attn_r / (jnp.sum(attn_r, axis=1, keepdims=True) + 1e-9)  # (B, R)
+            # attn_r[b, r] = mean_a' attn_ae[b, a', trace_ori[r, a']] over the
+            # pooled query anchors (all A, or the {0, adj0} subset)
+            cols = trace_ori if sub_idx is None else trace_ori[:, jnp.asarray(sub_idx)]
+            na_sub = cols.shape[1]
+            a_ids = jnp.broadcast_to(jnp.arange(na_sub)[None, :], (nr, na_sub))
+            attn_ar = attn_ae_h[:, a_ids, cols]  # (B, R, A', H')
+            attn_r_h = jnp.mean(attn_ar, axis=2)  # (B, R, H')
+            attn_r_h = attn_r_h / (
+                jnp.sum(attn_r_h, axis=1, keepdims=True) + 1e-9
+            )
             # The rotation-expanded form
             #   hidden = sum_r attn_r[r] softmax(s_ae[a, tr(r,a)]) @ v[tr(r,a)]
             # collapses EXACTLY to the anchor-pair form with the effective
             # weight W[a, e] = sum_r attn_r[r] * 1[trace_ori[r, a] == e]
             # (softmax over keys commutes with the e-gather) — no (B,R,A,H,N,M)
             # materialization needed.
-            onehot = jax.nn.one_hot(trace_ori, a, dtype=attn_r.dtype)  # (R, A, E)
-            w_ae = jnp.einsum("br,rae->bae", attn_r, onehot)
+            onehot = jax.nn.one_hot(trace_ori, a, dtype=attn_r_h.dtype)  # (R, A, E)
+            w_ae = jnp.einsum("brh,rae->baeh", attn_r_h, onehot)  # (B, A, E, H')
             scores = masked_softmax_m(s_ae)
-            scores = scores * w_ae[:, :, :, None, None, None].astype(scores.dtype)
+            scores = scores * w_ae[:, :, :, :, None, None].astype(scores.dtype)
             hidden = jnp.einsum(
                 "baehnm,behmc->bahnc", scores, v, precision=prec.feature()
             )
-            aux["attn_w"] = attn_r
+            aux["attn_w"] = jnp.mean(attn_r_h, axis=-1)  # (B, R)
         elif self.attn_mode == "r_best":
-            a_ids = jnp.broadcast_to(jnp.arange(a)[None, :], (nr, a))
-            attn_ar = attn_ae[:, a_ids, trace_ori]  # (B, R, A)
+            cols = trace_ori if sub_idx is None else trace_ori[:, jnp.asarray(sub_idx)]
+            na_sub = cols.shape[1]
+            a_ids = jnp.broadcast_to(jnp.arange(na_sub)[None, :], (nr, na_sub))
+            attn_ar = attn_ae[:, a_ids, cols]  # (B, R, A')
             attn_r = jnp.mean(attn_ar, axis=2)  # (B, R)
             r_idx = jnp.argmax(attn_r, axis=1)  # (B,)
             perm = trace_ori[r_idx]  # (B, A)
@@ -375,6 +425,9 @@ class AttentionLayer(nn.Module):
     attn_r_positive: Optional[str] = "sq"
     attn_r_positive_rot_supervise: Optional[str] = "sigmoid"
     with_rot_supervision: bool = False
+    attn_r_summ: str = "mean"
+    attn_on_sub: bool = False
+    attn_r_multihead: bool = False
 
     @nn.compact
     def __call__(self, input_states, memory_states, value_states=None,
@@ -387,6 +440,8 @@ class AttentionLayer(nn.Module):
                 kanchor=self.kanchor, attn_r_positive=self.attn_r_positive,
                 attn_r_positive_rot_supervise=self.attn_r_positive_rot_supervise,
                 with_rot_supervision=self.with_rot_supervision,
+                attn_r_summ=self.attn_r_summ, attn_on_sub=self.attn_on_sub,
+                attn_r_multihead=self.attn_r_multihead,
             )
             hidden, aux = attention(
                 input_states, memory_states, value_states,
@@ -417,6 +472,9 @@ class TransformerLayer(nn.Module):
     attn_r_positive: Optional[str] = "sq"
     attn_r_positive_rot_supervise: Optional[str] = "sigmoid"
     with_rot_supervision: bool = False
+    attn_r_summ: str = "mean"
+    attn_on_sub: bool = False
+    attn_r_multihead: bool = False
 
     @nn.compact
     def __call__(self, input_states, memory_states, value_states=None,
@@ -427,6 +485,8 @@ class TransformerLayer(nn.Module):
             attn_r_positive=self.attn_r_positive,
             attn_r_positive_rot_supervise=self.attn_r_positive_rot_supervise,
             with_rot_supervision=self.with_rot_supervision,
+            attn_r_summ=self.attn_r_summ, attn_on_sub=self.attn_on_sub,
+            attn_r_multihead=self.attn_r_multihead,
         )(input_states, memory_states, value_states, memory_masks, q_masks)
         return AttentionOutput(self.d_model, self.activation_fn)(hidden), aux
 

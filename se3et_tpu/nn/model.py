@@ -61,10 +61,17 @@ class ModelConfig:
     angle_k: int = 3
     reduction_a: str = "max"
     supervise_rotation: bool = False
+    # align src anchors to ref by the gt-nearest-anchor permutation and
+    # compress A*C -> C for coarse matching (se3eti.kitti/model.py:178-182)
+    anchor_matching: bool = False
     align_mode: str = "0"
     n_level_equiv: int = 0
     attn_r_positive: Optional[str] = "sq"
     attn_r_positive_rot_supervise: Optional[str] = "sigmoid"
+    # EQ-attention global-pooling variants (vanilla_transformer.py:131-134)
+    attn_r_summ: str = "mean"
+    attn_on_sub: bool = False
+    attn_r_multihead: bool = False
     # matching
     ground_truth_matching_radius: float = 0.05
     num_points_in_patch: int = 64
@@ -132,12 +139,21 @@ class SE3ETModel(nn.Module):
             na=c.kanchor if c.backbone == "e2pn" else None,
             attn_r_positive=c.attn_r_positive,
             attn_r_positive_rot_supervise=c.attn_r_positive_rot_supervise,
+            attn_r_summ=c.attn_r_summ,
+            attn_on_sub=c.attn_on_sub,
+            attn_r_multihead=c.attn_r_multihead,
             align_mode=c.align_mode,
             n_level_equiv=c.n_level_equiv,
         )
         self.optimal_transport = LearnableLogOptimalTransport(
             c.num_sinkhorn_iterations
         )
+        if c.anchor_matching:
+            from se3et_tpu.nn.anchor_heads import PermutationInvariantLayer
+
+            self.permutation_invariant = PermutationInvariantLayer(
+                na=c.kanchor, d_model=c.gt_output_dim
+            )
 
     def __call__(self, data, train: bool = False, with_registration: bool = True,
                  with_gt: bool = True):
@@ -203,6 +219,20 @@ class SE3ETModel(nn.Module):
         out["attn_matrix0"] = am0
         out["attn_matrix1"] = am1
 
+        if c.anchor_matching:
+            # gt-aligned anchor permutation + A*C -> C compression replaces
+            # the coarse features (se3eti.kitti/model.py:178-182)
+            if ref_feat_m is None:
+                raise ValueError(
+                    "anchor_matching requires a block list whose transformer "
+                    "returns equivariant feats_m (e.g. SE3ET-I blocks)"
+                )
+            ref_feat_m, src_feat_m, ref_c_out, src_c_out = (
+                self.permutation_invariant(ref_feat_m, src_feat_m, transform)
+            )
+        out["ref_feats_m"] = ref_feat_m
+        out["src_feats_m"] = src_feat_m
+
         ref_feats_c = ref_c_out[0].astype(jnp.float32)
         src_feats_c = src_c_out[0].astype(jnp.float32)
         ref_feats_c = ref_feats_c / (
@@ -250,6 +280,22 @@ class SE3ETModel(nn.Module):
         out["src_node_corr_knn_points"] = sel_src_knn_points
         out["ref_node_corr_knn_masks"] = sel_ref_knn_masks
         out["src_node_corr_knn_masks"] = sel_src_knn_masks
+
+        # inference rotation: cross-anchor similarity of matched-node
+        # equivariant features (se3eti.kitti/model.py:247-273)
+        if ref_feat_m is not None and src_feat_m is not None:
+            rm = jax.lax.stop_gradient(ref_feat_m[0])[:, ref_idx]  # (A, P, C)
+            sm = jax.lax.stop_gradient(src_feat_m[0])[:, src_idx]
+
+            def _norm_flat(x):
+                flat = x.reshape(x.shape[0], -1)
+                flat = flat / (jnp.linalg.norm(flat, axis=-1, keepdims=True) + 1e-9)
+                return flat.reshape(x.shape)
+
+            rm, sm = _norm_flat(rm), _norm_flat(sm)
+            out["rot_sup_matrix"] = (
+                jnp.einsum("anc,enc->ae", rm, sm) + 1.0
+            ) / 2.0
 
         # 7. optimal transport
         from se3et_tpu import precision as prec

@@ -73,6 +73,9 @@ class RPEConditionalTransformer(nn.Module):
     na: int = 4
     attn_r_positive: Optional[str] = "sq"
     attn_r_positive_rot_supervise: Optional[str] = "sigmoid"
+    attn_r_summ: str = "mean"
+    attn_on_sub: bool = False
+    attn_r_multihead: bool = False
     align_mode: str = "0"
     d_equiv_embed: int = 0
     return_attention_weights: bool = False  # rotation supervision
@@ -98,6 +101,9 @@ class RPEConditionalTransformer(nn.Module):
                         attn_r_positive=self.attn_r_positive,
                         attn_r_positive_rot_supervise=self.attn_r_positive_rot_supervise,
                         with_rot_supervision=self.return_attention_weights,
+                        attn_r_summ=self.attn_r_summ,
+                        attn_on_sub=self.attn_on_sub,
+                        attn_r_multihead=self.attn_r_multihead,
                     )
                 )
         self.layers = layers
@@ -139,6 +145,12 @@ class RPEConditionalTransformer(nn.Module):
         elif self.align_mode == "dual_late":
             feats0_inv = fuse(feats0, attn_w1)
             feats1_inv = fuse(feats1, attn_w0)
+        elif self.align_mode == "dual_early":
+            # concat own + aligned anchors -> (B, 2A, N, C); RotCompressOutput
+            # compresses 2A*C -> C (conditional_transformer.py:186-190,
+            # output_layer.py:29-31 dual_align)
+            feats0_inv = jnp.concatenate([feats0, fuse(feats0, attn_w1)], axis=1)
+            feats1_inv = jnp.concatenate([fuse(feats1, attn_w0), feats1], axis=1)
         else:
             raise NotImplementedError(self.align_mode)
         out0 = self.rotcompress(feats0_inv)
@@ -161,6 +173,9 @@ class RPEConditionalTransformer(nn.Module):
             feats0_inv, feats1_inv = gather(feats0, perm1), feats1
         elif self.align_mode == "dual_late":
             feats0_inv, feats1_inv = gather(feats0, perm1), gather(feats1, perm0)
+        elif self.align_mode == "dual_early":
+            feats0_inv = jnp.concatenate([feats0, gather(feats0, perm1)], axis=1)
+            feats1_inv = jnp.concatenate([gather(feats1, perm0), feats1], axis=1)
         else:
             raise NotImplementedError(self.align_mode)
         out0 = self.rotcompress(feats0_inv)
@@ -277,6 +292,9 @@ class GeometricTransformer(nn.Module):
     na: Optional[int] = None
     attn_r_positive: Optional[str] = "sq"
     attn_r_positive_rot_supervise: Optional[str] = "sigmoid"
+    attn_r_summ: str = "mean"
+    attn_on_sub: bool = False
+    attn_r_multihead: bool = False
     align_mode: str = "0"
     n_level_equiv: int = 0
 
@@ -331,6 +349,8 @@ class GeometricTransformer(nn.Module):
             activation_fn=self.activation_fn, na=self.na or 4,
             attn_r_positive=self.attn_r_positive,
             attn_r_positive_rot_supervise=self.attn_r_positive_rot_supervise,
+            attn_r_summ=self.attn_r_summ, attn_on_sub=self.attn_on_sub,
+            attn_r_multihead=self.attn_r_multihead,
             align_mode=self.align_mode, d_equiv_embed=d_equiv_embed,
             return_attention_weights=self.supervise_rotation,
         )

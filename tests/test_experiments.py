@@ -151,3 +151,43 @@ def test_kitti_test_dataset_scaling(tmp_path):
     assert item["ref_points"].shape == (200, 3)
     assert np.linalg.norm(item["ref_points"], axis=1).max() < 30 * 0.1 * np.sqrt(3)
     np.testing.assert_allclose(item["transform"][:3, 3], [1.0, 0.0, 0.0], atol=1e-6)
+
+
+def test_neighbor_limit_calibration_cached(tmp_path, monkeypatch):
+    """with_calibrated_limits: computes widths from the train set once,
+    caches under output_dir (utils/data.py:212-252 semantics)."""
+    import dataclasses
+    import json
+
+    from se3et_tpu.data.pipeline import PyramidConfig
+    from se3et_tpu.engine.trainer import OptimConfig
+    from se3et_tpu.experiments import configs as cfg_lib
+    from se3et_tpu.experiments import runner
+    from se3et_tpu.nn import loss as loss_lib
+    from se3et_tpu.nn.model import ModelConfig
+
+    cfg = cfg_lib.ExperimentConfig(
+        name="tiny.calib", seed=0,
+        data=cfg_lib.DataConfig(dataset="synthetic", dataset_root=str(tmp_path),
+                                point_limit=500, benchmarks=("test",)),
+        pipeline=PyramidConfig(
+            num_stages=3, voxel_size=0.1, search_radius=0.25,
+            neighbor_limits=(10, 10, 10), stage_caps=(512, 256, 96),
+            coarse_point_cap=96,
+        ),
+        model=ModelConfig(), loss=loss_lib.LossConfig(),
+        eval=loss_lib.EvalConfig(), optim=OptimConfig(),
+    )
+    outdir = str(tmp_path / "output")
+    monkeypatch.setattr(cfg_lib.ExperimentConfig, "output_dir",
+                        property(lambda self: outdir))
+    cal = runner.with_calibrated_limits(cfg, max_pairs=2)
+    limits = cal.pipeline.neighbor_limits
+    assert len(limits) == 3 and all(x >= 1 for x in limits)
+    with open(osp.join(outdir, "neighbor_limits.json")) as f:
+        assert tuple(json.load(f)) == limits
+    # second call hits the cache (poison the dataset to prove no recompute)
+    cal2 = runner.with_calibrated_limits(
+        dataclasses.replace(cfg, data=dataclasses.replace(cfg.data, dataset="kitti"))
+    )
+    assert cal2.pipeline.neighbor_limits == limits
