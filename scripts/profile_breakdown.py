@@ -105,6 +105,11 @@ def main(argv=None):
         from se3et_tpu import precision as prec_mod
 
         prec_mod.set_compute_dtype(c.compute_dtype)
+        if c.backbone == "e2pn":
+            return model.apply(
+                params, data["features"], data,
+                method=lambda m, f, d: m.backbone_net(f, d, fused=True),
+            )
         return model.apply(
             params, data["features"], data,
             method=lambda m, f, d: m.backbone_net(f, d),
@@ -130,6 +135,7 @@ def main(argv=None):
                 ref_masks=mc[0][None], src_masks=mc[1][None],
                 ref_normal=None if normals_c is None else normals_c[0][None],
                 src_normal=None if normals_c is None else normals_c[1][None],
+                fused_embedding=True,
             ),
         )
 

@@ -213,21 +213,64 @@ def _load_params(cfg: ExperimentConfig, snapshot: str | None):
     return params
 
 
+def apply_cfg_overrides(cfg: ExperimentConfig, overrides: dict) -> ExperimentConfig:
+    """Apply dotted-key overrides (e.g. ``{"model.fine_topk": 2}``) to the
+    frozen config tree — a working realization of the reference's latent
+    ``--cfg_file``/``merge_from_file`` flag (``base_tester.py:31-33``)."""
+    import dataclasses
+
+    for key, value in overrides.items():
+        parts = key.split(".")
+        node_path = []
+        node = cfg
+        for p in parts[:-1]:
+            node_path.append((node, p))
+            node = getattr(node, p)
+        node = dataclasses.replace(node, **{parts[-1]: value})
+        for parent, name in reversed(node_path):
+            node = dataclasses.replace(parent, **{name: node})
+        cfg = node
+    return cfg
+
+
+def _resolve_snapshot(cfg: ExperimentConfig, args) -> str | None:
+    """--snapshot | --test_epoch | --test_iter resolution
+    (``base_tester.py:43-50``)."""
+    if getattr(args, "snapshot", None):
+        return args.snapshot
+    snap_dir = osp.join(cfg.output_dir, "snapshots")
+    if getattr(args, "test_epoch", None) is not None:
+        return osp.join(snap_dir, f"epoch-{args.test_epoch}")
+    if getattr(args, "test_iter", None) is not None:
+        return osp.join(snap_dir, f"iter-{args.test_iter}")
+    latest = osp.join(snap_dir, "latest")
+    return latest if osp.isdir(latest) else None
+
+
 def run_test(cfg: ExperimentConfig, argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--snapshot", type=str, default=None)
+    parser.add_argument("--test_epoch", type=int, default=None)
+    parser.add_argument("--test_iter", type=int, default=None)
+    parser.add_argument("--cfg_file", type=str, default=None,
+                        help="JSON file of dotted config overrides")
     parser.add_argument("--benchmark", type=str, default=None)
     parser.add_argument("--max_pairs", type=int, default=None)
     parser.add_argument("--no_calibrate", action="store_true",
                         help="skip neighbor-limit calibration")
     args = parser.parse_args(argv)
 
+    if args.cfg_file:
+        import json
+
+        with open(args.cfg_file) as f:
+            cfg = apply_cfg_overrides(cfg, json.load(f))
     if not args.no_calibrate:
         # the reference test loader recalibrates on the train set
         # (dataset.py:75-81); the cached limits keep train/test consistent
         cfg = with_calibrated_limits(cfg)
     benchmark = args.benchmark or cfg.data.benchmarks[0]
-    params = _load_params(cfg, args.snapshot)
+    params = _load_params(cfg, _resolve_snapshot(cfg, args))
     tester = Tester(cfg.model, cfg.eval, cfg.output_dir)
     tester.build(params)
     test_ds = build_dataset(cfg, benchmark, training=False)

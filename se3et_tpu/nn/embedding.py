@@ -23,7 +23,7 @@ import numpy as np
 from se3et_tpu.core import anchors as anchor_lib
 from se3et_tpu.core import harmonics
 from se3et_tpu.ops import geometry
-from se3et_tpu.nn.layers import TorchLinear
+from se3et_tpu.nn.layers import torch_bias_init, torch_kernel_init
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -62,12 +62,21 @@ class GeometricStructureEmbedding(nn.Module):
     n_level_equiv: int = 0
 
     @nn.compact
-    def __call__(self, points, masks=None):
-        """points: (B, N, 3); masks: (B, N) -> emb (B, N, N, C) [, eq (B, A, N, N, D)]."""
+    def __call__(self, points, masks=None, fused=False):
+        """points: (B, N, 3); masks: (B, N) -> emb (B, N, N, C) [, eq (B, A, N, N, D)].
+
+        ``fused=True`` computes the d/a sinusoid+projection tile-wise in one
+        Pallas kernel (inference path; bf16 output) instead of materializing
+        the (B, N, M, [k,] C) fp32 sinusoids.
+        """
         b, n, _ = points.shape
+        c = self.hidden_dim
+        wd = self.param("proj_d_kernel", torch_kernel_init(0), (c, c))
+        bd = self.param("proj_d_bias", torch_bias_init(c), (c,))
+        wa = self.param("proj_a_kernel", torch_kernel_init(0), (c, c))
+        ba = self.param("proj_a_bias", torch_bias_init(c), (c,))
+
         sq = geometry.pairwise_distance(points, points)
-        dist = jnp.sqrt(sq)
-        d_indices = dist / self.sigma_d
 
         k = self.angle_k
         knn_sq = sq
@@ -79,27 +88,49 @@ class GeometricStructureEmbedding(nn.Module):
         knn_points = jnp.take_along_axis(
             points, knn_idx.reshape(b, n * k, 1), axis=1
         ).reshape(b, n, k, 3)
-        ref_vectors = knn_points - points[:, :, None, :]  # (B, N, k, 3)
-        anc_vectors = points[:, None, :, :] - points[:, :, None, :]  # (B, N, M, 3)
-        cross = jnp.cross(
-            ref_vectors[:, :, None, :, :], anc_vectors[:, :, :, None, :]
-        )  # (B, N, M, k, 3)
-        sin_values = jnp.linalg.norm(cross, axis=-1)
-        cos_values = jnp.sum(
-            ref_vectors[:, :, None, :, :] * anc_vectors[:, :, :, None, :], axis=-1
-        )
-        angles = jnp.arctan2(sin_values, cos_values)  # (B, N, M, k)
-        factor_a = 180.0 / (self.sigma_a * np.pi)
-        a_indices = angles * factor_a
 
-        embed = SinusoidalPositionalEmbedding(self.hidden_dim)
-        d_emb = TorchLinear(self.hidden_dim, use_bias=True)(embed(d_indices))
-        a_emb = TorchLinear(self.hidden_dim, use_bias=True)(embed(a_indices))
-        if self.reduction_a == "max":
-            a_emb = jnp.max(a_emb, axis=3)
+        if fused and self.reduction_a == "max" and n % 8 == 0:
+            from se3et_tpu.ops.pallas.embedding import geometric_embedding_pallas
+
+            # Mosaic requires tile dims that are multiples of 8; VMEM is
+            # bounded by tiling M as well (tile_m columns per grid step)
+            tile_m = n
+            for t in (256, 200, 128, 100, 64, 50, 40, 8):
+                if n % t == 0:
+                    tile_m = t
+                    break
+            emb = geometric_embedding_pallas(
+                points, knn_points, wd, bd, wa, ba,
+                sigma_d=self.sigma_d, sigma_a=self.sigma_a, tile_n=8,
+                tile_m=tile_m, interpret=jax.default_backend() != "tpu",
+            )
         else:
-            a_emb = jnp.mean(a_emb, axis=3)
-        emb = d_emb + a_emb
+            dist = jnp.sqrt(sq)
+            d_indices = dist / self.sigma_d
+            ref_vectors = knn_points - points[:, :, None, :]  # (B, N, k, 3)
+            anc_vectors = points[:, None, :, :] - points[:, :, None, :]
+            cross = jnp.cross(
+                ref_vectors[:, :, None, :, :], anc_vectors[:, :, :, None, :]
+            )  # (B, N, M, k, 3)
+            sin_values = jnp.linalg.norm(cross, axis=-1)
+            cos_values = jnp.sum(
+                ref_vectors[:, :, None, :, :] * anc_vectors[:, :, :, None, :],
+                axis=-1,
+            )
+            angles = jnp.arctan2(sin_values, cos_values)  # (B, N, M, k)
+            factor_a = 180.0 / (self.sigma_a * np.pi)
+            a_indices = angles * factor_a
+
+            from se3et_tpu import precision as prec
+
+            embed = SinusoidalPositionalEmbedding(self.hidden_dim)
+            d_emb = prec.cast_feature(embed(d_indices)) @ prec.cast_feature(wd) + bd
+            a_emb = prec.cast_feature(embed(a_indices)) @ prec.cast_feature(wa) + ba
+            if self.reduction_a == "max":
+                a_emb = jnp.max(a_emb, axis=3)
+            else:
+                a_emb = jnp.mean(a_emb, axis=3)
+            emb = d_emb + a_emb
 
         if self.n_level_equiv > 0 and self.kanchor > 1:
             eq = self._equiv_embedding(points)

@@ -40,6 +40,10 @@ class ModelConfig:
     backbone: str = "e2pn"  # 'e2pn' | 'kpconv'
     num_stages: int = 4
     input_dim: int = 1
+    # input features are the constant 1 (true for every shipped experiment and
+    # dataset; set False if custom per-point features are fed) — lets the
+    # first conv skip its neighbor gather
+    ones_features: bool = True
     init_dim: int = 64
     output_dim: int = 256
     kernel_size: int = 15
@@ -113,6 +117,7 @@ class SE3ETModel(nn.Module):
                 group_norm=c.group_norm,
                 config=c.epn,
                 num_stages=c.num_stages,
+                ones_input=c.ones_features,
             )
         else:
             self.backbone_net = KPConvFPN(
@@ -201,7 +206,13 @@ class SE3ETModel(nn.Module):
         out["src_node_masks"] = src_node_masks
 
         # 3. backbone
-        feats_f, feats_c = self.backbone_net(data["features"], data)
+        if c.backbone == "e2pn":
+            # fused windowed conv + Pallas kernels on the inference path
+            feats_f, feats_c = self.backbone_net(
+                data["features"], data, fused=not train
+            )
+        else:
+            feats_f, feats_c = self.backbone_net(data["features"], data)
         feats_f = feats_f.astype(jnp.float32)
         feats_c = feats_c.astype(jnp.float32)
         # feats_f: (2, Nf, C); feats_c: (2, Nc, [A,] C)
@@ -215,6 +226,8 @@ class SE3ETModel(nn.Module):
             ref_masks=masks_c[0][None], src_masks=masks_c[1][None],
             ref_normal=None if normals_c is None else normals_c[0][None],
             src_normal=None if normals_c is None else normals_c[1][None],
+            # tile-fused Pallas embedding on the inference path (no VJP)
+            fused_embedding=not train,
         )
         out["attn_matrix0"] = am0
         out["attn_matrix1"] = am1
@@ -305,7 +318,7 @@ class SE3ETModel(nn.Module):
             precision=prec.feature(),
         ) / jnp.sqrt(jnp.asarray(feats_f.shape[-1], jnp.float32))
         matching_scores = self.optimal_transport(
-            scores, sel_ref_knn_masks, sel_src_knn_masks, use_fused=not train
+            scores, sel_ref_knn_masks, sel_src_knn_masks, use_fused=True
         )
         out["matching_scores"] = matching_scores
 

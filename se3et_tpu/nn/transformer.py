@@ -301,7 +301,7 @@ class GeometricTransformer(nn.Module):
     @nn.compact
     def __call__(self, ref_points, src_points, ref_feats, src_feats,
                  ref_masks=None, src_masks=None, ref_normal=None,
-                 src_normal=None):
+                 src_normal=None, fused_embedding=False):
         """points: (B, N, 3); feats: (B, N, C_in) or (B, N, A, C_in).
 
         Returns (ref_out, src_out, ref_feat_m, src_feat_m, attn_matrix0,
@@ -322,7 +322,7 @@ class GeometricTransformer(nn.Module):
         ):
             pts = jnp.concatenate([ref_points, src_points], axis=0)
             mks = jnp.concatenate([ref_masks, src_masks], axis=0)
-            emb, eq_emb = embedding(pts, mks)
+            emb, eq_emb = embedding(pts, mks, fused=fused_embedding)
             nb = ref_points.shape[0]
             ref_emb, src_emb = emb[:nb], emb[nb:]
             if eq_emb is not None:
@@ -330,8 +330,10 @@ class GeometricTransformer(nn.Module):
             else:
                 ref_eq_emb = src_eq_emb = None
         else:
-            ref_emb, ref_eq_emb = embedding(ref_points, ref_masks)
-            src_emb, src_eq_emb = embedding(src_points, src_masks)
+            ref_emb, ref_eq_emb = embedding(ref_points, ref_masks,
+                                            fused=fused_embedding)
+            src_emb, src_eq_emb = embedding(src_points, src_masks,
+                                            fused=fused_embedding)
 
         in_proj = TorchLinear(self.hidden_dim)
         out_proj = TorchLinear(self.output_dim)

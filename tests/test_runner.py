@@ -22,25 +22,25 @@ from se3et_tpu.nn.model import ModelConfig
 
 def _tiny_experiment(tmp_path):
     model = ModelConfig(
-        backbone="e2pn", num_stages=3, init_dim=8, output_dim=32,
+        backbone="e2pn", num_stages=2, init_dim=8, output_dim=16,
         init_radius=0.25, init_sigma=0.2, group_norm=4,
         epn=EPNConfig(kanchor=6, quotient_factor=4),
-        gt_input_dim=32, gt_hidden_dim=32, gt_output_dim=32, num_heads=2,
-        blocks=("self_eq", "cross", "self_eq", "cross"),
-        ground_truth_matching_radius=0.1, num_points_in_patch=16,
-        num_sinkhorn_iterations=10, num_targets=16, num_correspondences=24,
-        gt_candidates=12, correspondence_limit=128, acceptance_radius=0.15,
+        gt_input_dim=16, gt_hidden_dim=16, gt_output_dim=16, num_heads=2,
+        blocks=("self_eq", "cross"),
+        ground_truth_matching_radius=0.1, num_points_in_patch=8,
+        num_sinkhorn_iterations=5, num_targets=8, num_correspondences=16,
+        gt_candidates=8, correspondence_limit=64, acceptance_radius=0.15,
     )
     cfg = cfg_lib.ExperimentConfig(
         name="tiny.synthetic",
         seed=1,
         data=cfg_lib.DataConfig(
-            dataset="synthetic", dataset_root=str(tmp_path), point_limit=700,
+            dataset="synthetic", dataset_root=str(tmp_path), point_limit=400,
             benchmarks=("test",),
         ),
         pipeline=PyramidConfig(
-            num_stages=3, voxel_size=0.1, search_radius=0.25,
-            neighbor_limits=(10, 10, 10), stage_caps=(512, 256, 96),
+            num_stages=2, voxel_size=0.1, search_radius=0.25,
+            neighbor_limits=(10, 10), stage_caps=(320, 96),
             coarse_point_cap=96,
         ),
         model=model,
@@ -59,7 +59,7 @@ def test_trainval_test_eval_roundtrip(tmp_path, monkeypatch):
         property(lambda self: outdir),
     )
 
-    trainer = runner.run_trainval(cfg, ["--max_epoch", "1", "--max_steps_per_epoch", "3"])
+    trainer = runner.run_trainval(cfg, ["--max_epoch", "1", "--max_steps_per_epoch", "2"])
     assert trainer.epoch == 1
     assert osp.isdir(osp.join(outdir, "snapshots", "latest"))
 

@@ -22,23 +22,23 @@ from se3et_tpu.nn.model import ModelConfig, SE3ETModel
 @pytest.mark.slow
 def test_loss_decreases_under_training():
     pcfg = pipeline.PyramidConfig(
-        num_stages=3, voxel_size=0.1, search_radius=0.25,
-        neighbor_limits=(10, 10, 10), stage_caps=(512, 256, 96),
+        num_stages=2, voxel_size=0.1, search_radius=0.25,
+        neighbor_limits=(10, 10), stage_caps=(320, 96),
         coarse_point_cap=96,
     )
     mcfg = ModelConfig(
-        backbone="e2pn", num_stages=3, init_dim=8, output_dim=32,
+        backbone="e2pn", num_stages=2, init_dim=8, output_dim=16,
         init_radius=0.25, init_sigma=0.2, group_norm=4,
         epn=EPNConfig(kanchor=6, quotient_factor=4),
-        gt_input_dim=32, gt_hidden_dim=32, gt_output_dim=32, num_heads=2,
-        blocks=("self_eq", "cross", "self_eq", "cross"),
-        ground_truth_matching_radius=0.1, num_points_in_patch=16,
-        num_sinkhorn_iterations=10, num_targets=24, num_correspondences=32,
-        gt_candidates=12, correspondence_limit=128,
+        gt_input_dim=16, gt_hidden_dim=16, gt_output_dim=16, num_heads=2,
+        blocks=("self_eq", "cross"),
+        ground_truth_matching_radius=0.1, num_points_in_patch=8,
+        num_sinkhorn_iterations=5, num_targets=16, num_correspondences=24,
+        gt_candidates=8, correspondence_limit=64,
     )
     lcfg = loss_lib.LossConfig(fine_positive_radius=0.1, kanchor=6)
 
-    ds = datasets.SyntheticPairDataset(num_pairs=4, num_points=800, seed=0)
+    ds = datasets.SyntheticPairDataset(num_pairs=4, num_points=500, seed=0)
     batches = []
     for i in range(4):
         item = ds[i]

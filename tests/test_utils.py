@@ -80,3 +80,60 @@ def test_morton_order_locality():
     d_sorted = np.linalg.norm(np.diff(sorted_pts, axis=0), axis=1).mean()
     d_random = np.linalg.norm(np.diff(pts, axis=0), axis=1).mean()
     assert d_sorted < 0.5 * d_random
+
+
+def test_visualization_writers(tmp_path):
+    """t-SNE coloring + headless PLY/OBJ writers (visualization.py port)."""
+    import numpy as np
+
+    from se3et_tpu.utils import visualization as viz
+
+    rng = np.random.RandomState(0)
+    feats = rng.randn(40, 16).astype(np.float32)
+    colors = viz.get_colors_with_tsne(feats, perplexity=10)
+    assert colors.shape == (40, 3)
+    assert colors.min() >= 0.0 and colors.max() <= 1.0
+
+    pts = rng.randn(30, 3).astype(np.float32)
+    nodes = rng.randn(5, 3).astype(np.float32)
+    p2n = rng.randint(0, 5, 30)
+    viz.write_point_to_node_ply(tmp_path / "p2n.ply", pts, nodes, p2n)
+    assert (tmp_path / "p2n.ply").exists()
+
+    corr = np.stack([rng.randint(0, 5, 8), rng.randint(0, 5, 8)], 1)
+    viz.write_node_correspondences(
+        str(tmp_path / "nc"), pts, nodes, p2n, pts, nodes, p2n, corr
+    )
+    assert (tmp_path / "nc_clouds.ply").exists()
+    assert (tmp_path / "nc_corr.ply").exists()
+
+    viz.write_points_to_obj(tmp_path / "pts.obj", nodes, colors=colors[:5])
+    obj = (tmp_path / "pts.obj").read_text()
+    assert obj.count("\nf ") > 5 and obj.startswith("v ")
+    viz.write_correspondences_to_obj(tmp_path / "corr.obj", pts[:4], pts[4:8])
+    assert "l 1 2" in (tmp_path / "corr.obj").read_text()
+
+
+def test_cfg_overrides_and_snapshot_resolution(tmp_path):
+    """--cfg_file dotted overrides + --test_epoch snapshot resolution."""
+    import argparse
+    import os
+
+    from se3et_tpu.experiments import make_cfg
+    from se3et_tpu.experiments.runner import apply_cfg_overrides, _resolve_snapshot
+
+    cfg = make_cfg("se3eti.3dmatch")
+    cfg2 = apply_cfg_overrides(
+        cfg, {"model.fine_topk": 7, "eval.rre_threshold": 9.0, "seed": 11}
+    )
+    assert cfg2.model.fine_topk == 7
+    assert cfg2.eval.rre_threshold == 9.0
+    assert cfg2.seed == 11
+    assert cfg.model.fine_topk == 3  # original untouched
+
+    args = argparse.Namespace(snapshot=None, test_epoch=4, test_iter=None)
+    assert _resolve_snapshot(cfg, args).endswith("snapshots/epoch-4")
+    args = argparse.Namespace(snapshot="/x/y", test_epoch=4, test_iter=None)
+    assert _resolve_snapshot(cfg, args) == "/x/y"
+    args = argparse.Namespace(snapshot=None, test_epoch=None, test_iter=9)
+    assert _resolve_snapshot(cfg, args).endswith("snapshots/iter-9")

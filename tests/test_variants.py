@@ -146,3 +146,21 @@ def test_anchor_matching_model_path():
     # permutation_invariant params exist
     assert any("permutation_invariant" in str(p)
                for p, _ in jax.tree_util.tree_flatten_with_path(params)[0])
+
+
+def test_ones_input_conv_collapse():
+    """ones_input=True must equal the gather path on all-ones features."""
+    from se3et_tpu.nn.epn import EPNConfig, KPConvInterSO3
+
+    rng = np.random.RandomState(0)
+    b, n, h, a, cin = 1, 40, 8, 6, 1
+    pts = jnp.asarray(rng.randn(b, n, 3), jnp.float32)
+    nbr = jnp.asarray(rng.randint(0, n + 1, size=(b, n, h)), jnp.int32)
+    x = jnp.ones((b, n, a, cin), jnp.float32)
+    conv = KPConvInterSO3(cin, 16, radius=1.0, sigma=0.8, config=EPNConfig())
+    params = conv.init(jax.random.PRNGKey(0), x, pts, pts, nbr)
+    out_gather = conv.apply(params, x, pts, pts, nbr, ones_input=False)
+    out_ones = conv.apply(params, x, pts, pts, nbr, ones_input=True)
+    np.testing.assert_allclose(
+        np.asarray(out_gather), np.asarray(out_ones), atol=1e-5
+    )

@@ -1,0 +1,129 @@
+"""Windowed fused conv: host window maps + Pallas kernel vs the gather path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from se3et_tpu.data import pipeline as pipe
+
+
+def test_build_window_maps_roundtrip():
+    """Window-local indices must decode back to the original neighbors."""
+    rng = np.random.RandomState(0)
+    cap_q, cap_s, h = 300, 280, 9
+    nbr = rng.randint(0, cap_s + 1, size=(cap_q, h)).astype(np.int32)  # incl sentinel
+    nseg = (cap_s + pipe.WINDOW_SEG - 1) // pipe.WINDOW_SEG  # all segments fit
+    seg_idx, local = pipe.build_window_maps(nbr, cap_s, nseg)
+    w = nseg * pipe.WINDOW_SEG
+    for b in range(seg_idx.shape[0]):
+        rows = slice(b * pipe.WINDOW_SEG, (b + 1) * pipe.WINDOW_SEG)
+        loc = local[rows]
+        orig = nbr[rows]
+        valid = loc < w
+        # every real neighbor must be mapped (no drops when all segments fit)
+        np.testing.assert_array_equal(valid, orig[: loc.shape[0]] < cap_s)
+        slot = loc[valid] // pipe.WINDOW_SEG
+        decoded = seg_idx[b][slot] * pipe.WINDOW_SEG + loc[valid] % pipe.WINDOW_SEG
+        np.testing.assert_array_equal(decoded, orig[valid])
+
+
+def test_window_overflow_drops_are_masked_and_counted():
+    rng = np.random.RandomState(1)
+    cap_q, cap_s, h = 128, 128 * 6, 16
+    nbr = rng.randint(0, cap_s, size=(cap_q, h)).astype(np.int32)  # spread wide
+    pipe.WINDOW_DROP_STATS.clear()
+    seg_idx, local = pipe.build_window_maps(nbr, cap_s, 2, stats_key="t")
+    w = 2 * pipe.WINDOW_SEG
+    dropped, total = pipe.WINDOW_DROP_STATS["t"]
+    assert total == cap_q * h
+    assert dropped > 0
+    assert (local == w).sum() == dropped  # dropped neighbors -> sentinel
+
+
+def test_windowed_conv_matches_gather_path():
+    """KPConvInterSO3 with window maps == the row-gather formulation."""
+    from se3et_tpu.data.datasets import SyntheticPairDataset
+    from se3et_tpu.nn.epn import EPNConfig, KPConvInterSO3
+
+    item = SyntheticPairDataset(num_pairs=1, num_points=700, seed=0)[0]
+    cfg = pipe.PyramidConfig(
+        num_stages=2, voxel_size=0.1, search_radius=0.25,
+        neighbor_limits=(10, 10), stage_caps=(512, 192), coarse_point_cap=192,
+        window_segments=3,
+    )
+    pipe.WINDOW_DROP_STATS.clear()
+    data = pipe.build_pair_pyramid(
+        item["ref_points"], item["src_points"], item["transform"], cfg
+    )
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 512, 6, 4), jnp.float32
+    )
+    pts = jnp.asarray(data["points_0"])
+    nbr = jnp.asarray(data["neighbors_0"])
+    conv = KPConvInterSO3(4, 8, radius=0.25, sigma=0.2, config=EPNConfig())
+    params = conv.init(jax.random.PRNGKey(0), x, pts, pts, nbr)
+    window = (
+        jnp.asarray(data["neighbors_segs_0"]),
+        jnp.asarray(data["neighbors_local_0"]),
+    )
+    ref = conv.apply(params, x, pts, pts, nbr)
+    got = conv.apply(params, x, pts, pts, nbr, window=window)
+    # the tiny 3-segment budget may drop a few neighbors (counted); the
+    # mismatching element fraction must stay below the measured drop rate
+    dropped, total = pipe.WINDOW_DROP_STATS.get("neighbors_0", [0, 1])
+    mismatch = np.mean(
+        ~np.isclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    )
+    assert mismatch <= max(4.0 * dropped / max(total, 1), 0.0), (
+        mismatch, dropped, total
+    )
+
+
+def test_backbone_fused_matches_unfused():
+    """Full E2PN backbone: fused windowed path == gather path (fp32 CPU)."""
+    from se3et_tpu.data.datasets import SyntheticPairDataset
+    from se3et_tpu.nn.epn import E2PNBackbone, EPNConfig
+
+    item = SyntheticPairDataset(num_pairs=1, num_points=500, seed=1)[0]
+    cfg = pipe.PyramidConfig(
+        num_stages=3, voxel_size=0.12, search_radius=0.3,
+        neighbor_limits=(10, 10, 10), stage_caps=(384, 160, 64),
+        coarse_point_cap=64, window_segments=4,
+    )
+    data = pipe.build_pair_pyramid(
+        item["ref_points"], item["src_points"], item["transform"], cfg
+    )
+    data = {k: jnp.asarray(v) for k, v in data.items()}
+    net = E2PNBackbone(
+        input_dim=1, output_dim=16, init_dim=8, init_radius=0.3,
+        init_sigma=0.24, group_norm=4, config=EPNConfig(), num_stages=3,
+        ones_input=True,
+    )
+    params = net.init(jax.random.PRNGKey(0), data["features"], data)
+    ff_ref, fc_ref = net.apply(params, data["features"], data, fused=False)
+    ff_got, fc_got = net.apply(params, data["features"], data, fused=True)
+    np.testing.assert_allclose(np.asarray(ff_got), np.asarray(ff_ref),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fc_got), np.asarray(fc_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_cap_truncation_unbiased_and_counted():
+    """Stage caps subsample uniformly (not a Morton prefix) and bind rates are
+    recorded (reference random-subsamples, threedmatch/dataset.py:77-81)."""
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(0, 1, size=(800, 3)).astype(np.float32)
+    cfg = pipe.PyramidConfig(
+        num_stages=2, voxel_size=0.02, search_radius=0.05,
+        neighbor_limits=(8, 8), stage_caps=(400, 200), coarse_point_cap=200,
+        window_segments=0,
+    )
+    pipe.CAP_BIND_STATS.clear()
+    stage_points, _, neighbors, _, _ = pipe.build_cloud_pyramid(pts, cfg)
+    assert stage_points[0].shape[0] == 400
+    assert pipe.CAP_BIND_STATS["stage_0"][0] == 1
+    # unbiased: kept points span the full extent, not one spatial corner
+    kept = stage_points[0]
+    assert np.all(kept.max(0) > 0.9) and np.all(kept.min(0) < 0.1)
+    # neighbor indices consistent with the capped point set
+    assert neighbors[0].max() <= 400
