@@ -128,18 +128,6 @@ def main():
     wf_fused = bench("pallas windowed conv (gather+wf)", fused, feats_j, seg_j,
                      local_j, infl_j)
 
-    # ---------------- shared-M variant ----------------
-    def build_m(local, infl):
-        return wc.build_m_pallas(local, infl, w=W, hc=HC)
-
-    m_mat = bench("pallas build_m (once per set)", build_m, local_j, infl_j)
-
-    def m_conv(feats, seg_idx, m):
-        win = wc.segment_window_gather(feats, seg_idx).reshape(B, nblk, W, AC)
-        return wc.m_apply(m, win.astype(m.dtype), N)
-
-    bench("M-apply conv (window gather + matmul)", m_conv, feats_j, seg_j, m_mat)
-
     # correctness vs a numpy reference on the same local windows
     blk = 3
     win_np = feats[0].reshape(nblk, P, AC)[seg_idx[0, blk]].reshape(W, AC)

@@ -243,3 +243,86 @@ def get_correspondences(
     d = np.linalg.norm(ref_points[:, None] - aligned[None], axis=-1)
     ri, si = np.nonzero(d < matching_radius)
     return np.stack([ri, si], 1).astype(np.int64)
+
+
+def knn_single(
+    q_points: np.ndarray, s_points: np.ndarray, k: int, cell_hint: float = 0.0
+) -> np.ndarray:
+    """Distance-sorted k nearest neighbors, sentinel = len(s_points)."""
+    num_s = s_points.shape[0]
+    k_eff = min(k, num_s)
+    if _USE_NATIVE and num_s > 0:
+        return native_bridge.knn(q_points, s_points, k, cell_hint)
+    out = np.full((q_points.shape[0], k), num_s, dtype=np.int64)
+    if num_s == 0:
+        return out
+    if _HAVE_SCIPY:
+        _, idx = cKDTree(s_points).query(q_points, k=k_eff)
+        if idx.ndim == 1:
+            idx = idx[:, None]
+        out[:, :k_eff] = idx
+    else:  # brute force
+        d2 = np.sum((q_points[:, None] - s_points[None]) ** 2, axis=-1)
+        out[:, :k_eff] = np.argsort(d2, axis=1)[:, :k_eff]
+    return out
+
+
+def point_to_node_partition_host(
+    points: np.ndarray, nodes: np.ndarray, k: int, cell_hint: float = 0.0
+):
+    """Voronoi point-to-node partition + per-node k-nearest assigned patches.
+
+    Host-side equivalent of the device op
+    (:func:`se3et_tpu.ops.geometry.point_to_node_partition`, itself a port of
+    ``modules/ops/pointcloud_partition.py:61-107``).  The partition is pure
+    geometry — independent of features and parameters — so the TPU-first
+    design computes it in the data pipeline where irregular top-k is cheap,
+    instead of paying a device-side (M, N) sort per pair (~22 ms at 3DMatch
+    production shapes, dominated by XLA's TopK lowering).
+
+    Exactness: per-node patches are taken from the node's ``4k`` nearest
+    points overall; if >= the needed count of those are assigned to the node,
+    the first k assigned are provably the k nearest assigned (any assigned
+    point outside the candidate list is farther than every candidate).
+    Nodes where the shortlist is insufficient fall back to an exact scan.
+
+    Returns:
+        point_to_node: (N,) int32 nearest-node index
+        node_masks: (M,) bool — nodes owning >= 1 point
+        knn_idx: (M, k) int64, sentinel N
+        knn_masks: (M, k) bool
+    """
+    n, m = points.shape[0], nodes.shape[0]
+    if n == 0 or m == 0:
+        return (
+            np.zeros(n, np.int32),
+            np.zeros(m, bool),
+            np.full((m, k), n, np.int64),
+            np.zeros((m, k), bool),
+        )
+    p2n = knn_single(points, nodes, 1, cell_hint)[:, 0].astype(np.int32)
+    counts = np.bincount(p2n, minlength=m)
+    node_masks = counts > 0
+
+    s = min(4 * k, n)
+    cand = knn_single(nodes, points, s, cell_hint)  # (M, s), sentinel n
+    valid_cand = cand < n
+    assigned = np.where(
+        valid_cand, p2n[np.clip(cand, 0, n - 1)] == np.arange(m)[:, None], False
+    )
+    # positions of the first k assigned candidates, in distance order
+    order = np.argsort(~assigned, axis=1, kind="stable")[:, :k]
+    sel = np.take_along_axis(cand, order, axis=1)
+    found = np.minimum(np.sum(assigned, axis=1), k)
+    knn_masks = np.arange(k)[None, :] < found[:, None]
+    knn_idx = np.where(knn_masks, sel, n)
+
+    needed = np.minimum(counts, k)
+    for i in np.nonzero(found < needed)[0]:  # rare: shortlist insufficient
+        own = np.nonzero(p2n == i)[0]
+        d2 = np.sum((points[own] - nodes[i]) ** 2, axis=-1)
+        own = own[np.argsort(d2, kind="stable")][:k]
+        knn_idx[i, : own.shape[0]] = own
+        knn_idx[i, own.shape[0]:] = n
+        knn_masks[i] = np.arange(k) < own.shape[0]
+    return p2n, node_masks, knn_idx, knn_masks

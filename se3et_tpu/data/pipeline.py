@@ -54,10 +54,28 @@ class PyramidConfig:
     input_dim: int = 1
     use_normals: bool = False
     # segments per query-block window for the fused conv gather; 0 disables
-    # the window maps.  Only the stage-0 same-level set is emitted — that is
-    # where the fused kernel wins (narrow channels, many rows); measured
-    # stage-0 occupancy max 16 at 3DMatch scale, overflow drops are counted.
+    # the window maps.  Window maps (segment lists + window-local neighbor
+    # indices) are emitted for EVERY conv neighbor set — same-level
+    # ``neighbors_{s}`` and strided ``subsampling_{s}`` — so the whole
+    # backbone can run gather-free via per-set M matrices
+    # (:func:`se3et_tpu.ops.pallas.windowed_conv.build_m_geo_pallas`).
+    # Morton ordering keeps per-block segment occupancy low (measured p99
+    # <= 18 at 3DMatch production scale); overflow drops are counted in
+    # :data:`WINDOW_DROP_STATS`.
     window_segments: int = 16
+    # per-set overrides: ((set_key, nseg), ...) — kernel cost scales with the
+    # window width, and the drop-rate/width tradeoff differs per set (coarser
+    # stages spread neighbors over more Morton segments).  Set from measured
+    # drop rates; keys are f"neighbors_{s}" / f"subsampling_{s}".
+    window_segments_by_set: tuple = ()
+    # patch size for the host-side point-to-node partition (stage 1 points to
+    # coarsest-stage nodes); 0 disables the precompute and the model falls
+    # back to the device op.  Set to the model's num_points_in_patch.
+    patch_k: int = 0
+
+    def nseg_for(self, set_key: str, cap_s: int) -> int:
+        nseg = dict(self.window_segments_by_set).get(set_key, self.window_segments)
+        return min(nseg, (cap_s + WINDOW_SEG - 1) // WINDOW_SEG)
 
     def __post_init__(self):
         assert len(self.neighbor_limits) == self.num_stages
@@ -267,10 +285,8 @@ def build_pair_pyramid(
                 _pad_neighbors(raw, min(valid_counts[s][c], cap_s), cap_s, cap_s, old_sentinel)
             )
         out[f"neighbors_{s}"] = np.stack(nb, 0)
-        if cfg.window_segments > 0 and s == 0:
-            nseg = min(
-                cfg.window_segments, (cap_s + WINDOW_SEG - 1) // WINDOW_SEG
-            )
+        if cfg.window_segments > 0:
+            nseg = cfg.nseg_for(f"neighbors_{s}", cap_s)
             maps = [
                 build_window_maps(nb[c], cap_s, nseg, stats_key=f"neighbors_{s}")
                 for c in range(2)
@@ -297,6 +313,45 @@ def build_pair_pyramid(
                 )
             out[f"subsampling_{s}"] = np.stack(sub, 0)
             out[f"upsampling_{s}"] = np.stack(up, 0)
+            if cfg.window_segments > 0:
+                nseg = cfg.nseg_for(f"subsampling_{s}", cap_s)
+                maps = [
+                    build_window_maps(
+                        sub[c], cap_s, nseg, stats_key=f"subsampling_{s}"
+                    )
+                    for c in range(2)
+                ]
+                out[f"subsampling_segs_{s}"] = np.stack([m[0] for m in maps], 0)
+                out[f"subsampling_local_{s}"] = np.stack([m[1] for m in maps], 0)
+
+    if cfg.patch_k > 0 and cfg.num_stages >= 2:
+        fine, coarse = 1, cfg.num_stages - 1
+        cap_f = cfg.stage_caps[fine]
+        cap_c_pad = cfg.stage_caps[coarse]
+        p2n_list, nm_list, ki_list, km_list = [], [], [], []
+        for c in range(2):
+            pts_f = clouds[c][0][fine]
+            pts_c = clouds[c][0][coarse]
+            p2n, nm, ki, km = host_ops.point_to_node_partition_host(
+                pts_f, pts_c, cfg.patch_k, cell_hint=cfg.voxel_size * 4
+            )
+            n_f, n_c = pts_f.shape[0], pts_c.shape[0]
+            p2n_pad = np.full(cap_f, cap_c_pad, np.int32)
+            p2n_pad[:n_f] = p2n
+            nm_pad = np.zeros(cap_c_pad, bool)
+            nm_pad[:n_c] = nm
+            ki_pad = np.full((cap_c_pad, cfg.patch_k), cap_f, np.int32)
+            ki_pad[:n_c] = np.where(ki[:n_c] >= n_f, cap_f, ki[:n_c])
+            km_pad = np.zeros((cap_c_pad, cfg.patch_k), bool)
+            km_pad[:n_c] = km[:n_c]
+            p2n_list.append(p2n_pad)
+            nm_list.append(nm_pad)
+            ki_list.append(ki_pad)
+            km_list.append(km_pad)
+        out["point_to_node"] = np.stack(p2n_list, 0)
+        out["patch_node_masks"] = np.stack(nm_list, 0)
+        out["node_knn_indices"] = np.stack(ki_list, 0)
+        out["node_knn_masks"] = np.stack(km_list, 0)
 
     cap0 = cfg.stage_caps[0]
     feats = np.zeros((2, cap0, cfg.input_dim), np.float32)

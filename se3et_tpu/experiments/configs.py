@@ -78,6 +78,17 @@ def _threedmatch_pipeline(point_cap: int) -> PyramidConfig:
         stage_caps=(point_cap, point_cap // 2, point_cap // 8, 1024),
         coarse_point_cap=1000,
         input_dim=1,
+        # fused-conv window budgets per neighbor set: the kernel cost scales
+        # with window width while drops are set-dependent (coarser stages
+        # fragment more across Morton segments).  Chosen from measured drop
+        # rates at production scale (<= 0.35% per set; see BENCH.md).
+        window_segments_by_set=(
+            ("neighbors_0", 10), ("subsampling_0", 12),
+            ("neighbors_1", 14), ("subsampling_1", 16),
+            ("neighbors_2", 14), ("subsampling_2", 16),
+            ("neighbors_3", 12),
+        ),
+        patch_k=64,  # = num_points_in_patch (host-side p2n precompute)
     )
 
 
@@ -91,6 +102,7 @@ def _kitti_pipeline(point_cap: int) -> PyramidConfig:
         stage_caps=(point_cap, point_cap // 2, point_cap // 4, point_cap // 8, 1024),
         coarse_point_cap=1000,
         input_dim=1,
+        patch_k=128,  # = num_points_in_patch (host-side p2n precompute)
     )
 
 

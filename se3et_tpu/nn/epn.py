@@ -182,14 +182,22 @@ class KPConvInterSO3(nn.Module):
         """x: (B, Ns, A, Cin) -> (B, Nq, A, Cout).
 
         ``window``: optional ``(seg_idx (B, nblk_q, S), local (B, Nq, H))``
-        maps from ``pipeline.build_window_maps`` — runs the neighbor gather +
-        wf contraction as the fused windowed Pallas kernel
-        (:mod:`se3et_tpu.ops.pallas.windowed_conv`; inference path only).
+        per-set window maps from ``pipeline.build_window_maps`` — the neighbor
+        gather + influence contraction run as the fused windowed Pallas kernel
+        (:func:`se3et_tpu.ops.pallas.windowed_conv.windowed_gather_wf`): a
+        segment one-hot matmul materializes per-block source windows, then the
+        kernel builds neighbor one-hots in VMEM and contracts with the
+        influence weights — no per-row gathers anywhere (XLA row gathers cost
+        ~8.4 ns/row regardless of width; see BENCH.md).  A shared per-set
+        dense gather-matrix variant (``M[p,k,w] = sum_h onehot*infl``, conv =
+        ``M @ window``) was built and measured slower: the M build is
+        dominated by per-row batched tiny dots (31 ms at stage-0 production
+        shapes) and M apply by its 2.4 GB HBM footprint (19 ms vs 13 ms for
+        this kernel).
 
         ``influence``: optional precomputed (B, Nq, H, K) kernel-point weights —
-        they depend only on geometry, so the backbone computes them once per
-        (stage, neighbor set) and shares them across the convs of that stage
-        (each per-row coordinate gather costs ~N*H row-fetches on TPU).
+        geometry-only, so the backbone computes them once per (stage, neighbor
+        set) and shares them across the convs of that stage.
 
         ``ones_input``: the input features are the constant 1 (the reference
         feeds all-ones input features, ``dataset.py ref_feats=ones``) — the
@@ -197,14 +205,14 @@ class KPConvInterSO3(nn.Module):
         weights over valid neighbors, skipping ~N*H row gathers entirely.
         """
         cfg = self.config
+        num_s = s_points.shape[1]
+        a_dim, cin = x.shape[2], x.shape[3]
         w = influence
         if w is None:
             w = _influence_weights(
                 q_points, s_points, neighbor_indices, self.kernel_points,
                 self.sigma, cfg.kp_influence,
             )  # (B, Nq, H, K)
-        num_s = s_points.shape[1]
-        a_dim, cin = x.shape[2], x.shape[3]
         w = prec.cast_feature(w)
         if ones_input:
             # x == 1 and invalid-neighbor weights are already zero:
@@ -488,25 +496,6 @@ class E2PNBackbone(nn.Module):
     @nn.compact
     def __call__(self, feats, pyramid, fused=False):
         cfg = self.config
-
-        def window(set_name, st, infl):
-            """Fused windowed-conv maps (inference path; pipeline-provided).
-
-            Applied at stage 0 only: the kernel cost scales with
-            N*H*W*AC while the XLA row-gather scales with N*H rows, so the
-            fused form wins exactly where rows dominate and channels are
-            narrow (measured on v5e at production stage-0 shapes: 15.1 ms
-            kernel + 3.2 ms window build vs 20.2 ms XLA; at stage-1+ widths
-            the kernel is a wash or worse and exceeds VMEM at AC*W >= 1M
-            elements).  A shared per-set M-matrix variant was benchmarked
-            and rejected: dense M in HBM costs more bandwidth than it saves
-            (see windowed_conv.build_m_pallas)."""
-            del infl
-            if not fused or st != 0 or set_name != "neighbors":
-                return None
-            segs = pyramid.get(f"{set_name}_segs_{st}")
-            local = pyramid.get(f"{set_name}_local_{st}")
-            return None if segs is None else (segs, local)
         d = self.init_dim
         r, s = self.init_radius, self.init_sigma
         pts = [pyramid[f"points_{i}"] for i in range(self.num_stages)]
@@ -515,7 +504,7 @@ class E2PNBackbone(nn.Module):
         subs = [pyramid[f"subsampling_{i}"] for i in range(self.num_stages - 1)]
         ups = [pyramid[f"upsampling_{i}"] for i in range(self.num_stages - 1)]
 
-        def make_influence(radius, sigma, q, sup, idx):
+        def make_kp(radius):
             if cfg.kanchor == 1:
                 kp = kp_lib.load_kernels(radius, cfg.num_kernel_points,
                                          fixed=cfg.fixed_kernel_points)
@@ -527,32 +516,70 @@ class E2PNBackbone(nn.Module):
                 kp = kp_lib.equivariant_kernel_points(
                     radius, cfg.num_kernel_points, cfg.kanchor, cfg.quotient_factor
                 )
-            return _influence_weights(q, sup, idx, jnp.asarray(kp), sigma,
+            return jnp.asarray(kp)
+
+        def make_window(set_name, st):
+            """Per-(stage, set) window maps for the fused conv kernel."""
+            if not fused:
+                return None
+            segs = pyramid.get(f"{set_name}_segs_{st}")
+            local = pyramid.get(f"{set_name}_local_{st}")
+            return None if segs is None else (segs, local)
+
+        def make_influence(radius, sigma, q, sup, idx, win):
+            """Influence weights, shared by all convs of a (stage, set).
+
+            Fused path: computed by the windowed Pallas kernel from the
+            per-block coordinate windows — no per-row coordinate gathers.
+            Fallback: XLA formulation (row gathers, ~8.4 ns/row).
+            """
+            if win is not None:
+                from se3et_tpu.ops.pallas import windowed_conv as wc
+
+                segs, local = win
+                win3 = wc.segment_window_gather(
+                    sup, segs, precision=jax.lax.Precision.HIGHEST
+                )
+                infl, _ = wc.influence_windowed_pallas(
+                    local, q, win3, make_kp(radius), sigma=float(sigma),
+                    influence=cfg.kp_influence,
+                    interpret=jax.default_backend() != "tpu",
+                    out_dtype=prec.compute_dtype() or jnp.float32,
+                )
+                return infl
+            return _influence_weights(q, sup, idx, make_kp(radius), sigma,
                                       cfg.kp_influence)
 
-        # influence weights shared by all convs on the same (stage, neighbor
-        # set, radius): geometry-only, so compute once per stage
+        # Geometry-only conv state shared by all convs on the same
+        # (stage, neighbor set, radius): window maps (fused path) +
+        # influence-weight tensors.
+        win_same = [make_window("neighbors", st) for st in range(self.num_stages)]
+        win_sub = [None] + [
+            make_window("subsampling", st - 1) for st in range(1, self.num_stages)
+        ]
         inf_same = [None] * self.num_stages
         inf_sub = [None] * self.num_stages
-        inf_same[0] = make_influence(r, s, pts[0], pts[0], nbs[0])
+        inf_same[0] = make_influence(r, s, pts[0], pts[0], nbs[0], win_same[0])
         for st in range(1, self.num_stages):
             mult = 2 ** (st - 1)
             inf_sub[st] = make_influence(
-                r * mult, s * mult, pts[st], pts[st - 1], subs[st - 1]
+                r * mult, s * mult, pts[st], pts[st - 1], subs[st - 1],
+                win_sub[st],
             )
             inf_same[st] = make_influence(
-                r * mult * 2, s * mult * 2, pts[st], pts[st], nbs[st]
+                r * mult * 2, s * mult * 2, pts[st], pts[st], nbs[st],
+                win_same[st],
             )
 
         x = lift_features(feats, cfg.kanchor)
         x = SimpleBlockEPN(self.input_dim, d, r, s, self.group_norm, cfg)(
             x, pts[0], pts[0], nbs[0], msk[0], influence=inf_same[0],
             ones_input=self.ones_input and self.input_dim == 1,
-            window=window("neighbors", 0, inf_same[0]),
+            window=win_same[0],
         )
         x = ResnetBottleneckBlockEPN(d, d * 2, r, s, self.group_norm, cfg)(
             x, pts[0], pts[0], nbs[0], msk[0], influence=inf_same[0],
-            window=window("neighbors", 0, inf_same[0]),
+            window=win_same[0],
         )
 
         stage_feats = [x]
@@ -563,15 +590,15 @@ class E2PNBackbone(nn.Module):
             x = ResnetBottleneckBlockEPN(
                 in_dim, in_dim, r * mult, s * mult, self.group_norm, cfg, strided=True
             )(x, pts[st], pts[st - 1], subs[st - 1], msk[st], s_mask=msk[st - 1],
-              influence=inf_sub[st], window=window("subsampling", st - 1, inf_sub[st]))
+              influence=inf_sub[st], window=win_sub[st])
             x = ResnetBottleneckBlockEPN(
                 in_dim, in_dim * 2, r * mult * 2, s * mult * 2, self.group_norm, cfg
             )(x, pts[st], pts[st], nbs[st], msk[st], influence=inf_same[st],
-              window=window("neighbors", st, inf_same[st]))
+              window=win_same[st])
             x = ResnetBottleneckBlockEPN(
                 in_dim * 2, in_dim * 2, r * mult * 2, s * mult * 2, self.group_norm, cfg
             )(x, pts[st], pts[st], nbs[st], msk[st], influence=inf_same[st],
-              window=window("neighbors", st, inf_same[st]))
+              window=win_same[st])
             stage_feats.append(x)
             dims.append(in_dim * 2)
 

@@ -61,11 +61,12 @@ def _sinkhorn_fused_grad(padded, log_mu, log_nu, num_iterations):
     from se3et_tpu.ops.pallas.sinkhorn import sinkhorn_pallas
 
     b, m1, n1 = padded.shape
-    # tile = the largest batch slab whose scores + logsumexp temps +
-    # double-buffered in/out blocks stay under the 16 MB VMEM budget
-    # (~6x the raw block size); fewer grid steps -> less loop overhead
+    # tile = the largest batch slab whose scores + exp matrices (e_row,
+    # e_col) + double-buffered in/out blocks stay under the 16 MB VMEM
+    # budget (~10x the raw block size); fewer grid steps -> less loop
+    # overhead
     tile = b
-    while tile > 32 and tile * m1 * n1 * 4 * 6 > 15e6:
+    while tile > 32 and tile * m1 * n1 * 4 * 10 > 14e6:
         tile //= 2
     return sinkhorn_pallas(
         padded, log_mu, log_nu, num_iterations=num_iterations, tile=tile

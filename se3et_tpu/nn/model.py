@@ -179,10 +179,20 @@ class SE3ETModel(nn.Module):
         masks_f = data[f"masks_{fine}"]
         transform = data["transform"]
 
-        # 1. point-to-node partition per cloud (vmap over the cloud axis)
-        p2n, node_masks, knn_idx, knn_masks = jax.vmap(
-            geometry.point_to_node_partition, in_axes=(0, 0, None, 0, 0)
-        )(points_f, points_c, c.num_points_in_patch, masks_f, masks_c)
+        # 1. point-to-node partition per cloud.  The partition is pure
+        # geometry, so the pipeline precomputes it on the host when
+        # ``PyramidConfig.patch_k`` is set (device fallback: ~22 ms/pair at
+        # production shapes, dominated by XLA's TopK over (Nc, Nf)).
+        if "node_knn_indices" in data and (
+            data["node_knn_indices"].shape[-1] == c.num_points_in_patch
+        ):
+            node_masks = data["patch_node_masks"]
+            knn_idx = data["node_knn_indices"]
+            knn_masks = data["node_knn_masks"]
+        else:
+            _, node_masks, knn_idx, knn_masks = jax.vmap(
+                geometry.point_to_node_partition, in_axes=(0, 0, None, 0, 0)
+            )(points_f, points_c, c.num_points_in_patch, masks_f, masks_c)
 
         knn_points = jax.vmap(geometry.gather_with_sentinel)(points_f, knn_idx)
 

@@ -25,20 +25,34 @@ _NEG_CAP = -1e30  # clamp for exp underflow safety
 
 
 def _sinkhorn_kernel(scores_ref, log_mu_ref, log_nu_ref, out_ref, *, num_iterations):
+    """Exp-domain Sinkhorn with *fixed* max-shifts.
+
+    ``logsumexp(scores + v, axis=2) = m_row + log(sum_j exp(scores - m_row)
+    * exp(v))`` — the shift ``m_row`` does not need to track ``v`` for
+    stability because ``exp(scores - m_row) <= 1`` and ``exp(u), exp(v)`` stay
+    well inside fp32 range (marginals are O(log N)).  This turns each of the
+    100 serial iterations from two full-matrix logsumexps (max + exp + sum +
+    log over (T, M, N), ~6 VPU passes and 2*M*N transcendentals) into two
+    multiply-reduce passes over precomputed ``exp`` matrices plus O(M+N)
+    transcendentals — ~10x less VPU work at the production (256, 65, 65)
+    shape.
+    """
     scores = scores_ref[:]  # (T, M, N)
     log_mu = log_mu_ref[:]  # (T, M)
     log_nu = log_nu_ref[:]  # (T, N)
 
-    def logsumexp(x, axis):
-        m = jnp.max(x, axis=axis, keepdims=True)
-        m = jnp.maximum(m, _NEG_CAP)  # rows that are fully -inf
-        s = jnp.sum(jnp.exp(x - m), axis=axis, keepdims=True)
-        return (m + jnp.log(s + 1e-30)).squeeze(axis)
+    m_row = jnp.maximum(jnp.max(scores, axis=2), _NEG_CAP)  # (T, M)
+    m_col = jnp.maximum(jnp.max(scores, axis=1), _NEG_CAP)  # (T, N)
+    e_row = jnp.exp(scores - m_row[:, :, None])  # (T, M, N), <= 1
+    e_col = jnp.exp(scores - m_col[:, None, :])  # (T, M, N), <= 1
 
     def body(_, carry):
-        u, v = carry
-        u = log_mu - logsumexp(scores + v[:, None, :], axis=2)
-        v = log_nu - logsumexp(scores + u[:, :, None], axis=1)
+        _, v = carry
+        s = jnp.sum(e_row * jnp.exp(v)[:, None, :], axis=2)  # (T, M)
+        # clamp before exp: fp32-safe even for degenerate all-masked slabs
+        u = jnp.clip(log_mu - m_row - jnp.log(s + 1e-30), -80.0, 80.0)
+        t = jnp.sum(e_col * jnp.exp(u)[:, :, None], axis=1)  # (T, N)
+        v = jnp.clip(log_nu - m_col - jnp.log(t + 1e-30), -80.0, 80.0)
         return (u, v)
 
     u0 = jnp.zeros_like(log_mu)

@@ -33,11 +33,13 @@ SEG = 128  # must match pipeline.WINDOW_SEG
 P = 128  # query rows per kernel block
 
 
-def segment_window_gather(x, seg_idx):
+def segment_window_gather(x, seg_idx, precision=None):
     """x: (B, Ns, AC); seg_idx: (B, nblk_q, S) -> windows (B, nblk_q, S*SEG, AC).
 
     One-hot segment matmul — see module docstring.  ``Ns`` is zero-padded up
-    to a multiple of SEG.
+    to a multiple of SEG.  Pass ``precision=jax.lax.Precision.HIGHEST`` when
+    gathering fp32 *coordinates* (the TPU default matmul precision would
+    round them to bf16).
     """
     b, ns, ac = x.shape
     nblk_s = (ns + SEG - 1) // SEG
@@ -47,47 +49,202 @@ def segment_window_gather(x, seg_idx):
     segs = x.reshape(b, nblk_s, SEG * ac)
     nblk_q, s = seg_idx.shape[1:]
     oh = jax.nn.one_hot(seg_idx.reshape(b, nblk_q * s), nblk_s, dtype=x.dtype)
-    win = jnp.einsum("bqn,bnd->bqd", oh, segs)
+    win = jnp.einsum("bqn,bnd->bqd", oh, segs, precision=precision)
     return win.reshape(b, nblk_q, s * SEG, ac)
 
 
-MP = 32  # query rows per M-construction kernel block (VMEM-bound)
+MP = 32  # query rows per influence-kernel block (VMEM-bound)
 
 
-def _m_kernel(local_ref, infl_ref, out_ref, acc, *, hc, n_hc, w, k):
-    """M[p, k, w] = sum_h infl[p,h,k] * onehot(local[p,h])[w].
+def _infl_kernel(local_ref, q4_ref, win4_ref, kp_ref, out_ref, is_ref, isacc,
+                 *, mp, hc, n_hc, w, k, sigma, influence):
+    """Influence weights from window coordinates (no per-row gathers).
 
-    M is *feature-independent*: the backbone builds it once per
-    (stage, neighbor set) and every conv on that set reduces to a plain
-    batched matmul ``wf = M @ window`` (XLA, MXU-shaped).
+    Per MP-row query block:
+      infl[p, h, k] = f_sigma(|win[local[p,h]] - q[p] - kernel_point[k]|)
+      inf_sum[p, k] = sum_h infl[p,h,k]     (the all-ones first conv's wf)
+
+    The squared kernel-point distance is expanded as ``|rel|^2 - 2 rel.kp +
+    |kp|^2`` with ``rel = nbr - q`` and ``|rel|^2 = |nbr|^2 - 2 nbr.q +
+    |q|^2``, so the only per-neighbor data is ``nbr4 = (x, y, z, |nbr|^2)`` —
+    gathered from the coordinate window by an exact fp32 one-hot matmul.
     """
-    acc[...] = jnp.zeros_like(acc)
+    q4 = q4_ref[0, 0]  # (MP, 4): x, y, z, |q|^2
+    win4 = win4_ref[0, 0]  # (W, 4): x, y, z, |win|^2
+    kp4t = kp_ref[...]  # (4, K): rows x, y, z, |kp|^2
+    kp3t = kp4t[:3]
+    kp2 = kp4t[3]
+    q3 = q4[:, :3]
+    q2 = q4[:, 3]
+    qdotk = jnp.dot(q3, kp3t, preferred_element_type=jnp.float32)  # (MP, K)
+    isacc[...] = jnp.zeros_like(isacc)
     for c in range(n_hc):
         loc = local_ref[0, 0, :, c * hc:(c + 1) * hc]  # (MP, HC)
-        iw = jax.lax.broadcasted_iota(jnp.int32, (MP, hc, w), 2)
-        oh = (loc[:, :, None] == iw).astype(jnp.bfloat16)  # (MP, HC, W)
-        ic = infl_ref[0, 0, :, c * hc:(c + 1) * hc, :]  # (MP, HC, K)
-        acc[...] += jax.lax.dot_general(
-            ic, oh, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (MP, K, W)
-    out_ref[0, 0] = acc[...].astype(out_ref.dtype)
+        iw = jax.lax.broadcasted_iota(jnp.int32, (mp, hc, w), 2)
+        oh = (loc[:, :, None] == iw).astype(jnp.float32)  # (MP, HC, W)
+        nbr4 = jnp.dot(
+            oh.reshape(mp * hc, w), win4, preferred_element_type=jnp.float32
+        ).reshape(mp, hc, 4)
+        nbr3 = nbr4[:, :, :3]
+        ndotq = jnp.sum(nbr3 * q3[:, None, :], axis=-1)  # (MP, HC)
+        rel2 = nbr4[:, :, 3] - 2.0 * ndotq + q2[:, None]
+        ncrossk = jnp.dot(
+            nbr3.reshape(mp * hc, 3), kp3t, preferred_element_type=jnp.float32
+        ).reshape(mp, hc, k)
+        sq = jnp.maximum(
+            rel2[:, :, None] - 2.0 * (ncrossk - qdotk[:, None, :]) + kp2, 0.0
+        )
+        if influence == "linear":
+            infl = jnp.maximum(1.0 - jnp.sqrt(sq) / sigma, 0.0)
+        elif influence == "constant":
+            infl = jnp.ones_like(sq)
+        elif influence == "gaussian":
+            sig2 = (sigma * 0.3) ** 2
+            infl = jnp.exp(-sq / (2.0 * sig2))
+        else:
+            raise ValueError(influence)
+        # sentinel / overflow neighbors (minor-dim insertion must happen on
+        # the 32-bit operand — Mosaic cannot reshape i1 vectors)
+        infl = infl * (loc[:, :, None] < w).astype(jnp.float32)
+        isacc[...] += jnp.sum(infl, axis=1)
+        out_ref[0, 0, :, c * hc:(c + 1) * hc, :] = infl.astype(out_ref.dtype)
+    is_ref[0, 0] = isacc[...].astype(is_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("w", "hc", "interpret", "out_dtype")
+    jax.jit,
+    static_argnames=("sigma", "influence", "hc", "interpret", "out_dtype"),
 )
-def build_m_pallas(local, infl, *, w, hc=8, interpret=False,
-                   out_dtype=jnp.bfloat16):
-    """Build the per-block gather matrices M (B, nblk128, 128, K, W) bf16.
+def influence_windowed_pallas(local, q_points, win_points, kernel_points, *,
+                              sigma, influence="linear", hc=8, interpret=False,
+                              out_dtype=jnp.bfloat16):
+    """Windowed influence-weight computation: geometry -> (infl, inf_sum).
 
-    local: (B, Nq, H) int32 window-local neighbor idx (sentinel = w);
-    infl: (B, Nq, H, K).  ``w`` must equal the window width used by
-    :func:`segment_window_gather` for the same neighbor set.
+    local:         (B, Nq, H) int32 window-local neighbor idx (sentinel = W)
+    q_points:      (B, Nq, 3) fp32 query coordinates (padded rows are zero;
+                   their ``local`` rows are all-sentinel so they produce 0)
+    win_points:    (B, nblk_q, W, 3) fp32 per-block source-coordinate windows
+                   (``segment_window_gather`` at HIGHEST precision)
+    kernel_points: (K, 3) fp32
+    returns        infl (B, Nq, H, K) ``out_dtype``, inf_sum (B, Nq, K) fp32
+
+    Replaces the XLA influence path (``epn._influence_weights``), whose
+    neighbor-coordinate fetch pays the ~8.4 ns/row TPU gather cost for
+    B*N*H rows per (stage, neighbor set).
+    """
+    b, nq, h = local.shape
+    nblk_q, w, _ = win_points.shape[1:]
+    k = kernel_points.shape[0]
+    assert nblk_q * SEG >= nq, (nq, nblk_q)
+    q_pad = nblk_q * SEG - nq
+    if q_pad:
+        local = jnp.pad(local, ((0, 0), (0, q_pad), (0, 0)), constant_values=w)
+        q_points = jnp.pad(q_points, ((0, 0), (0, q_pad), (0, 0)))
+    h_pad = ((h + hc - 1) // hc) * hc
+    if h_pad > h:
+        local = jnp.pad(local, ((0, 0), (0, 0), (0, h_pad - h)),
+                        constant_values=w)
+
+    q4 = jnp.concatenate(
+        [q_points, jnp.sum(q_points**2, axis=-1, keepdims=True)], axis=-1
+    )
+    win4 = jnp.concatenate(
+        [win_points, jnp.sum(win_points**2, axis=-1, keepdims=True)], axis=-1
+    )
+    kp4t = jnp.concatenate(
+        [kernel_points, jnp.sum(kernel_points**2, axis=-1, keepdims=True)],
+        axis=-1,
+    ).T.astype(jnp.float32)  # (4, K)
+
+    sub_per_blk = SEG // MP
+    nsub = nblk_q * sub_per_blk
+    kernel = functools.partial(
+        _infl_kernel, mp=MP, hc=hc, n_hc=h_pad // hc, w=w, k=k,
+        sigma=float(sigma), influence=influence,
+    )
+    infl, inf_sum = pl.pallas_call(
+        kernel,
+        grid=(b, nsub),
+        in_specs=[
+            pl.BlockSpec((1, 1, MP, h_pad), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((1, 1, MP, 4), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, w, 4),
+                lambda bi, i, spb=sub_per_blk: (bi, i // spb, 0, 0),
+            ),
+            pl.BlockSpec((4, k), lambda bi, i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, MP, h_pad, k), lambda bi, i: (bi, i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, MP, k), lambda bi, i: (bi, i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nsub, MP, h_pad, k), jnp.dtype(out_dtype)),
+            jax.ShapeDtypeStruct((b, nsub, MP, k), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((MP, k), jnp.float32)],
+        interpret=interpret,
+    )(
+        local.reshape(b, nsub, MP, h_pad),
+        q4.reshape(b, nsub, MP, 4),
+        win4,
+        kp4t,
+    )
+    infl = infl.reshape(b, nblk_q * SEG, h_pad, k)[:, :nq, :h]
+    inf_sum = inf_sum.reshape(b, nblk_q * SEG, k)[:, :nq]
+    return infl, inf_sum
+
+
+def _wf_kernel(local_ref, infl_ref, win_ref, out_ref, acc, *, mp, hc, n_hc, w,
+               k, ac):
+    """Per (b, sub-block): wf[p, k, ac] = sum_h infl[p,h,k] * win[local[p,h], ac].
+
+    The accumulator stays (MP, K, AC): merging the trailing dims would be a
+    lane-breaking reshape Mosaic cannot lower.
+    """
+    acc[...] = jnp.zeros_like(acc)
+    win = win_ref[0, 0]  # (W, AC)
+    for c in range(n_hc):
+        loc = local_ref[0, 0, :, c * hc:(c + 1) * hc]  # (MP, HC)
+        iw = jax.lax.broadcasted_iota(jnp.int32, (mp, hc, w), 2)
+        oh = (loc[:, :, None] == iw).astype(win.dtype).reshape(mp * hc, w)
+        g = jnp.dot(oh, win, preferred_element_type=jnp.float32)  # (MP*HC, AC)
+        g = g.reshape(mp, hc, ac).astype(win.dtype)
+        ic = infl_ref[0, 0, :, c * hc:(c + 1) * hc, :]  # (MP, HC, K)
+        acc[...] += jax.lax.dot_general(
+            ic, g, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (MP, K, AC)
+    out_ref[0, 0] = acc[...].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("hc", "mp", "interpret"))
+def windowed_gather_wf(local, infl, windows, *, hc=8, mp=None, interpret=False):
+    """Fused neighbor gather + influence contraction.
+
+    local:   (B, Nq, H) int32 window-local neighbor idx, sentinel = W
+    infl:    (B, Nq, H, K) influence weights (invalid h already zeroed)
+    windows: (B, nblk_q, W, AC) per-block source windows
+    returns  wf (B, Nq, K, AC) float32
+
+    Equivalent to ``einsum('bnhac,bnhk->bnkac')`` over sentinel-masked
+    gathered neighbors (``epn.py``), without the row gather.  ``mp`` (query
+    rows per kernel invocation, default SEG) is lowered automatically for
+    wide channels so the out block + f32 accumulator + window fit in the
+    ~16 MB VMEM budget; sub-blocks of the same window block re-fetch the
+    window, so keep ``mp`` as large as fits.
     """
     b, nq, h = local.shape
     k = infl.shape[3]
-    nblk_q = (nq + SEG - 1) // SEG
+    nblk_q, w, ac = windows.shape[1:]
+    assert nblk_q * SEG >= nq, (nq, nblk_q)
+    if mp is None:
+        mp = SEG
+        while mp > 32 and (
+            mp * k * ac * (4 + 2 * 2) + 2 * w * ac * 2 + mp * hc * w * 6
+        ) > 14e6:
+            mp //= 2
+    spb = SEG // mp
     q_pad = nblk_q * SEG - nq
     if q_pad:
         local = jnp.pad(local, ((0, 0), (0, q_pad), (0, 0)), constant_values=w)
@@ -98,115 +255,32 @@ def build_m_pallas(local, infl, *, w, hc=8, interpret=False,
                         constant_values=w)
         infl = jnp.pad(infl, ((0, 0), (0, 0), (0, h_pad - h), (0, 0)))
 
-    nsub = nblk_q * (SEG // MP)
-    mdtype = jnp.dtype(out_dtype)
-    kernel = functools.partial(_m_kernel, hc=hc, n_hc=h_pad // hc, w=w, k=k)
+    nsub = nblk_q * spb
+    dtype = windows.dtype
+    kernel = functools.partial(
+        _wf_kernel, mp=mp, hc=hc, n_hc=h_pad // hc, w=w, k=k, ac=ac
+    )
     out = pl.pallas_call(
         kernel,
         grid=(b, nsub),
         in_specs=[
-            pl.BlockSpec((1, 1, MP, h_pad), lambda bi, i: (bi, i, 0, 0)),
-            pl.BlockSpec((1, 1, MP, h_pad, k), lambda bi, i: (bi, i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, mp, h_pad), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((1, 1, mp, h_pad, k), lambda bi, i: (bi, i, 0, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, w, ac), lambda bi, i, spb=spb: (bi, i // spb, 0, 0)
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, MP, k, w), lambda bi, i: (bi, i, 0, 0, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, nsub, MP, k, w), mdtype),
-        scratch_shapes=[pltpu.VMEM((MP, k, w), jnp.float32)],
-        interpret=interpret,
-    )(
-        local.reshape(b, nsub, MP, h_pad),
-        infl.reshape(b, nsub, MP, h_pad, k).astype(mdtype),
-    )
-    return out.reshape(b, nblk_q, SEG, k, w)
-
-
-def m_apply(m, windows, nq):
-    """wf[b, n, k, ac] = sum_w M[b, blk(n), n%128, k, w] * win[b, blk(n), w, ac].
-
-    Plain XLA batched matmul — MXU-shaped (128*K, W) @ (W, AC) per block.
-    """
-    b, nblk, seg, k, w = m.shape
-    ac = windows.shape[-1]
-    wf = jax.lax.dot_general(
-        m.reshape(b, nblk, seg * k, w), windows,
-        ((( 3,), (2,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.float32,
-    )  # (B, nblk, SEG*K, AC)
-    return wf.reshape(b, nblk * seg, k, ac)[:, :nq]
-
-
-def _wf_kernel(local_ref, infl_ref, win_ref, out_ref, acc, *, hc, n_hc, w, k, ac):
-    """Per (b, block): wf[p, k, ac] = sum_h infl[p,h,k] * win[local[p,h], ac].
-
-    The accumulator stays (P, K, AC): merging the trailing dims would be a
-    lane-breaking reshape Mosaic cannot lower.
-    """
-    acc[...] = jnp.zeros_like(acc)
-    win = win_ref[0, 0]  # (W, AC)
-    for c in range(n_hc):
-        loc = local_ref[0, 0, :, c * hc:(c + 1) * hc]  # (P, HC)
-        iw = jax.lax.broadcasted_iota(jnp.int32, (P, hc, w), 2)
-        oh = (loc[:, :, None] == iw).astype(win.dtype).reshape(P * hc, w)
-        g = jnp.dot(oh, win, preferred_element_type=jnp.float32)  # (P*HC, AC)
-        g = g.reshape(P, hc, ac).astype(win.dtype)
-        ic = infl_ref[0, 0, :, c * hc:(c + 1) * hc, :]  # (P, HC, K)
-        acc[...] += jax.lax.dot_general(
-            ic, g, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (P, K, AC)
-    out_ref[0, 0] = acc[...].astype(out_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("hc", "interpret"))
-def windowed_gather_wf(local, infl, windows, *, hc=8, interpret=False):
-    """Fused neighbor gather + influence contraction.
-
-    local:   (B, Nq, H) int32 window-local neighbor idx, sentinel = W
-    infl:    (B, Nq, H, K) influence weights (invalid h already zeroed)
-    windows: (B, nblk_q, W, AC) per-block source windows
-    returns  wf (B, Nq, K, AC) float32
-
-    Equivalent to ``einsum('bnhac,bnhk->bnkac')`` over sentinel-masked
-    gathered neighbors (``epn.py:208-209``), without the row gather.
-    """
-    b, nq, h = local.shape
-    k = infl.shape[3]
-    nblk_q, w, ac = windows.shape[1:]
-    assert nblk_q * P >= nq, (nq, nblk_q)
-    q_pad = nblk_q * P - nq
-    if q_pad:
-        local = jnp.pad(local, ((0, 0), (0, q_pad), (0, 0)), constant_values=w)
-        infl = jnp.pad(infl, ((0, 0), (0, q_pad), (0, 0), (0, 0)))
-    h_pad = ((h + hc - 1) // hc) * hc
-    if h_pad > h:
-        local = jnp.pad(local, ((0, 0), (0, 0), (0, h_pad - h)),
-                        constant_values=w)
-        infl = jnp.pad(infl, ((0, 0), (0, 0), (0, h_pad - h), (0, 0)))
-
-    dtype = windows.dtype
-    kernel = functools.partial(
-        _wf_kernel, hc=hc, n_hc=h_pad // hc, w=w, k=k, ac=ac
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, nblk_q),
-        in_specs=[
-            pl.BlockSpec((1, 1, P, h_pad), lambda bi, i: (bi, i, 0, 0)),
-            pl.BlockSpec((1, 1, P, h_pad, k), lambda bi, i: (bi, i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, w, ac), lambda bi, i: (bi, i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, P, k, ac), lambda bi, i: (bi, i, 0, 0, 0)
+            (1, 1, mp, k, ac), lambda bi, i: (bi, i, 0, 0, 0)
         ),
         # bf16 output halves the double-buffered out-block VMEM footprint
         # (the f32 accumulator scratch keeps the summation exact)
-        out_shape=jax.ShapeDtypeStruct((b, nblk_q, P, k, ac), dtype),
-        scratch_shapes=[pltpu.VMEM((P, k, ac), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b, nsub, mp, k, ac), dtype),
+        scratch_shapes=[pltpu.VMEM((mp, k, ac), jnp.float32)],
         interpret=interpret,
     )(
-        local.reshape(b, nblk_q, P, h_pad),
-        infl.reshape(b, nblk_q, P, h_pad, k).astype(dtype),
+        local.reshape(b, nsub, mp, h_pad),
+        infl.reshape(b, nsub, mp, h_pad, k).astype(dtype),
         windows,
     )
-    return out.reshape(b, nblk_q * P, k, ac)[:, :nq].astype(jnp.float32)
+    return out.reshape(b, nblk_q * SEG, k, ac)[:, :nq].astype(jnp.float32)

@@ -266,3 +266,27 @@ def test_modified_chamfer_distance():
         jnp.asarray(tf), jnp.asarray(bad),
     )
     assert float(d_bad) > float(d) + 0.1
+
+
+def test_host_point_to_node_matches_device():
+    """Host-side pipeline p2n precompute == the device op (exact sets)."""
+    from se3et_tpu.data import host_ops
+
+    rng = np.random.RandomState(11)
+    pts = rng.uniform(size=(500, 3)).astype(np.float32)
+    nodes = rng.uniform(size=(40, 3)).astype(np.float32)
+    k = 24
+    d_p2n, d_nm, d_ki, d_km = geometry.point_to_node_partition(
+        jnp.asarray(pts), jnp.asarray(nodes), point_limit=k
+    )
+    h_p2n, h_nm, h_ki, h_km = host_ops.point_to_node_partition_host(
+        pts, nodes, k, cell_hint=0.2
+    )
+    np.testing.assert_array_equal(h_p2n, np.asarray(d_p2n))
+    np.testing.assert_array_equal(h_nm, np.asarray(d_nm))
+    np.testing.assert_array_equal(h_km, np.asarray(d_km))
+    # same PATCH SETS (tie-break order may differ at equal distances)
+    for m in range(40):
+        want = set(np.asarray(d_ki)[m][np.asarray(d_km)[m]].tolist())
+        got = set(h_ki[m][h_km[m]].tolist())
+        assert got == want, m

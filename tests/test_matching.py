@@ -121,10 +121,15 @@ def test_pallas_sinkhorn_matches_scan():
     rng = np.random.RandomState(7)
     b, m, n = 8, 17, 17
     padded = jnp.asarray(rng.normal(size=(b, m, n)).astype(np.float32))
-    # emulate masked entries
-    padded = padded.at[:, -3:, :].set(-1e12)
     log_mu = jnp.asarray(rng.normal(size=(b, m)).astype(np.float32))
     log_nu = jnp.asarray(rng.normal(size=(b, n)).astype(np.float32))
+    # emulate masked rows/cols CONSISTENTLY, as LearnableLogOptimalTransport
+    # constructs them: masked scores AND masked marginals (the kernel's
+    # fixed-shift formulation requires this invariant — see sinkhorn_pallas)
+    padded = padded.at[:, -3:, :].set(-1e12)
+    log_mu = log_mu.at[:, -3:].set(-1e12)
+    padded = padded.at[:, :, -2:].set(-1e12)
+    log_nu = log_nu.at[:, -2:].set(-1e12)
 
     def scan_ref(padded, log_mu, log_nu, iters=50):
         def body(carry, _):
