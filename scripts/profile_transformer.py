@@ -65,12 +65,13 @@ def main():
         "embedding fused (2 clouds)",
         lambda p, m: embedding.apply(e_params, p, m, fused=True)[0], pts, masks,
     )
-    bench(
-        "embedding XLA (2 clouds)",
-        lambda p, m: embedding.apply(e_params, p, m, fused=False)[0], pts, masks,
-    )
-    emb = embedding.apply(e_params, pts, masks, fused=True)[0][:1]
-    emb = jnp.asarray(np.asarray(emb, np.float32))
+    # stays on device: a host round-trip of the (1, N, N, 256) tensor both
+    # OOMs the chip (fp32 copy) and crawls over the ~100 MB/s relay
+    emb = jax.jit(
+        lambda p, m: embedding.apply(e_params, p, m, fused=True)[0][:1].astype(
+            jnp.float32
+        )
+    )(pts, masks)
 
     # --- self_eq: RPE self-attention over (1, A, N, d) ---
     self_eq = RPETransformerLayer(d, h, equivariant=True)

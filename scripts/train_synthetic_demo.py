@@ -25,6 +25,14 @@ def main():
     parser.add_argument("--train_pairs", type=int, default=64)
     parser.add_argument("--val_pairs", type=int, default=12)
     parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--num_points", type=int, default=2500)
+    parser.add_argument("--seed", type=int, default=0)
+    # ablation knobs (BENCH.md): exact vs relaxed joint steerability, and
+    # per-cloud vs joint ref+src GroupNorm statistics
+    parser.add_argument("--steerability", choices=("exact", "relaxed"),
+                        default="exact")
+    parser.add_argument("--gn_joint", action="store_true")
+    parser.add_argument("--tag", default="")
     args = parser.parse_args()
 
     import jax
@@ -51,7 +59,9 @@ def main():
         compute_dtype="bfloat16",
         backbone="e2pn", num_stages=3, init_dim=32, output_dim=128,
         init_radius=0.125, init_sigma=0.1, group_norm=16,
-        epn=EPNConfig(kanchor=6, quotient_factor=4),
+        epn=EPNConfig(kanchor=6, quotient_factor=4,
+                      steerability=args.steerability),
+        gn_joint_stats=args.gn_joint,
         gt_input_dim=128, gt_hidden_dim=128, gt_output_dim=128, num_heads=4,
         blocks=("self_eq", "cross", "self_eq", "cross", "self_eq", "cross"),
         sigma_d=0.2, attn_r_positive="softplus",
@@ -64,12 +74,12 @@ def main():
     ecfg = loss_lib.EvalConfig(acceptance_radius=0.1, rmse_threshold=0.2)
 
     train_ds = datasets.SyntheticPairDataset(
-        num_pairs=args.train_pairs, num_points=2500, noise=0.003, seed=0,
-        rotated=True,
+        num_pairs=args.train_pairs, num_points=args.num_points, noise=0.003,
+        seed=args.seed, rotated=True,
     )
     val_ds = datasets.SyntheticPairDataset(
-        num_pairs=args.val_pairs, num_points=2500, noise=0.003, seed=1000,
-        rotated=True,
+        num_pairs=args.val_pairs, num_points=args.num_points, noise=0.003,
+        seed=args.seed + 1000, rotated=True,
     )
 
     def build(ds, i):
@@ -128,6 +138,14 @@ def main():
         f"RRE {before['RRE']:.2f} -> {after['RRE']:.2f} deg",
         flush=True,
     )
+    import json
+
+    print("RESULT " + json.dumps({
+        "tag": args.tag or f"{args.steerability}/gn_joint={args.gn_joint}",
+        "steps": args.steps, "steerability": args.steerability,
+        "gn_joint": bool(args.gn_joint),
+        **{k: round(float(v), 4) for k, v in after.items()},
+    }), flush=True)
 
 
 if __name__ == "__main__":

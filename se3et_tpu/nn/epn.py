@@ -222,6 +222,7 @@ class KPConvInterSO3(nn.Module):
                 inf_sum[:, :, :, None, None],
                 inf_sum.shape + (a_dim, cin),
             )
+            wf_flat = None
         elif window is not None:
             from se3et_tpu.ops.pallas import windowed_conv as wc
 
@@ -230,11 +231,11 @@ class KPConvInterSO3(nn.Module):
             win = wc.segment_window_gather(
                 x.reshape(x.shape[0], num_s, a_dim * cin), seg_idx
             )
-            wf = wc.windowed_gather_wf(
+            wf_flat = wc.windowed_gather_wf(
                 local, w, win, interpret=jax.default_backend() != "tpu"
-            )
-            wf = prec.cast_feature(wf)
-            wf = wf.reshape(wf.shape[:3] + (a_dim, cin))
+            )  # (B, Nq, K*A*Cin), already weight-matmul-ready
+            wf_flat = prec.cast_feature(wf_flat)
+            wf = None  # only materialized (relayout!) on the shared-weight path
         else:
             safe = jnp.clip(neighbor_indices, 0, num_s - 1)
             x = prec.cast_feature(x)
@@ -250,9 +251,13 @@ class KPConvInterSO3(nn.Module):
 
             # wf[b, n, k, a, c] = sum_h nbr_x[b,n,h,a,c] * w[b,n,h,k]
             wf = jnp.einsum("bnhac,bnhk->bnkac", nbr_x, w, precision=prec.feature())
+            wf_flat = None
 
+        k, a = cfg.num_kernel_points, cfg.kanchor
         if cfg.kanchor == 1 or not cfg.non_sep_conv:
             # kanchor==1 (plain KPConv) or separable EPN: shared anchor weights
+            if wf is None:
+                wf = wf_flat.reshape(wf_flat.shape[:2] + (k, a_dim, cin))
             out = jnp.einsum(
                 "bnkac,kcd->bnad", wf, prec.cast_feature(self.weights),
                 precision=prec.feature(),
@@ -260,13 +265,13 @@ class KPConvInterSO3(nn.Module):
             return out.astype(jnp.float32)
 
         # Gathered effective weight: (R, K, A, Cin, Cout) -> matmul layout.
-        k, a = cfg.num_kernel_points, cfg.kanchor
         wg = prec.cast_feature(self.weights)[self.wg_index]  # (R, K, A, Cin, Cout)
-        lhs = wf.reshape(wf.shape[0], wf.shape[1], k * a * cin)
+        if wf_flat is None:
+            wf_flat = wf.reshape(wf.shape[0], wf.shape[1], k * a * cin)
         rhs = jnp.transpose(wg, (1, 2, 3, 0, 4)).reshape(
             k * a * cin, a * self.out_channels
         )
-        out = jnp.einsum("bnm,mo->bno", lhs, rhs, precision=prec.feature())
+        out = jnp.einsum("bnm,mo->bno", wf_flat, rhs, precision=prec.feature())
         out = out.astype(jnp.float32)
         return out.reshape(out.shape[0], out.shape[1], a, self.out_channels)
 
@@ -407,7 +412,23 @@ class ResnetBottleneckBlockEPN(nn.Module):
         h = UnaryBlock(self.out_dim, self.group_norm, no_relu=True)(h, q_mask)
 
         if self.strided:
-            skip = max_pool_neighbors(skip, neighbor_indices)
+            from se3et_tpu.ops.pallas import windowed_conv as wc
+
+            a_dim, ch = skip.shape[2], skip.shape[3]
+            w_width = 0 if window is None else window[0].shape[2] * wc.SEG
+            if window is not None and wc.windowed_max_pool_fits(
+                w_width, a_dim * ch
+            ):
+                seg_idx, local = window
+                b, ns = skip.shape[0], skip.shape[1]
+                flat = prec.cast_feature(skip).reshape(b, ns, a_dim * ch)
+                win = wc.segment_window_gather(flat, seg_idx)
+                skip = wc.windowed_max_pool(
+                    local, win, q_points.shape[1],
+                    interpret=jax.default_backend() != "tpu",
+                ).reshape(b, q_points.shape[1], a_dim, ch).astype(jnp.float32)
+            else:
+                skip = max_pool_neighbors(skip, neighbor_indices)
         if self.in_dim != self.out_dim:
             skip = UnaryBlock(self.out_dim, self.group_norm, no_relu=True)(skip, q_mask)
         return jax.nn.leaky_relu(h + skip, 0.1)

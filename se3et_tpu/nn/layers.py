@@ -19,6 +19,16 @@ import numpy as np
 
 from se3et_tpu import precision as prec
 
+# model-wide GroupNorm statistics policy (trace-time, like the precision
+# module): False = per-cloud stats, True = joint ref+src stats (the
+# reference's stacked-pair semantics)
+_GN_JOINT = False
+
+
+def set_gn_joint_stats(flag: bool) -> None:
+    global _GN_JOINT
+    _GN_JOINT = bool(flag)
+
 
 def torch_kernel_init(in_axis: int | Sequence[int] = -2):
     """U(±1/sqrt(fan_in)) — PyTorch's kaiming_uniform(a=sqrt(5)) for Linear."""
@@ -81,16 +91,22 @@ class MaskedGroupNorm(nn.Module):
     Port of ``GroupNormEPN`` (``blocks_epn.py:684-701``): the reference feeds
     the stacked cloud as one instance of torch GroupNorm with layout
     (1, C, A, N), i.e. statistics span all points, anchors and the channels of
-    a group.  Here statistics are computed per cloud (leading batch axis) and
-    padded points are excluded via ``mask``.
+    a group — the ref and src clouds of a pair share statistics.  Here
+    statistics are computed per cloud (leading batch axis) by default and
+    padded points are excluded via ``mask``; ``joint_stats=True`` reduces over
+    the cloud axis too, reproducing the reference's joint ref+src
+    normalization exactly (ablation knob; see BENCH.md).
     """
 
     num_groups: int
     epsilon: float = 1e-5
+    # None -> use the model-wide policy (set_gn_joint_stats)
+    joint_stats: bool | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None):
         """x: (B, N, C) or (B, N, A, C); mask: (B, N) True = valid."""
+        joint = self.joint_stats if self.joint_stats is not None else _GN_JOINT
         c = x.shape[-1]
         g = min(self.num_groups, c)
         assert c % g == 0, (c, g)
@@ -100,6 +116,8 @@ class MaskedGroupNorm(nn.Module):
         # (B, N, [A], G, C/G); single-pass sum/sum-of-squares statistics
         xg = x.reshape(orig_shape[:-1] + (g, c // g))
         red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+        if joint:
+            red_axes = (0,) + red_axes
         if mask is None:
             s1 = jnp.sum(xg, axis=red_axes, keepdims=True)
             s2 = jnp.sum(xg * xg, axis=red_axes, keepdims=True)
@@ -113,10 +131,11 @@ class MaskedGroupNorm(nn.Module):
             for ax in red_axes:
                 if ax >= mask.ndim:
                     per_point *= xg.shape[ax]
+            counts = jnp.sum(mask.astype(x.dtype), axis=1)  # (B,)
+            if joint:
+                counts = jnp.sum(counts, keepdims=True)  # clouds share stats
             denom = (
-                jnp.sum(mask.astype(x.dtype), axis=1).reshape(
-                    (mask.shape[0],) + (1,) * (xg.ndim - 1)
-                )
+                counts.reshape((counts.shape[0],) + (1,) * (xg.ndim - 1))
                 * per_point
                 + 1e-9
             )

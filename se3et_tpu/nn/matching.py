@@ -26,6 +26,7 @@ import numpy as np
 
 from se3et_tpu.core import se3
 from se3et_tpu.ops import geometry
+from se3et_tpu.ops.topk import global_topk
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -189,10 +190,12 @@ def superpoint_matching(
         scores = jnp.where(pair_valid, scores, 0.0)
     m = src_feats.shape[0]
     flat = scores.reshape(-1)
-    corr_scores, corr_idx = jax.lax.top_k(flat, num_correspondences)
+    # sort-free exact top-k (lax.top_k = full sort on TPU, ~10 ms at (1024^2,))
+    corr_scores, corr_idx = global_topk(flat, num_correspondences)
     ref_idx = corr_idx // m
     src_idx = corr_idx % m
     valid = corr_scores > 0.0
+    corr_scores = jnp.maximum(corr_scores, 0.0)
     return ref_idx, src_idx, corr_scores, valid
 
 
@@ -271,11 +274,12 @@ def superpoint_targets(key, overlap_mat, num_targets, overlap_threshold):
     eligible = overlap_mat > overlap_threshold
     gumbel = jax.random.gumbel(key, (m, n))
     keyed = jnp.where(eligible, gumbel, -jnp.inf)
-    _, idx = jax.lax.top_k(keyed.reshape(-1), num_targets)
+    vals, idx = global_topk(keyed.reshape(-1), num_targets)
     ref_idx = idx // n
     src_idx = idx % n
     overlaps = overlap_mat[ref_idx, src_idx]
-    valid = eligible[ref_idx, src_idx]
+    # unfilled slots point at a clipped index — gate on the fill mask too
+    valid = eligible[ref_idx, src_idx] & (vals > -jnp.inf)
     return ref_idx, src_idx, overlaps, valid
 
 
@@ -364,7 +368,7 @@ def local_global_registration(
     # ---- global correspondence set: top-C over all patches ----
     c = correspondence_limit
     all_scores = score_mat.reshape(-1)
-    corr_scores, corr_idx = jax.lax.top_k(all_scores, c)
+    corr_scores, corr_idx = global_topk(all_scores, c)
     cp = corr_idx // (kk * kk)
     ci = (corr_idx // kk) % kk
     cj = corr_idx % kk
@@ -444,7 +448,9 @@ def point_matching(
         score_mat = score_mat * global_scores[:, None, None]
     p = score_mat.shape[0]
     flat = score_mat.reshape(-1)
-    corr_scores, corr_idx = jax.lax.top_k(flat, correspondence_limit)
+    corr_scores, corr_idx = global_topk(flat, correspondence_limit)
+    corr_valid = corr_scores > 0.0
+    corr_scores = jnp.where(corr_valid, corr_scores, 0.0)
     cp = corr_idx // (kk * kk)
     ci = (corr_idx // kk) % kk
     cj = corr_idx % kk
@@ -452,6 +458,6 @@ def point_matching(
         "ref_corr_points": ref_knn_points[cp, ci],
         "src_corr_points": src_knn_points[cp, cj],
         "corr_scores": corr_scores,
-        "corr_valid": corr_scores > 0.0,
+        "corr_valid": corr_valid,
         "patch_indices": cp,
     }

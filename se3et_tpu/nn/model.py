@@ -50,6 +50,9 @@ class ModelConfig:
     init_radius: float = 0.0625
     init_sigma: float = 0.05
     group_norm: int = 32
+    # GroupNorm statistics across the ref+src pair (the reference's stacked
+    # semantics) instead of per cloud — ablation knob, see BENCH.md
+    gn_joint_stats: bool = False
     epn: EPNConfig = EPNConfig()
     # transformer
     gt_input_dim: int = 1024
@@ -169,6 +172,9 @@ class SE3ETModel(nn.Module):
         # the backward pass underflows in bf16 (measured: coarse-loss backbone
         # grad^2 1e-10 vs 1.1e3 in fp32), freezing the encoder.
         prec_mod.set_compute_dtype(None if train else c.compute_dtype)
+        from se3et_tpu.nn import layers as layers_mod
+
+        layers_mod.set_gn_joint_stats(c.gn_joint_stats)
         out = {}
         coarse = c.num_stages - 1
         fine = 1

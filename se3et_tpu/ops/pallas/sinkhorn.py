@@ -24,8 +24,9 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_CAP = -1e30  # clamp for exp underflow safety
 
 
-def _sinkhorn_kernel(scores_ref, log_mu_ref, log_nu_ref, out_ref, *, num_iterations):
-    """Exp-domain Sinkhorn with *fixed* max-shifts.
+def _sinkhorn_kernel(scores_ref, scores_t_ref, log_mu_ref, log_nu_ref, out_ref,
+                     *, num_iterations):
+    """Exp-domain Sinkhorn with *fixed* max-shifts, lane-oriented both ways.
 
     ``logsumexp(scores + v, axis=2) = m_row + log(sum_j exp(scores - m_row)
     * exp(v))`` — the shift ``m_row`` does not need to track ``v`` for
@@ -34,24 +35,30 @@ def _sinkhorn_kernel(scores_ref, log_mu_ref, log_nu_ref, out_ref, *, num_iterati
     100 serial iterations from two full-matrix logsumexps (max + exp + sum +
     log over (T, M, N), ~6 VPU passes and 2*M*N transcendentals) into two
     multiply-reduce passes over precomputed ``exp`` matrices plus O(M+N)
-    transcendentals — ~10x less VPU work at the production (256, 65, 65)
-    shape.
+    transcendentals.
+
+    The column pass runs on the *pre-transposed* copy of the scores so that
+    both passes broadcast their vector along sublanes and reduce along lanes
+    — a lane-broadcast of a per-row scalar would force a VPU relayout every
+    iteration (measured 20 ms vs ~3 ms for the production (256, 65, 65)
+    shape).
     """
     scores = scores_ref[:]  # (T, M, N)
+    scores_t = scores_t_ref[:]  # (T, N, M)
     log_mu = log_mu_ref[:]  # (T, M)
     log_nu = log_nu_ref[:]  # (T, N)
 
     m_row = jnp.maximum(jnp.max(scores, axis=2), _NEG_CAP)  # (T, M)
-    m_col = jnp.maximum(jnp.max(scores, axis=1), _NEG_CAP)  # (T, N)
+    m_col = jnp.maximum(jnp.max(scores_t, axis=2), _NEG_CAP)  # (T, N)
     e_row = jnp.exp(scores - m_row[:, :, None])  # (T, M, N), <= 1
-    e_col = jnp.exp(scores - m_col[:, None, :])  # (T, M, N), <= 1
+    e_col_t = jnp.exp(scores_t - m_col[:, :, None])  # (T, N, M), <= 1
 
     def body(_, carry):
         _, v = carry
         s = jnp.sum(e_row * jnp.exp(v)[:, None, :], axis=2)  # (T, M)
         # clamp before exp: fp32-safe even for degenerate all-masked slabs
         u = jnp.clip(log_mu - m_row - jnp.log(s + 1e-30), -80.0, 80.0)
-        t = jnp.sum(e_col * jnp.exp(u)[:, :, None], axis=1)  # (T, N)
+        t = jnp.sum(e_col_t * jnp.exp(u)[:, None, :], axis=2)  # (T, N)
         v = jnp.clip(log_nu - m_col - jnp.log(t + 1e-30), -80.0, 80.0)
         return (u, v)
 
@@ -90,6 +97,7 @@ def sinkhorn_pallas(
         grid=(bb // tile,),
         in_specs=[
             pl.BlockSpec((tile, m, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, n, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -98,5 +106,5 @@ def sinkhorn_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((bb, m, n), padded_scores.dtype),
         interpret=interpret,
-    )(padded_scores, log_mu, log_nu)
+    )(padded_scores, jnp.swapaxes(padded_scores, 1, 2), log_mu, log_nu)
     return out[:b]

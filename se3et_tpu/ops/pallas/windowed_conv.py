@@ -53,10 +53,7 @@ def segment_window_gather(x, seg_idx, precision=None):
     return win.reshape(b, nblk_q, s * SEG, ac)
 
 
-MP = 32  # query rows per influence-kernel block (VMEM-bound)
-
-
-def _infl_kernel(local_ref, q4_ref, win4_ref, kp_ref, out_ref, is_ref, isacc,
+def _infl_kernel(local_ref, q4_ref, win_ref, kp_ref, out_ref, is_ref, isacc,
                  *, mp, hc, n_hc, w, k, sigma, influence):
     """Influence weights from window coordinates (no per-row gathers).
 
@@ -66,11 +63,15 @@ def _infl_kernel(local_ref, q4_ref, win4_ref, kp_ref, out_ref, is_ref, isacc,
 
     The squared kernel-point distance is expanded as ``|rel|^2 - 2 rel.kp +
     |kp|^2`` with ``rel = nbr - q`` and ``|rel|^2 = |nbr|^2 - 2 nbr.q +
-    |q|^2``, so the only per-neighbor data is ``nbr4 = (x, y, z, |nbr|^2)`` —
-    gathered from the coordinate window by an exact fp32 one-hot matmul.
+    |q|^2``.  Neighbor coordinates are gathered through a bf16 one-hot
+    matmul over a DOUBLE-bf16 window ``[hi | lo]`` (x = hi + lo with
+    hi = bf16(x), lo = bf16(x - hi)): one-hot selection is exact in bf16 and
+    the reconstruction error is ~2^-18 relative — fp32-grade geometry at
+    half the matmul cost of an f32 one-hot (f32 MXU passes dominated the
+    kernel: 8.5 ms at the stage-0 production set).
     """
     q4 = q4_ref[0, 0]  # (MP, 4): x, y, z, |q|^2
-    win4 = win4_ref[0, 0]  # (W, 4): x, y, z, |win|^2
+    win = win_ref[0, 0]  # (W, 8) bf16: hi3, lo3, 0, 0
     kp4t = kp_ref[...]  # (4, K): rows x, y, z, |kp|^2
     kp3t = kp4t[:3]
     kp2 = kp4t[3]
@@ -81,15 +82,16 @@ def _infl_kernel(local_ref, q4_ref, win4_ref, kp_ref, out_ref, is_ref, isacc,
     for c in range(n_hc):
         loc = local_ref[0, 0, :, c * hc:(c + 1) * hc]  # (MP, HC)
         iw = jax.lax.broadcasted_iota(jnp.int32, (mp, hc, w), 2)
-        oh = (loc[:, :, None] == iw).astype(jnp.float32)  # (MP, HC, W)
-        nbr4 = jnp.dot(
-            oh.reshape(mp * hc, w), win4, preferred_element_type=jnp.float32
-        ).reshape(mp, hc, 4)
-        nbr3 = nbr4[:, :, :3]
-        ndotq = jnp.sum(nbr3 * q3[:, None, :], axis=-1)  # (MP, HC)
-        rel2 = nbr4[:, :, 3] - 2.0 * ndotq + q2[:, None]
+        oh = (loc[:, :, None] == iw).astype(jnp.bfloat16)  # (MP, HC, W)
+        g = jnp.dot(
+            oh.reshape(mp * hc, w), win, preferred_element_type=jnp.float32
+        )  # (MP*HC, 8) fp32
+        nbr3 = g[:, :3] + g[:, 3:6]  # hi + lo
+        n2 = jnp.sum(nbr3 * nbr3, axis=-1).reshape(mp, hc)
+        ndotq = jnp.sum(nbr3.reshape(mp, hc, 3) * q3[:, None, :], axis=-1)
+        rel2 = n2 - 2.0 * ndotq + q2[:, None]
         ncrossk = jnp.dot(
-            nbr3.reshape(mp * hc, 3), kp3t, preferred_element_type=jnp.float32
+            nbr3, kp3t, preferred_element_type=jnp.float32
         ).reshape(mp, hc, k)
         sq = jnp.maximum(
             rel2[:, :, None] - 2.0 * (ncrossk - qdotk[:, None, :]) + kp2, 0.0
@@ -148,46 +150,53 @@ def influence_windowed_pallas(local, q_points, win_points, kernel_points, *,
     q4 = jnp.concatenate(
         [q_points, jnp.sum(q_points**2, axis=-1, keepdims=True)], axis=-1
     )
-    win4 = jnp.concatenate(
-        [win_points, jnp.sum(win_points**2, axis=-1, keepdims=True)], axis=-1
+    hi = win_points.astype(jnp.bfloat16)
+    lo = (win_points - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    win8 = jnp.concatenate(
+        [hi, lo, jnp.zeros(win_points.shape[:-1] + (2,), jnp.bfloat16)],
+        axis=-1,
     )
     kp4t = jnp.concatenate(
         [kernel_points, jnp.sum(kernel_points**2, axis=-1, keepdims=True)],
         axis=-1,
     ).T.astype(jnp.float32)  # (4, K)
 
-    sub_per_blk = SEG // MP
+    # 32 query rows per invocation: measured best overall (MP = SEG showed a
+    # pathological 42 ms outlier at the stage-3 subsampling set and no gain
+    # elsewhere — the kernel is VPU-layout-bound, not refetch-bound)
+    mp = 32
+    sub_per_blk = SEG // mp
     nsub = nblk_q * sub_per_blk
     kernel = functools.partial(
-        _infl_kernel, mp=MP, hc=hc, n_hc=h_pad // hc, w=w, k=k,
+        _infl_kernel, mp=mp, hc=hc, n_hc=h_pad // hc, w=w, k=k,
         sigma=float(sigma), influence=influence,
     )
     infl, inf_sum = pl.pallas_call(
         kernel,
         grid=(b, nsub),
         in_specs=[
-            pl.BlockSpec((1, 1, MP, h_pad), lambda bi, i: (bi, i, 0, 0)),
-            pl.BlockSpec((1, 1, MP, 4), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((1, 1, mp, h_pad), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((1, 1, mp, 4), lambda bi, i: (bi, i, 0, 0)),
             pl.BlockSpec(
-                (1, 1, w, 4),
+                (1, 1, w, 8),
                 lambda bi, i, spb=sub_per_blk: (bi, i // spb, 0, 0),
             ),
             pl.BlockSpec((4, k), lambda bi, i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, MP, h_pad, k), lambda bi, i: (bi, i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, MP, k), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((1, 1, mp, h_pad, k), lambda bi, i: (bi, i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, mp, k), lambda bi, i: (bi, i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, nsub, MP, h_pad, k), jnp.dtype(out_dtype)),
-            jax.ShapeDtypeStruct((b, nsub, MP, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, nsub, mp, h_pad, k), jnp.dtype(out_dtype)),
+            jax.ShapeDtypeStruct((b, nsub, mp, k), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((MP, k), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((mp, k), jnp.float32)],
         interpret=interpret,
     )(
-        local.reshape(b, nsub, MP, h_pad),
-        q4.reshape(b, nsub, MP, 4),
-        win4,
+        local.reshape(b, nsub, mp, h_pad),
+        q4.reshape(b, nsub, mp, 4),
+        win8,
         kp4t,
     )
     infl = infl.reshape(b, nblk_q * SEG, h_pad, k)[:, :nq, :h]
@@ -199,8 +208,12 @@ def _wf_kernel(local_ref, infl_ref, win_ref, out_ref, acc, *, mp, hc, n_hc, w,
                k, ac):
     """Per (b, sub-block): wf[p, k, ac] = sum_h infl[p,h,k] * win[local[p,h], ac].
 
-    The accumulator stays (MP, K, AC): merging the trailing dims would be a
-    lane-breaking reshape Mosaic cannot lower.
+    The accumulator stays (MP, K, AC) (merging the trailing dims would be a
+    lane-breaking reshape Mosaic cannot lower), but the HBM output is written
+    FLAT (MP, K*AC) via per-k lane-slice copies: the consumer is the conv
+    weight matmul over (K*A*Cin,) and an XLA reshape of a (..., 15, AC) bf16
+    tensor repacks sublane tiles (~1.5 ms per conv at stage-1 production
+    shapes).
     """
     acc[...] = jnp.zeros_like(acc)
     win = win_ref[0, 0]  # (W, AC)
@@ -215,7 +228,97 @@ def _wf_kernel(local_ref, infl_ref, win_ref, out_ref, acc, *, mp, hc, n_hc, w,
             ic, g, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (MP, K, AC)
+    for kk in range(k):
+        out_ref[0, 0, :, kk * ac:(kk + 1) * ac] = acc[:, kk, :].astype(
+            out_ref.dtype
+        )
+
+
+def windowed_max_pool_fits(w: int, ac: int, hc: int = 8) -> bool:
+    """Whether the max-pool kernel fits VMEM at this (window, channel) size.
+
+    The double-buffered window block (2*W*AC bf16) dominates and does not
+    shrink with the row sub-blocking; wide deep-stage skips (AC >= 1536 at
+    W = 2048) must fall back to the XLA gather path (cheap there — row count
+    is small at coarse stages).
+    """
+    return 32 * ac * 8 + 2 * w * ac * 2 + 32 * hc * w * 6 <= 14e6
+
+
+def _max_kernel(local_ref, win_ref, out_ref, acc, *, mp, hc, n_hc, w, ac, h):
+    """Per (b, sub-block): out[p, ac] = max_h (win[local[p,h], ac] if valid else 0).
+
+    Sentinel/overflow rows gather to 0 through the one-hot matmul, which IS
+    the reference's shadow-zero max semantics (``e2pn/blocks.py max_pool``:
+    the zero pad row participates in the max).  Columns added by h-padding
+    (h <= j < n_hc*hc) are statically excluded (-inf) — they are not part of
+    the reference's candidate set, and a spurious 0 would clip all-negative
+    channels.
+    """
+    acc[...] = jnp.full_like(acc, -jnp.inf)
+    win = win_ref[0, 0]  # (W, AC)
+    for c in range(n_hc):
+        loc = local_ref[0, 0, :, c * hc:(c + 1) * hc]  # (MP, HC)
+        iw = jax.lax.broadcasted_iota(jnp.int32, (mp, hc, w), 2)
+        oh = (loc[:, :, None] == iw).astype(win.dtype).reshape(mp * hc, w)
+        g = jnp.dot(oh, win, preferred_element_type=jnp.float32)  # (MP*HC, AC)
+        g = g.reshape(mp, hc, ac)
+        if (c + 1) * hc > h:  # chunk contains h-padding columns
+            col = jax.lax.broadcasted_iota(jnp.int32, (mp, hc, ac), 1)
+            g = jnp.where(col < h - c * hc, g, -jnp.inf)
+        acc[...] = jnp.maximum(acc[...], jnp.max(g, axis=1))
     out_ref[0, 0] = acc[...].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("nq", "hc", "mp", "interpret"))
+def windowed_max_pool(local, windows, nq, *, hc=8, mp=None, interpret=False):
+    """Windowed neighbor max-pool (strided skip path).
+
+    local:   (B, Nq_pad-compatible, H) int32 window-local idx, sentinel = W
+    windows: (B, nblk_q, W, AC) per-block source windows
+    returns  (B, nq, AC) in the window dtype
+
+    Replaces ``epn.max_pool_neighbors``'s row gather (B*N*H rows at
+    ~8.4 ns/row: 18.7 ms for the stage-0 -> stage-1 skip at production
+    3DMatch shapes) with the same one-hot window matmul the conv kernel uses.
+    """
+    b, nq_in, h = local.shape
+    nblk_q, w, ac = windows.shape[1:]
+    assert nblk_q * SEG >= nq_in, (nq_in, nblk_q)
+    if mp is None:
+        mp = SEG
+        while mp > 32 and (
+            mp * ac * (4 + 2 * 2) + 2 * w * ac * 2 + mp * hc * w * 6
+        ) > 14e6:
+            mp //= 2
+    spb = SEG // mp
+    q_pad = nblk_q * SEG - nq_in
+    if q_pad:
+        local = jnp.pad(local, ((0, 0), (0, q_pad), (0, 0)), constant_values=w)
+    h_pad = ((h + hc - 1) // hc) * hc
+    if h_pad > h:
+        local = jnp.pad(local, ((0, 0), (0, 0), (0, h_pad - h)),
+                        constant_values=w)
+    nsub = nblk_q * spb
+    dtype = windows.dtype
+    kernel = functools.partial(
+        _max_kernel, mp=mp, hc=hc, n_hc=h_pad // hc, w=w, ac=ac, h=h
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nsub),
+        in_specs=[
+            pl.BlockSpec((1, 1, mp, h_pad), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, w, ac), lambda bi, i, spb=spb: (bi, i // spb, 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 1, mp, ac), lambda bi, i: (bi, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nsub, mp, ac), dtype),
+        scratch_shapes=[pltpu.VMEM((mp, ac), jnp.float32)],
+        interpret=interpret,
+    )(local.reshape(b, nsub, mp, h_pad), windows)
+    return out.reshape(b, nblk_q * SEG, ac)[:, :nq]
 
 
 @functools.partial(jax.jit, static_argnames=("hc", "mp", "interpret"))
@@ -225,7 +328,8 @@ def windowed_gather_wf(local, infl, windows, *, hc=8, mp=None, interpret=False):
     local:   (B, Nq, H) int32 window-local neighbor idx, sentinel = W
     infl:    (B, Nq, H, K) influence weights (invalid h already zeroed)
     windows: (B, nblk_q, W, AC) per-block source windows
-    returns  wf (B, Nq, K, AC) float32
+    returns  wf (B, Nq, K*AC) in the window dtype, flat (k, ac) minor order
+             — ready for the conv weight matmul without a relayout
 
     Equivalent to ``einsum('bnhac,bnhk->bnkac')`` over sentinel-masked
     gathered neighbors (``epn.py``), without the row gather.  ``mp`` (query
@@ -271,11 +375,11 @@ def windowed_gather_wf(local, infl, windows, *, hc=8, mp=None, interpret=False):
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, mp, k, ac), lambda bi, i: (bi, i, 0, 0, 0)
+            (1, 1, mp, k * ac), lambda bi, i: (bi, i, 0, 0)
         ),
         # bf16 output halves the double-buffered out-block VMEM footprint
         # (the f32 accumulator scratch keeps the summation exact)
-        out_shape=jax.ShapeDtypeStruct((b, nsub, mp, k, ac), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, nsub, mp, k * ac), dtype),
         scratch_shapes=[pltpu.VMEM((mp, k, ac), jnp.float32)],
         interpret=interpret,
     )(
@@ -283,4 +387,4 @@ def windowed_gather_wf(local, infl, windows, *, hc=8, mp=None, interpret=False):
         infl.reshape(b, nsub, mp, h_pad, k).astype(dtype),
         windows,
     )
-    return out.reshape(b, nblk_q * SEG, k, ac)[:, :nq].astype(jnp.float32)
+    return out.reshape(b, nblk_q * SEG, k * ac)[:, :nq]

@@ -1,0 +1,74 @@
+r"""Exact global top-k without a sort (TPU-friendly).
+
+``jax.lax.top_k`` lowers to a full variadic sort on TPU — ~10-20 ms for the
+matching tail's (1024*1024,)-flat score selections at production shapes.  For
+top-k *as a set* (every consumer in the matching tail is order-insensitive:
+scores become weights / validity masks, never ranks), the k largest entries
+can be found exactly with:
+
+1. value bisection for the k-th largest value (30 counting passes, each one
+   elementwise compare + sum over the array);
+2. cumulative-sum compaction: entries strictly above the bisection band are
+   all selected; band entries (ties) fill the remaining slots in index order;
+   slot -> array index resolved by ``searchsorted`` on the cumsums (2k binary
+   searches), avoiding any scatter.
+
+Differences vs ``lax.top_k``: output slots are ordered by array index, not by
+value, and ties at the k-th value resolve lowest-index-first.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("k", "num_iters"))
+def global_topk(flat: jnp.ndarray, k: int, num_iters: int = 30):
+    """Top-k values + indices of a 1-D array (order: by index, not value).
+
+    Exact as a set: all entries strictly greater than the k-th value are
+    selected; ties at the k-th value fill remaining slots lowest-index-first.
+    """
+    n = flat.shape[0]
+    if k >= n:
+        idx = jnp.arange(n, dtype=jnp.int32)
+        pad = k - n
+        return (
+            jnp.pad(flat, (0, pad), constant_values=-jnp.inf),
+            jnp.pad(idx, (0, pad), constant_values=n - 1),
+        )
+    f = flat.astype(jnp.float32)
+
+    # -inf-masked inputs (e.g. Gumbel-masked target sampling) may have fewer
+    # than k selectable entries; clamping lo0 keeps the bisection finite and
+    # unfilled slots come back as -inf values
+    lo0 = jnp.maximum(jnp.min(f), -3e38) - 1.0
+    hi0 = jnp.max(f)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum(f > mid)
+        above = cnt >= k
+        return (jnp.where(above, mid, lo), jnp.where(above, hi, mid))
+
+    lo, hi = jax.lax.fori_loop(0, num_iters, body, (lo0, hi0))
+    # invariants: count(f > lo) >= k, count(f > hi) < k
+    strict = f > hi
+    band = (f > lo) & ~strict
+    cs_s = jnp.cumsum(strict.astype(jnp.int32))
+    cs_b = jnp.cumsum(band.astype(jnp.int32))
+    ns = cs_s[-1]
+
+    j = jnp.arange(k, dtype=jnp.int32)
+    idx_s = jnp.searchsorted(cs_s, j + 1, side="left")
+    jb = jnp.maximum(j - ns, 0)
+    idx_b = jnp.searchsorted(cs_b, jb + 1, side="left")
+    idx = jnp.where(j < ns, idx_s, idx_b).astype(jnp.int32)
+    idx = jnp.minimum(idx, n - 1)
+    filled = j < ns + cs_b[-1]
+    vals = jnp.where(filled, f[idx], -jnp.inf)
+    return vals.astype(flat.dtype), idx

@@ -166,3 +166,29 @@ def test_point_matching_head():
     sc = np.asarray(out["src_corr_points"])[valid]
     assert valid.sum() == p * k  # diagonal matches all extracted
     np.testing.assert_allclose(rc, sc - 0.001, atol=1e-5)
+
+
+def test_global_topk_matches_lax():
+    from se3et_tpu.ops.topk import global_topk
+
+    rng = np.random.RandomState(9)
+    for n, k in ((1000, 64), (4096, 256), (50, 50), (30, 40)):
+        flat = jnp.asarray(rng.randn(n).astype(np.float32))
+        want_v, _ = jax.lax.top_k(flat, min(k, n))
+        got_v, got_i = global_topk(flat, k)
+        # same value multiset (order differs by design: index order)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(got_v))[::-1][: min(k, n)],
+            np.asarray(want_v), rtol=1e-6, atol=1e-6,
+        )
+        # indices consistent with values
+        np.testing.assert_allclose(
+            np.asarray(flat)[np.asarray(got_i)[: min(k, n)]],
+            np.asarray(got_v)[: min(k, n)], rtol=0, atol=0,
+        )
+
+    # ties at the k-th value: all strictly-greater included
+    flat = jnp.asarray(np.concatenate([np.zeros(900), np.ones(10)]).astype(np.float32))
+    got_v, got_i = global_topk(flat, 64)
+    assert np.sum(np.asarray(got_v) == 1.0) == 10
+    assert np.asarray(got_v).shape == (64,)

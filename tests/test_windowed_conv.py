@@ -98,14 +98,15 @@ def test_influence_windowed_matches_xla():
         local, pts, win3, kp, sigma=0.15, interpret=True, out_dtype=jnp.float32
     )
     ref_w = _influence_weights(pts, pts, nbr, kp, 0.15)  # (1, cap, h, k)
-    # window-local ordering differs from the neighbor-column ordering only
-    # when indices collide; compare per-(point, k) sums and sorted values
+    # tolerance: the kernel gathers coordinates as double-bf16 (hi + lo),
+    # whose ~2^-18 relative reconstruction error surfaces as ~1e-5 absolute
+    # influence error at these coordinate magnitudes
     np.testing.assert_allclose(
-        np.asarray(inf_sum), np.asarray(ref_w).sum(2), rtol=1e-5, atol=1e-5
+        np.asarray(inf_sum), np.asarray(ref_w).sum(2), rtol=1e-3, atol=2e-4
     )
     got = np.sort(np.asarray(infl), axis=2)
     want = np.sort(np.asarray(ref_w), axis=2)
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
 
 
 def test_backbone_fused_matches_unfused():
@@ -131,11 +132,13 @@ def test_backbone_fused_matches_unfused():
     params = net.init(jax.random.PRNGKey(0), data["features"], data)
     ff_ref, fc_ref = net.apply(params, data["features"], data, fused=False)
     ff_got, fc_got = net.apply(params, data["features"], data, fused=True)
-    # fp32 with different accumulation order (M matmul vs gather einsum)
+    # fused path: one-hot matmul accumulation order + ~1e-5 double-bf16
+    # influence noise, amplified through 9 conv layers / group norms — well
+    # below the bf16 activation noise of the real inference path
     np.testing.assert_allclose(np.asarray(ff_got), np.asarray(ff_ref),
-                               rtol=2e-2, atol=5e-4)
+                               rtol=5e-2, atol=1e-2)
     np.testing.assert_allclose(np.asarray(fc_got), np.asarray(fc_ref),
-                               rtol=2e-2, atol=5e-4)
+                               rtol=5e-2, atol=1e-2)
 
 
 def test_cap_truncation_unbiased_and_counted():
@@ -157,3 +160,22 @@ def test_cap_truncation_unbiased_and_counted():
     assert np.all(kept.max(0) > 0.9) and np.all(kept.min(0) < 0.1)
     # neighbor indices consistent with the capped point set
     assert neighbors[0].max() <= 400
+
+
+def test_windowed_max_pool_matches_gather():
+    from se3et_tpu.nn.epn import max_pool_neighbors
+    from se3et_tpu.ops.pallas import windowed_conv as wc
+
+    rng = np.random.RandomState(5)
+    cap_q, cap_s, h, ac = 256, 384, 9, 16
+    nbr = rng.randint(0, cap_s + 1, size=(1, cap_q, h)).astype(np.int32)
+    feats = jnp.asarray(rng.randn(1, cap_s, ac), jnp.float32)
+    nseg = cap_s // pipe.WINDOW_SEG  # all segments fit
+    seg_idx, local = pipe.build_window_maps(nbr[0], cap_s, nseg)
+    win = wc.segment_window_gather(feats, jnp.asarray(seg_idx)[None])
+    got = wc.windowed_max_pool(
+        jnp.asarray(local)[None], win, cap_q, interpret=True
+    )
+    want = max_pool_neighbors(feats, jnp.asarray(nbr))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-6)
