@@ -17,7 +17,7 @@ sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--reps", type=int, default=20)
+    parser.add_argument("--reps", type=int, default=50)
     parser.add_argument("--n", type=int, default=1024)
     parser.add_argument("--d", type=int, default=256)
     parser.add_argument("--heads", type=int, default=4)
@@ -60,7 +60,7 @@ def main():
 
     # --- geometric embedding (fused pallas path, both clouds batched) ---
     embedding = GeometricStructureEmbedding(d, 0.2, 15.0, 3, kanchor=a)
-    e_params = embedding.init(jax.random.PRNGKey(0), pts, masks)
+    e_params = jax.jit(lambda: embedding.init(jax.random.PRNGKey(0), pts, masks, fused=True))()
     bench(
         "embedding fused (2 clouds)",
         lambda p, m: embedding.apply(e_params, p, m, fused=True)[0], pts, masks,
@@ -75,9 +75,9 @@ def main():
 
     # --- self_eq: RPE self-attention over (1, A, N, d) ---
     self_eq = RPETransformerLayer(d, h, equivariant=True)
-    p_self_eq = self_eq.init(
+    p_self_eq = jax.jit(lambda: self_eq.init(
         jax.random.PRNGKey(1), feats_eq, feats_eq, emb, masks[:1]
-    )
+    ))()
     bench(
         "self_eq (RPE, equivariant)",
         lambda f, e, m: self_eq.apply(p_self_eq, f, f, e, m)[0],
@@ -86,9 +86,9 @@ def main():
 
     # --- plain self: RPE invariant ---
     self_inv = RPETransformerLayer(d, h, equivariant=False)
-    p_self = self_inv.init(
+    p_self = jax.jit(lambda: self_inv.init(
         jax.random.PRNGKey(2), feats_inv, feats_inv, emb, masks[:1]
-    )
+    ))()
     bench(
         "self (RPE, invariant)",
         lambda f, e, m: self_inv.apply(p_self, f, f, e, m)[0],
@@ -98,9 +98,9 @@ def main():
     # --- EQ cross blocks ---
     for mode in ("a_soft", "r_soft", "a_best", "r_best"):
         layer = TransformerLayer(d, h, equivariant=True, attn_mode=mode, kanchor=a)
-        p_l = layer.init(
+        p_l = jax.jit(lambda layer=layer: layer.init(
             jax.random.PRNGKey(3), feats_eq, feats_eq, None, masks[:1], masks[:1]
-        )
+        ))()
         bench(
             f"cross_{mode} (EQ)",
             lambda f, m, layer=layer, p_l=p_l: layer.apply(
@@ -111,7 +111,7 @@ def main():
 
     # --- plain cross (invariant) ---
     cross = TransformerLayer(d, h, equivariant=False)
-    p_c = cross.init(jax.random.PRNGKey(4), feats_inv, feats_inv, None, masks[:1])
+    p_c = jax.jit(lambda: cross.init(jax.random.PRNGKey(4), feats_inv, feats_inv, None, masks[:1]))()
     bench(
         "cross (invariant)",
         lambda f, m: cross.apply(p_c, f, f, None, m)[0], feats_inv, masks[:1],
@@ -119,9 +119,9 @@ def main():
 
     # --- cross with equivariant values (eq<->inv transition blocks) ---
     cross_eqv = TransformerLayer(d, h, equivariant=False)
-    p_ce = cross_eqv.init(
+    p_ce = jax.jit(lambda: cross_eqv.init(
         jax.random.PRNGKey(5), feats_inv, feats_inv, feats_eq, masks[:1]
-    )
+    ))()
     bench(
         "cross (inv q/k, eq values)",
         lambda f, fe, m: cross_eqv.apply(p_ce, f, f, fe, m)[0],
