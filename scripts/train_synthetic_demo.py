@@ -32,6 +32,8 @@ def main():
     parser.add_argument("--steerability", choices=("exact", "relaxed"),
                         default="exact")
     parser.add_argument("--gn_joint", action="store_true")
+    parser.add_argument("--bf16_train", action="store_true")
+    parser.add_argument("--loss_scale", type=float, default=1.0)
     parser.add_argument("--tag", default="")
     args = parser.parse_args()
 
@@ -62,6 +64,7 @@ def main():
         epn=EPNConfig(kanchor=6, quotient_factor=4,
                       steerability=args.steerability),
         gn_joint_stats=args.gn_joint,
+        bf16_train=args.bf16_train,
         gt_input_dim=128, gt_hidden_dim=128, gt_output_dim=128, num_heads=4,
         blocks=("self_eq", "cross", "self_eq", "cross", "self_eq", "cross"),
         sigma_d=0.2, attn_r_positive="softplus",
@@ -99,7 +102,7 @@ def main():
                       with_registration=False)
     tx = optax.adamw(args.lr, weight_decay=1e-6)
     opt_state = tx.init(params)
-    step = jax.jit(make_train_step(model, lcfg, tx), donate_argnums=(0, 1))
+    step = jax.jit(make_train_step(model, lcfg, tx, loss_scale=args.loss_scale), donate_argnums=(0, 1))
 
     @jax.jit
     def val_step(p, d):
@@ -144,6 +147,7 @@ def main():
         "tag": args.tag or f"{args.steerability}/gn_joint={args.gn_joint}",
         "steps": args.steps, "steerability": args.steerability,
         "gn_joint": bool(args.gn_joint),
+        "bf16_train": bool(args.bf16_train), "loss_scale": args.loss_scale,
         **{k: round(float(v), 4) for k, v in after.items()},
     }), flush=True)
 

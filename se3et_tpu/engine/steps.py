@@ -14,8 +14,14 @@ import optax
 from se3et_tpu.nn import loss as loss_lib
 
 
-def make_train_step(model, loss_cfg, tx):
-    """Single-pair train step: (params, opt_state, data, rng) -> (params, opt, losses)."""
+def make_train_step(model, loss_cfg, tx, loss_scale: float = 1.0):
+    """Single-pair train step: (params, opt_state, data, rng) -> (params, opt, losses).
+
+    ``loss_scale``: static loss scaling for reduced-precision backward
+    experiments (loss multiplied before grad, gradients divided after —
+    a no-op at 1.0).  Note bf16 shares fp32's exponent range, so scaling
+    addresses only true underflow, not mantissa cancellation (see BENCH.md).
+    """
 
     def train_step(params, opt_state, data, rng):
         def loss_fn(p):
@@ -23,9 +29,11 @@ def make_train_step(model, loss_cfg, tx):
                 p, data, train=True, with_registration=False, rngs={"targets": rng}
             )
             total, losses = loss_lib.overall_loss(out, data, loss_cfg)
-            return total, losses
+            return total * loss_scale, losses
 
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if loss_scale != 1.0:
+            grads = jax.tree_util.tree_map(lambda g: g / loss_scale, grads)
         gnorm = optax.global_norm(grads)
         ok = jnp.isfinite(gnorm)
         grads = jax.tree_util.tree_map(

@@ -83,10 +83,10 @@ def _threedmatch_pipeline(point_cap: int) -> PyramidConfig:
         # fragment more across Morton segments).  Chosen from measured drop
         # rates at production scale (<= 0.35% per set; see BENCH.md).
         window_segments_by_set=(
-            ("neighbors_0", 10), ("subsampling_0", 12),
-            ("neighbors_1", 14), ("subsampling_1", 16),
-            ("neighbors_2", 14), ("subsampling_2", 16),
-            ("neighbors_3", 12),
+            ("neighbors_0", 8), ("subsampling_0", 10),
+            ("neighbors_1", 12), ("subsampling_1", 16),
+            ("neighbors_2", 12), ("subsampling_2", 14),
+            ("neighbors_3", 8),
         ),
         patch_k=64,  # = num_points_in_patch (host-side p2n precompute)
     )

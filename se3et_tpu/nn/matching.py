@@ -65,9 +65,12 @@ def _sinkhorn_fused_grad(padded, log_mu, log_nu, num_iterations):
     # tile = the largest batch slab whose scores + exp matrices (e_row,
     # e_col) + double-buffered in/out blocks stay under the 16 MB VMEM
     # budget (~10x the raw block size); fewer grid steps -> less loop
-    # overhead
+    # overhead.  Budget uses the TILE-PADDED dims: a (33, 33) matrix
+    # occupies (40, 128) f32 in VMEM.
+    m_pad = -(-m1 // 8) * 8
+    n_pad = -(-n1 // 128) * 128
     tile = b
-    while tile > 32 and tile * m1 * n1 * 4 * 10 > 14e6:
+    while tile > 32 and tile * m_pad * n_pad * 4 * 10 > 14e6:
         tile //= 2
     return sinkhorn_pallas(
         padded, log_mu, log_nu, num_iterations=num_iterations, tile=tile

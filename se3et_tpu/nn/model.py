@@ -36,6 +36,11 @@ class ModelConfig:
 
     # activation dtype for feature math: 'float32' | 'bfloat16'
     compute_dtype: str = "float32"
+    # use the bf16 compute dtype in TRAINING too (default off: the backward
+    # pass through the deep conv stack loses the gradient signal in bf16 —
+    # measured round 1, re-validated with loss scaling in BENCH.md round 2;
+    # combine with make_train_step(loss_scale=...) to experiment)
+    bf16_train: bool = False
     # backbone
     backbone: str = "e2pn"  # 'e2pn' | 'kpconv'
     num_stages: int = 4
@@ -168,10 +173,14 @@ class SE3ETModel(nn.Module):
         from se3et_tpu import precision as prec_mod
 
         c = self.cfg
-        # bf16 activations are inference-only: through the ~35-layer backbone
-        # the backward pass underflows in bf16 (measured: coarse-loss backbone
-        # grad^2 1e-10 vs 1.1e3 in fp32), freezing the encoder.
-        prec_mod.set_compute_dtype(None if train else c.compute_dtype)
+        # bf16 activations are inference-only by default: through the
+        # ~35-layer backbone the backward pass loses the gradient signal in
+        # bf16 (measured: coarse-loss backbone grad^2 1e-10 vs 1.1e3 in
+        # fp32), freezing the encoder.  ``bf16_train`` opts training in for
+        # loss-scaling experiments.
+        prec_mod.set_compute_dtype(
+            c.compute_dtype if (not train or c.bf16_train) else None
+        )
         from se3et_tpu.nn import layers as layers_mod
 
         layers_mod.set_gn_joint_stats(c.gn_joint_stats)

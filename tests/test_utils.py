@@ -137,3 +137,31 @@ def test_cfg_overrides_and_snapshot_resolution(tmp_path):
     assert _resolve_snapshot(cfg, args) == "/x/y"
     args = argparse.Namespace(snapshot=None, test_epoch=None, test_iter=9)
     assert _resolve_snapshot(cfg, args).endswith("snapshots/iter-9")
+
+
+def test_groupnorm_joint_stats_matches_stacked():
+    """joint_stats=True == GroupNorm over the stacked ref+src cloud (the
+    reference's GroupNormEPN semantics, blocks_epn.py:684-701)."""
+    import jax
+    import jax.numpy as jnp
+    from se3et_tpu.nn.layers import MaskedGroupNorm
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 40, 4, 8).astype(np.float32))
+    mask = jnp.asarray(np.stack([np.arange(40) < 35, np.arange(40) < 30]))
+    gn = MaskedGroupNorm(2, joint_stats=True)
+    p = gn.init(jax.random.PRNGKey(0), x, mask)
+    got = np.asarray(gn.apply(p, x, mask))
+    # manual stacked computation per channel group
+    xs = np.asarray(x)
+    m = np.asarray(mask)
+    for g, sl in enumerate((slice(0, 4), slice(4, 8))):
+        vals = xs[:, :, :, sl][m]  # valid rows of both clouds
+        mu, var = vals.mean(), vals.var()
+        want = (xs[:, :, :, sl] - mu) / np.sqrt(var + 1e-5)
+        np.testing.assert_allclose(got[:, :, :, sl][m], want[m], rtol=2e-4,
+                                   atol=2e-4)
+    # and per-cloud stats differ (sanity that the flag changes something)
+    gn2 = MaskedGroupNorm(2)
+    got2 = np.asarray(gn2.apply(gn2.init(jax.random.PRNGKey(0), x, mask), x, mask))
+    assert np.abs(got2 - got).max() > 1e-3
