@@ -343,10 +343,12 @@ def windowed_gather_wf(local, infl, windows, *, hc=8, mp=None, interpret=False):
     nblk_q, w, ac = windows.shape[1:]
     assert nblk_q * SEG >= nq, (nq, nblk_q)
     if mp is None:
+        # 12.5 MB budget: the estimate undercounts ~15-20% (measured 16.6M
+        # actual vs 13.8M estimated at the stage-3 production conv)
         mp = SEG
-        while mp > 32 and (
+        while mp > 16 and (
             mp * k * ac * (4 + 2 * 2) + 2 * w * ac * 2 + mp * hc * w * 6
-        ) > 14e6:
+        ) > 12.5e6:
             mp //= 2
     spb = SEG // mp
     q_pad = nblk_q * SEG - nq
