@@ -179,3 +179,21 @@ def test_windowed_max_pool_matches_gather():
     want = max_pool_neighbors(feats, jnp.asarray(nbr))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_production_window_budgets_drop_rate():
+    """The shipped per-set window budgets keep drops <= 1% on a
+    production-scale synthetic pair (calibration lock; see BENCH.md)."""
+    from se3et_tpu.data.datasets import SyntheticPairDataset
+    from se3et_tpu.experiments import make_cfg
+
+    cfg = make_cfg("se3ete.3dmatch")
+    item = SyntheticPairDataset(
+        num_pairs=1, num_points=cfg.data.point_limit, seed=123
+    )[0]
+    pipe.WINDOW_DROP_STATS.clear()
+    pipe.build_pair_pyramid(
+        item["ref_points"], item["src_points"], item["transform"], cfg.pipeline
+    )
+    for key, (dropped, total) in pipe.WINDOW_DROP_STATS.items():
+        assert dropped / max(total, 1) <= 0.01, (key, dropped, total)
