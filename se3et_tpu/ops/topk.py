@@ -43,10 +43,18 @@ def global_topk(flat: jnp.ndarray, k: int, num_iters: int = 30):
     f = flat.astype(jnp.float32)
 
     # -inf-masked inputs (e.g. Gumbel-masked target sampling) may have fewer
-    # than k selectable entries; clamping lo0 keeps the bisection finite and
-    # unfilled slots come back as -inf values
-    lo0 = jnp.maximum(jnp.min(f), -3e38) - 1.0
-    hi0 = jnp.max(f)
+    # than k selectable entries; the bisection must start from the FINITE
+    # minimum, not the -3e38 clamp of -inf — otherwise the final (lo, hi]
+    # band is ~3e29 wide, contains every finite entry, and selection
+    # degrades to lowest-index-first regardless of value.  -inf entries are
+    # simply never selectable (f > lo0 is false for them) and unfilled
+    # slots come back as -inf values.  The margin below the finite minimum
+    # is range-relative so tiny-magnitude score distributions (e.g. after
+    # dual normalization, O(1e-6)) keep full 2^-num_iters relative band
+    # resolution instead of a ~1e-9 absolute floor.
+    hi0 = jnp.minimum(jnp.max(f), 3e38)
+    fmin = jnp.maximum(jnp.min(jnp.where(jnp.isfinite(f), f, hi0)), -3e38)
+    lo0 = fmin - jnp.maximum(1e-7 * (hi0 - fmin), 1e-30)
 
     def body(_, carry):
         lo, hi = carry

@@ -192,3 +192,39 @@ def test_global_topk_matches_lax():
     got_v, got_i = global_topk(flat, 64)
     assert np.sum(np.asarray(got_v) == 1.0) == 10
     assert np.asarray(got_v).shape == (64,)
+
+
+def test_global_topk_inf_masked():
+    """-inf-masked inputs (Gumbel target sampling) must still select by value.
+
+    Regression: lo0 previously clamped -inf to -3e38, leaving the final
+    bisection band ~3e29 wide — every finite entry fell in the tie band and
+    selection became lowest-index-first (only ~10/128 overlap with the true
+    top-k on a masked-Gumbel input).
+    """
+    from se3et_tpu.ops.topk import global_topk
+
+    rng = np.random.RandomState(3)
+    n, k = 4096, 128
+    vals = rng.gumbel(size=n).astype(np.float32)
+    mask = rng.rand(n) < 0.25  # ~1024 eligible
+    flat = jnp.asarray(np.where(mask, vals, -np.inf))
+    want_v, want_i = jax.lax.top_k(flat, k)
+    got_v, got_i = global_topk(flat, k)
+    assert set(np.asarray(got_i).tolist()) == set(np.asarray(want_i).tolist())
+    np.testing.assert_allclose(
+        np.sort(np.asarray(got_v))[::-1], np.asarray(want_v), rtol=1e-6
+    )
+
+    # fewer eligible entries than k: unfilled slots are -inf
+    flat2 = jnp.asarray(np.where(np.arange(n) < 40, vals, -np.inf))
+    got_v2, got_i2 = global_topk(flat2, k)
+    assert np.isfinite(np.asarray(got_v2)).sum() == 40
+    assert set(np.asarray(got_i2)[:40].tolist()) == set(range(40))
+
+    # tiny-magnitude distributions (post dual-normalization scores ~1e-6):
+    # selection stays exact by value, not index
+    tiny = jnp.asarray((rng.rand(2048).astype(np.float32)) * 1e-6)
+    want_vt, want_it = jax.lax.top_k(tiny, 64)
+    got_vt, got_it = global_topk(tiny, 64)
+    assert set(np.asarray(got_it).tolist()) == set(np.asarray(want_it).tolist())
