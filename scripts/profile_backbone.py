@@ -90,7 +90,7 @@ def main():
                 radius, epn.num_kernel_points, epn.kanchor, epn.quotient_factor
             )
         )
-        w_width = segs.shape[2] * pipe.WINDOW_SEG
+        w_width = segs.shape[2] * pipe.WINDOW_SSEG
         print(f"--- {label}: Nq={q.shape[1]} Ns={sup.shape[1]} H={local.shape[2]} "
               f"W={w_width} mids={mids}")
 

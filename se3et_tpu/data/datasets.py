@@ -422,16 +422,23 @@ class SyntheticPairDataset:
 
     def __getitem__(self, index):
         rng = np.random.RandomState(self.seed + index)
-        # structured scene: a few planes and gaussian clusters
+        # structured scene: a few planes and gaussian clusters.  Feature sizes
+        # scale with ``extent`` (plane half-size extent/2, blob sigma
+        # extent/8) so the scene is a pure rescaling of the extent-2 case —
+        # identical to the historical generator at extent=2.0, and a sane
+        # LiDAR-scale proxy at extent=20 (fixed-size 2 m features there would
+        # collapse the KITTI voxel pyramid to a handful of points).
         pts = []
         for _ in range(4):
             origin = rng.uniform(-self.extent, self.extent, 3)
             basis = np.linalg.qr(rng.normal(size=(3, 3)))[0][:, :2]
-            uv = rng.uniform(-1.0, 1.0, size=(self.num_points // 6, 2))
+            uv = rng.uniform(-self.extent / 2, self.extent / 2,
+                             size=(self.num_points // 6, 2))
             pts.append(origin + uv @ basis.T)
         for _ in range(4):
             center = rng.uniform(-self.extent, self.extent, 3)
-            pts.append(center + rng.normal(scale=0.25, size=(self.num_points // 12, 3)))
+            pts.append(center + rng.normal(scale=self.extent / 8,
+                                           size=(self.num_points // 12, 3)))
         cloud = np.concatenate(pts, 0)
         rng.shuffle(cloud)
 

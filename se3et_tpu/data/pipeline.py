@@ -53,16 +53,14 @@ class PyramidConfig:
     coarse_point_cap: int = 2000  # hard cap on the coarsest stage (utils/data.py:35-43)
     input_dim: int = 1
     use_normals: bool = False
-    # segments per query-block window for the fused conv gather; 0 disables
-    # the window maps.  Window maps (segment lists + window-local neighbor
-    # indices) are emitted for EVERY conv neighbor set — same-level
-    # ``neighbors_{s}`` and strided ``subsampling_{s}`` — so the whole
-    # backbone can run gather-free via per-set M matrices
-    # (:func:`se3et_tpu.ops.pallas.windowed_conv.build_m_geo_pallas`).
-    # Morton ordering keeps per-block segment occupancy low (measured p99
-    # <= 18 at 3DMatch production scale); overflow drops are counted in
-    # :data:`WINDOW_DROP_STATS`.
-    window_segments: int = 16
+    # segments (of WINDOW_SSEG=64 source rows) per query-block window for the
+    # fused conv gather; 0 disables the window maps.  Window maps (segment
+    # lists + window-local neighbor indices) are emitted for EVERY conv
+    # neighbor set — same-level ``neighbors_{s}`` and strided
+    # ``subsampling_{s}`` — so the whole backbone runs gather-free.  Morton
+    # ordering keeps per-block segment occupancy low; overflow drops are
+    # counted in :data:`WINDOW_DROP_STATS`.
+    window_segments: int = 28
     # per-set overrides: ((set_key, nseg), ...) — kernel cost scales with the
     # window width, and the drop-rate/width tradeoff differs per set (coarser
     # stages spread neighbors over more Morton segments).  Set from measured
@@ -75,7 +73,7 @@ class PyramidConfig:
 
     def nseg_for(self, set_key: str, cap_s: int) -> int:
         nseg = dict(self.window_segments_by_set).get(set_key, self.window_segments)
-        return min(nseg, (cap_s + WINDOW_SEG - 1) // WINDOW_SEG)
+        return min(nseg, (cap_s + WINDOW_SSEG - 1) // WINDOW_SSEG)
 
     def __post_init__(self):
         assert len(self.neighbor_limits) == self.num_stages
@@ -183,7 +181,12 @@ def build_cloud_pyramid(
     return stage_points, stage_normals, neighbors, subsampling, upsampling
 
 
-WINDOW_SEG = 128  # source rows per window segment (= query block size)
+WINDOW_QSEG = 128  # query rows per window block (kernel grid granularity)
+# Source rows per window segment.  Finer than the query block: halving the
+# segment size from 128 cut the summed window width W (= kernel cost, linear
+# in W) by ~25-35% at matched drop rates — neighbors of a 128-query Morton
+# block concentrate in sub-128-row runs of the Morton-sorted source stage.
+WINDOW_SSEG = 64
 
 # aggregate window-overflow accounting: {stage_key: [dropped, total]}
 WINDOW_DROP_STATS: dict[str, list[int]] = {}
@@ -197,32 +200,32 @@ def build_window_maps(
 ):
     """Segment-window maps for the fused TPU conv gather.
 
-    For each block of ``WINDOW_SEG`` query rows of a padded ``(cap_q, H)``
+    For each block of ``WINDOW_QSEG`` query rows of a padded ``(cap_q, H)``
     neighbor matrix (sentinel ``cap_s``), pick the ``max_segs`` source
-    segments (of ``WINDOW_SEG`` rows each) covering the most neighbors, and
+    segments (of ``WINDOW_SSEG`` rows each) covering the most neighbors, and
     remap neighbor indices to window-local positions
-    ``slot * WINDOW_SEG + (idx % WINDOW_SEG)``; neighbors outside the chosen
-    segments (rare — segment occupancy is measured p99 <= 18 on production
-    shapes) and sentinels map to ``max_segs * WINDOW_SEG`` (masked).
+    ``slot * WINDOW_SSEG + (idx % WINDOW_SSEG)``; neighbors outside the
+    chosen segments (rare at calibrated budgets) and sentinels map to
+    ``max_segs * WINDOW_SSEG`` (masked).
 
     Returns ``(seg_idx (nblk_q, max_segs) int32, local (cap_q, H) int32)``.
     Overflow drops are accumulated in :data:`WINDOW_DROP_STATS`.
     """
-    seg = WINDOW_SEG
+    qseg, sseg = WINDOW_QSEG, WINDOW_SSEG
     cap_q, h = neighbors.shape
-    nblk_q = (cap_q + seg - 1) // seg
-    nblk_s = (cap_s + seg - 1) // seg
-    w = max_segs * seg
+    nblk_q = (cap_q + qseg - 1) // qseg
+    nblk_s = (cap_s + sseg - 1) // sseg
+    w = max_segs * sseg
     seg_idx = np.zeros((nblk_q, max_segs), np.int32)
     local = np.full((cap_q, h), w, np.int32)
     dropped = total = 0
     for b in range(nblk_q):
-        blk = neighbors[b * seg:(b + 1) * seg]
+        blk = neighbors[b * qseg:(b + 1) * qseg]
         valid = blk < cap_s
         total += int(valid.sum())
         if not valid.any():
             continue
-        segs_of = blk[valid] // seg
+        segs_of = blk[valid] // sseg
         uniq, counts = np.unique(segs_of, return_counts=True)
         if len(uniq) > max_segs:
             keep = uniq[np.argsort(-counts)[:max_segs]]
@@ -231,10 +234,10 @@ def build_window_maps(
         slot_of = np.full(nblk_s, -1, np.int64)
         slot_of[uniq] = np.arange(len(uniq))
         seg_idx[b, : len(uniq)] = uniq
-        src_seg = np.where(valid, blk // seg, 0)
+        src_seg = np.where(valid, blk // sseg, 0)
         slot = np.where(valid, slot_of[src_seg], -1)
-        loc = np.where(slot >= 0, slot * seg + blk % seg, w)
-        local[b * seg:(b + 1) * seg] = loc
+        loc = np.where(slot >= 0, slot * sseg + blk % sseg, w)
+        local[b * qseg:(b + 1) * qseg] = loc
     if stats_key is not None:
         agg = WINDOW_DROP_STATS.setdefault(stats_key, [0, 0])
         agg[0] += dropped

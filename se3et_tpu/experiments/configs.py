@@ -78,15 +78,17 @@ def _threedmatch_pipeline(point_cap: int) -> PyramidConfig:
         stage_caps=(point_cap, point_cap // 2, point_cap // 8, 1024),
         coarse_point_cap=1000,
         input_dim=1,
-        # fused-conv window budgets per neighbor set: the kernel cost scales
-        # with window width while drops are set-dependent (coarser stages
-        # fragment more across Morton segments).  Chosen from measured drop
-        # rates at production scale (<= 0.35% per set; see BENCH.md).
+        # fused-conv window budgets per neighbor set (64-row segments): the
+        # kernel cost scales with window width while drops are set-dependent
+        # (coarser stages fragment more across Morton segments).  Calibrated
+        # by scripts/calibrate_window_budgets.py at production scale
+        # (<= 0.5% drops per set; W cut 20-42% vs the round-2 128-row
+        # segments at matched drops — see BENCH.md).
         window_segments_by_set=(
-            ("neighbors_0", 8), ("subsampling_0", 10),
-            ("neighbors_1", 12), ("subsampling_1", 16),
-            ("neighbors_2", 12), ("subsampling_2", 14),
-            ("neighbors_3", 8),
+            ("neighbors_0", 12), ("subsampling_0", 16),
+            ("neighbors_1", 16), ("subsampling_1", 24),
+            ("neighbors_2", 14), ("subsampling_2", 18),
+            ("neighbors_3", 10),
         ),
         patch_k=64,  # = num_points_in_patch (host-side p2n precompute)
     )
@@ -102,6 +104,17 @@ def _kitti_pipeline(point_cap: int) -> PyramidConfig:
         stage_caps=(point_cap, point_cap // 2, point_cap // 4, point_cap // 8, 1024),
         coarse_point_cap=1000,
         input_dim=1,
+        # fused-conv window budgets (64-row segments), calibrated by
+        # scripts/calibrate_window_budgets.py on the LiDAR-scale (extent 20)
+        # synthetic generator at <= 0.5% drops per set; re-measure when real
+        # KITTI appears (pipeline logs drop stats automatically).
+        window_segments_by_set=(
+            ("neighbors_0", 14), ("subsampling_0", 16),
+            ("neighbors_1", 16), ("subsampling_1", 20),
+            ("neighbors_2", 14), ("subsampling_2", 20),
+            ("neighbors_3", 10), ("subsampling_3", 12),
+            ("neighbors_4", 4),
+        ),
         patch_k=128,  # = num_points_in_patch (host-side p2n precompute)
     )
 

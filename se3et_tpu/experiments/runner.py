@@ -69,7 +69,10 @@ def build_dataset(cfg: ExperimentConfig, subset: str, training: bool):
         f"dataset {d.dataset}/{subset} not found under {d.dataset_root}; "
         "falling back to the synthetic pair generator"
     )
-    scale = {"threedmatch": 1.0, "kitti_test": 2.0, "modelnet": 0.8}.get(
+    # scene extent per dataset family: 3DMatch rooms span ~3-4 m (extent 2.0
+    # is also what bench.py/__graft_entry__ and the window-budget calibration
+    # use — keep them aligned); KITTI frames are LiDAR-scale.
+    scale = {"threedmatch": 2.0, "kitti_test": 2.0, "modelnet": 0.8}.get(
         d.dataset, 20.0
     )
     return ds_lib.SyntheticPairDataset(

@@ -415,7 +415,7 @@ class ResnetBottleneckBlockEPN(nn.Module):
             from se3et_tpu.ops.pallas import windowed_conv as wc
 
             a_dim, ch = skip.shape[2], skip.shape[3]
-            w_width = 0 if window is None else window[0].shape[2] * wc.SEG
+            w_width = 0 if window is None else window[0].shape[2] * wc.SSEG
             if window is not None and wc.windowed_max_pool_fits(
                 w_width, a_dim * ch
             ):

@@ -7,11 +7,12 @@ row gather + the ``wf`` einsum (``epn.py KPConvInterSO3.__call__``) with dense
 MXU work over per-block source windows:
 
 1. Host side (``pipeline.build_window_maps``): points are Morton-ordered, so
-   the neighbors of each 128-query block live in <= ~18 source segments of 128
-   rows; the pipeline emits per-block segment lists and window-local neighbor
-   indices.
+   the neighbors of each 128-query block live in a handful of source segments
+   of SSEG=64 rows (finer segments cut the summed window width ~25-35% vs
+   128-row segments at matched drop rates — kernel cost is linear in W); the
+   pipeline emits per-block segment lists and window-local neighbor indices.
 2. ``segment_window_gather`` (XLA): materializes the per-block windows with a
-   tiny one-hot matmul over *segments* — (nblk_q*S, nblk_s) @ (nblk_s, 128*AC)
+   tiny one-hot matmul over *segments* — (nblk_q*S, nblk_s) @ (nblk_s, 64*AC)
    runs at HBM bandwidth, unlike large-slice gathers which lower pathologically.
 3. The kernel: per query block, builds neighbor one-hots in VMEM chunk-by-chunk
    and computes ``wf[p,k,ac] = sum_h infl[p,h,k] * win[local[p,h], ac]`` with
@@ -29,28 +30,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SEG = 128  # must match pipeline.WINDOW_SEG
-P = 128  # query rows per kernel block
+QSEG = 128  # query rows per window block; must match pipeline.WINDOW_QSEG
+SSEG = 64  # source rows per window segment; must match pipeline.WINDOW_SSEG
 
 
 def segment_window_gather(x, seg_idx, precision=None):
-    """x: (B, Ns, AC); seg_idx: (B, nblk_q, S) -> windows (B, nblk_q, S*SEG, AC).
+    """x: (B, Ns, AC); seg_idx: (B, nblk_q, S) -> windows (B, nblk_q, S*SSEG, AC).
 
     One-hot segment matmul — see module docstring.  ``Ns`` is zero-padded up
-    to a multiple of SEG.  Pass ``precision=jax.lax.Precision.HIGHEST`` when
+    to a multiple of SSEG.  Pass ``precision=jax.lax.Precision.HIGHEST`` when
     gathering fp32 *coordinates* (the TPU default matmul precision would
     round them to bf16).
     """
     b, ns, ac = x.shape
-    nblk_s = (ns + SEG - 1) // SEG
-    pad = nblk_s * SEG - ns
+    nblk_s = (ns + SSEG - 1) // SSEG
+    pad = nblk_s * SSEG - ns
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-    segs = x.reshape(b, nblk_s, SEG * ac)
+    segs = x.reshape(b, nblk_s, SSEG * ac)
     nblk_q, s = seg_idx.shape[1:]
     oh = jax.nn.one_hot(seg_idx.reshape(b, nblk_q * s), nblk_s, dtype=x.dtype)
     win = jnp.einsum("bqn,bnd->bqd", oh, segs, precision=precision)
-    return win.reshape(b, nblk_q, s * SEG, ac)
+    return win.reshape(b, nblk_q, s * SSEG, ac)
 
 
 def _infl_kernel(local_ref, q4_ref, win_ref, kp_ref, out_ref, is_ref, isacc,
@@ -137,8 +138,8 @@ def influence_windowed_pallas(local, q_points, win_points, kernel_points, *,
     b, nq, h = local.shape
     nblk_q, w, _ = win_points.shape[1:]
     k = kernel_points.shape[0]
-    assert nblk_q * SEG >= nq, (nq, nblk_q)
-    q_pad = nblk_q * SEG - nq
+    assert nblk_q * QSEG >= nq, (nq, nblk_q)
+    q_pad = nblk_q * QSEG - nq
     if q_pad:
         local = jnp.pad(local, ((0, 0), (0, q_pad), (0, 0)), constant_values=w)
         q_points = jnp.pad(q_points, ((0, 0), (0, q_pad), (0, 0)))
@@ -161,11 +162,11 @@ def influence_windowed_pallas(local, q_points, win_points, kernel_points, *,
         axis=-1,
     ).T.astype(jnp.float32)  # (4, K)
 
-    # 32 query rows per invocation: measured best overall (MP = SEG showed a
+    # 32 query rows per invocation: measured best overall (MP = QSEG showed a
     # pathological 42 ms outlier at the stage-3 subsampling set and no gain
     # elsewhere — the kernel is VPU-layout-bound, not refetch-bound)
     mp = 32
-    sub_per_blk = SEG // mp
+    sub_per_blk = QSEG // mp
     nsub = nblk_q * sub_per_blk
     kernel = functools.partial(
         _infl_kernel, mp=mp, hc=hc, n_hc=h_pad // hc, w=w, k=k,
@@ -199,8 +200,8 @@ def influence_windowed_pallas(local, q_points, win_points, kernel_points, *,
         win8,
         kp4t,
     )
-    infl = infl.reshape(b, nblk_q * SEG, h_pad, k)[:, :nq, :h]
-    inf_sum = inf_sum.reshape(b, nblk_q * SEG, k)[:, :nq]
+    infl = infl.reshape(b, nblk_q * QSEG, h_pad, k)[:, :nq, :h]
+    inf_sum = inf_sum.reshape(b, nblk_q * QSEG, k)[:, :nq]
     return infl, inf_sum
 
 
@@ -284,15 +285,15 @@ def windowed_max_pool(local, windows, nq, *, hc=8, mp=None, interpret=False):
     """
     b, nq_in, h = local.shape
     nblk_q, w, ac = windows.shape[1:]
-    assert nblk_q * SEG >= nq_in, (nq_in, nblk_q)
+    assert nblk_q * QSEG >= nq_in, (nq_in, nblk_q)
     if mp is None:
-        mp = SEG
+        mp = QSEG
         while mp > 32 and (
             mp * ac * (4 + 2 * 2) + 2 * w * ac * 2 + mp * hc * w * 6
         ) > 14e6:
             mp //= 2
-    spb = SEG // mp
-    q_pad = nblk_q * SEG - nq_in
+    spb = QSEG // mp
+    q_pad = nblk_q * QSEG - nq_in
     if q_pad:
         local = jnp.pad(local, ((0, 0), (0, q_pad), (0, 0)), constant_values=w)
     h_pad = ((h + hc - 1) // hc) * hc
@@ -318,7 +319,7 @@ def windowed_max_pool(local, windows, nq, *, hc=8, mp=None, interpret=False):
         scratch_shapes=[pltpu.VMEM((mp, ac), jnp.float32)],
         interpret=interpret,
     )(local.reshape(b, nsub, mp, h_pad), windows)
-    return out.reshape(b, nblk_q * SEG, ac)[:, :nq]
+    return out.reshape(b, nblk_q * QSEG, ac)[:, :nq]
 
 
 @functools.partial(jax.jit, static_argnames=("hc", "mp", "interpret"))
@@ -333,7 +334,7 @@ def windowed_gather_wf(local, infl, windows, *, hc=8, mp=None, interpret=False):
 
     Equivalent to ``einsum('bnhac,bnhk->bnkac')`` over sentinel-masked
     gathered neighbors (``epn.py``), without the row gather.  ``mp`` (query
-    rows per kernel invocation, default SEG) is lowered automatically for
+    rows per kernel invocation, default QSEG) is lowered automatically for
     wide channels so the out block + f32 accumulator + window fit in the
     ~16 MB VMEM budget; sub-blocks of the same window block re-fetch the
     window, so keep ``mp`` as large as fits.
@@ -341,17 +342,17 @@ def windowed_gather_wf(local, infl, windows, *, hc=8, mp=None, interpret=False):
     b, nq, h = local.shape
     k = infl.shape[3]
     nblk_q, w, ac = windows.shape[1:]
-    assert nblk_q * SEG >= nq, (nq, nblk_q)
+    assert nblk_q * QSEG >= nq, (nq, nblk_q)
     if mp is None:
         # 12.5 MB budget: the estimate undercounts ~15-20% (measured 16.6M
         # actual vs 13.8M estimated at the stage-3 production conv)
-        mp = SEG
+        mp = QSEG
         while mp > 16 and (
             mp * k * ac * (4 + 2 * 2) + 2 * w * ac * 2 + mp * hc * w * 6
         ) > 12.5e6:
             mp //= 2
-    spb = SEG // mp
-    q_pad = nblk_q * SEG - nq
+    spb = QSEG // mp
+    q_pad = nblk_q * QSEG - nq
     if q_pad:
         local = jnp.pad(local, ((0, 0), (0, q_pad), (0, 0)), constant_values=w)
         infl = jnp.pad(infl, ((0, 0), (0, q_pad), (0, 0), (0, 0)))
@@ -389,4 +390,4 @@ def windowed_gather_wf(local, infl, windows, *, hc=8, mp=None, interpret=False):
         infl.reshape(b, nsub, mp, h_pad, k).astype(dtype),
         windows,
     )
-    return out.reshape(b, nblk_q * SEG, k * ac)[:, :nq]
+    return out.reshape(b, nblk_q * QSEG, k * ac)[:, :nq]

@@ -12,18 +12,18 @@ def test_build_window_maps_roundtrip():
     rng = np.random.RandomState(0)
     cap_q, cap_s, h = 300, 280, 9
     nbr = rng.randint(0, cap_s + 1, size=(cap_q, h)).astype(np.int32)  # incl sentinel
-    nseg = (cap_s + pipe.WINDOW_SEG - 1) // pipe.WINDOW_SEG  # all segments fit
+    nseg = (cap_s + pipe.WINDOW_SSEG - 1) // pipe.WINDOW_SSEG  # all segments fit
     seg_idx, local = pipe.build_window_maps(nbr, cap_s, nseg)
-    w = nseg * pipe.WINDOW_SEG
+    w = nseg * pipe.WINDOW_SSEG
     for b in range(seg_idx.shape[0]):
-        rows = slice(b * pipe.WINDOW_SEG, (b + 1) * pipe.WINDOW_SEG)
+        rows = slice(b * pipe.WINDOW_QSEG, (b + 1) * pipe.WINDOW_QSEG)
         loc = local[rows]
         orig = nbr[rows]
         valid = loc < w
         # every real neighbor must be mapped (no drops when all segments fit)
         np.testing.assert_array_equal(valid, orig[: loc.shape[0]] < cap_s)
-        slot = loc[valid] // pipe.WINDOW_SEG
-        decoded = seg_idx[b][slot] * pipe.WINDOW_SEG + loc[valid] % pipe.WINDOW_SEG
+        slot = loc[valid] // pipe.WINDOW_SSEG
+        decoded = seg_idx[b][slot] * pipe.WINDOW_SSEG + loc[valid] % pipe.WINDOW_SSEG
         np.testing.assert_array_equal(decoded, orig[valid])
 
 
@@ -33,7 +33,7 @@ def test_window_overflow_drops_are_masked_and_counted():
     nbr = rng.randint(0, cap_s, size=(cap_q, h)).astype(np.int32)  # spread wide
     pipe.WINDOW_DROP_STATS.clear()
     seg_idx, local = pipe.build_window_maps(nbr, cap_s, 2, stats_key="t")
-    w = 2 * pipe.WINDOW_SEG
+    w = 2 * pipe.WINDOW_SSEG
     dropped, total = pipe.WINDOW_DROP_STATS["t"]
     assert total == cap_q * h
     assert dropped > 0
@@ -89,7 +89,7 @@ def test_influence_windowed_matches_xla():
     pts = jnp.asarray(rng.uniform(0, 0.6, size=(1, cap, 3)), jnp.float32)
     nbr = jnp.asarray(rng.randint(0, cap + 1, size=(1, cap, h)), jnp.int32)
     kp = jnp.asarray(rng.uniform(-0.1, 0.1, size=(k, 3)), jnp.float32)
-    nseg = cap // pipe.WINDOW_SEG  # all segments fit -> zero drops
+    nseg = cap // pipe.WINDOW_SSEG  # all segments fit -> zero drops
     seg_idx, local = pipe.build_window_maps(np.asarray(nbr[0]), cap, nseg)
     segs = jnp.asarray(seg_idx)[None]
     local = jnp.asarray(local)[None]
@@ -118,7 +118,7 @@ def test_backbone_fused_matches_unfused():
     cfg = pipe.PyramidConfig(
         num_stages=3, voxel_size=0.12, search_radius=0.3,
         neighbor_limits=(10, 10, 10), stage_caps=(384, 160, 64),
-        coarse_point_cap=64, window_segments=4,
+        coarse_point_cap=64, window_segments=8,
     )
     data = pipe.build_pair_pyramid(
         item["ref_points"], item["src_points"], item["transform"], cfg
@@ -170,7 +170,7 @@ def test_windowed_max_pool_matches_gather():
     cap_q, cap_s, h, ac = 256, 384, 9, 16
     nbr = rng.randint(0, cap_s + 1, size=(1, cap_q, h)).astype(np.int32)
     feats = jnp.asarray(rng.randn(1, cap_s, ac), jnp.float32)
-    nseg = cap_s // pipe.WINDOW_SEG  # all segments fit
+    nseg = cap_s // pipe.WINDOW_SSEG  # all segments fit
     seg_idx, local = pipe.build_window_maps(nbr[0], cap_s, nseg)
     win = wc.segment_window_gather(feats, jnp.asarray(seg_idx)[None])
     got = wc.windowed_max_pool(
@@ -181,15 +181,13 @@ def test_windowed_max_pool_matches_gather():
                                atol=1e-6)
 
 
-def test_production_window_budgets_drop_rate():
-    """The shipped per-set window budgets keep drops <= 1% on a
-    production-scale synthetic pair (calibration lock; see BENCH.md)."""
+def _check_budget_drops(exp, extent, seed):
     from se3et_tpu.data.datasets import SyntheticPairDataset
     from se3et_tpu.experiments import make_cfg
 
-    cfg = make_cfg("se3ete.3dmatch")
+    cfg = make_cfg(exp)
     item = SyntheticPairDataset(
-        num_pairs=1, num_points=cfg.data.point_limit, seed=123
+        num_pairs=1, num_points=cfg.data.point_limit, extent=extent, seed=seed
     )[0]
     pipe.WINDOW_DROP_STATS.clear()
     pipe.build_pair_pyramid(
@@ -197,3 +195,15 @@ def test_production_window_budgets_drop_rate():
     )
     for key, (dropped, total) in pipe.WINDOW_DROP_STATS.items():
         assert dropped / max(total, 1) <= 0.01, (key, dropped, total)
+
+
+def test_production_window_budgets_drop_rate():
+    """The shipped 3DMatch per-set window budgets keep drops <= 1% on a
+    production-scale synthetic pair (calibration lock; see BENCH.md)."""
+    _check_budget_drops("se3ete.3dmatch", extent=2.0, seed=123)
+
+
+def test_kitti_window_budgets_drop_rate():
+    """KITTI 5-stage budgets hold <= 1% drops at LiDAR scale (extent 20,
+    matching runner.build_dataset's synthetic-fallback scale)."""
+    _check_budget_drops("se3eti.kitti", extent=20.0, seed=123)
