@@ -105,32 +105,61 @@ class GeometricStructureEmbedding(nn.Module):
                 tile_m=tile_m, interpret=jax.default_backend() != "tpu",
             )
         else:
-            dist = jnp.sqrt(sq)
-            d_indices = dist / self.sigma_d
-            ref_vectors = knn_points - points[:, :, None, :]  # (B, N, k, 3)
-            anc_vectors = points[:, None, :, :] - points[:, :, None, :]
-            cross = jnp.cross(
-                ref_vectors[:, :, None, :, :], anc_vectors[:, :, :, None, :]
-            )  # (B, N, M, k, 3)
-            sin_values = jnp.linalg.norm(cross, axis=-1)
-            cos_values = jnp.sum(
-                ref_vectors[:, :, None, :, :] * anc_vectors[:, :, :, None, :],
-                axis=-1,
-            )
-            angles = jnp.arctan2(sin_values, cos_values)  # (B, N, M, k)
-            factor_a = 180.0 / (self.sigma_a * np.pi)
-            a_indices = angles * factor_a
-
             from se3et_tpu import precision as prec
 
-            embed = SinusoidalPositionalEmbedding(self.hidden_dim)
-            d_emb = prec.cast_feature(embed(d_indices)) @ prec.cast_feature(wd) + bd
-            a_emb = prec.cast_feature(embed(a_indices)) @ prec.cast_feature(wa) + ba
-            if self.reduction_a == "max":
-                a_emb = jnp.max(a_emb, axis=3)
+            dist = jnp.sqrt(sq)
+            ref_vectors = knn_points - points[:, :, None, :]  # (B, N, k, 3)
+            factor_a = 180.0 / (self.sigma_a * np.pi)
+            div = jnp.exp(
+                jnp.arange(0, c, 2) * (-np.log(10000.0) / c)
+            )
+
+            def sinusoid(idx):
+                # [sin | cos] layout (see SinusoidalPositionalEmbedding)
+                ang = idx[..., None] * div
+                return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+            def block_emb(args):
+                """Embedding for a block of query rows against all M columns."""
+                pts_blk, dist_blk, ref_blk = args
+                anc = points[:, None, :, :] - pts_blk[:, :, None, :]
+                cross = jnp.cross(
+                    ref_blk[:, :, None, :, :], anc[:, :, :, None, :]
+                )  # (B, rb, M, k, 3)
+                sin_values = jnp.linalg.norm(cross, axis=-1)
+                cos_values = jnp.sum(
+                    ref_blk[:, :, None, :, :] * anc[:, :, :, None, :], axis=-1
+                )
+                a_idx = jnp.arctan2(sin_values, cos_values) * factor_a
+                d_emb = prec.cast_feature(
+                    sinusoid(dist_blk / self.sigma_d)
+                ) @ prec.cast_feature(wd) + bd
+                a_emb = prec.cast_feature(
+                    sinusoid(a_idx)
+                ) @ prec.cast_feature(wa) + ba
+                if self.reduction_a == "max":
+                    a_emb = jnp.max(a_emb, axis=3)
+                else:
+                    a_emb = jnp.mean(a_emb, axis=3)
+                return d_emb + a_emb  # (B, rb, M, C)
+
+            # The (B, N, M, k, C) fp32 angle sinusoid is ~6 GB at production
+            # coarse shapes (N=M=1024, k=3, C=256) — the single largest HBM
+            # temp of the train step.  Chunk the query rows through
+            # lax.map + per-block checkpoint so both forward temps and
+            # backward residuals stay block-sized; the math is identical.
+            rb = 64
+            if n >= 256 and n % rb == 0:
+                nb = n // rb
+                xs = (
+                    points.reshape(b, nb, rb, 3).transpose(1, 0, 2, 3),
+                    dist.reshape(b, nb, rb, n).transpose(1, 0, 2, 3),
+                    ref_vectors.reshape(b, nb, rb, k, 3).transpose(1, 0, 2, 3, 4),
+                )
+                blocks = jax.lax.map(jax.checkpoint(block_emb), xs)
+                emb = blocks.transpose(1, 0, 2, 3, 4).reshape(b, n, n, c)
             else:
-                a_emb = jnp.mean(a_emb, axis=3)
-            emb = d_emb + a_emb
+                emb = block_emb((points, dist, ref_vectors))
 
         if self.n_level_equiv > 0 and self.kanchor > 1:
             eq = self._equiv_embedding(points)

@@ -492,6 +492,59 @@ def lift_features(x: jnp.ndarray, kanchor: int) -> jnp.ndarray:
     )
 
 
+class _EPNStage0(nn.Module):
+    """Stage-0 encoder pair (simple + bottleneck) as one remat unit."""
+
+    in_dim: int
+    out_dim: int
+    radius: float
+    sigma: float
+    group_norm: int
+    config: EPNConfig
+    ones_input: bool = False
+
+    @nn.compact
+    def __call__(self, x, pts, nbs, msk, influence, window):
+        d = self.out_dim
+        x = SimpleBlockEPN(
+            self.in_dim, d, self.radius, self.sigma, self.group_norm,
+            self.config,
+        )(x, pts, pts, nbs, msk, influence=influence,
+          ones_input=self.ones_input, window=window)
+        x = ResnetBottleneckBlockEPN(
+            d, d * 2, self.radius, self.sigma, self.group_norm, self.config
+        )(x, pts, pts, nbs, msk, influence=influence, window=window)
+        return x
+
+
+class _EPNStage(nn.Module):
+    """One encoder stage (strided + 2 same-level bottlenecks) as one remat
+    unit.  ``radius``/``sigma`` are the *strided* (previous-level) values; the
+    two same-level blocks use 2x."""
+
+    in_dim: int
+    radius: float
+    sigma: float
+    group_norm: int
+    config: EPNConfig
+
+    @nn.compact
+    def __call__(self, x, q_pts, s_pts, sub_idx, nbr_idx, q_msk, s_msk,
+                 inf_sub, inf_same, win_sub, win_same):
+        in_dim, r, s = self.in_dim, self.radius, self.sigma
+        x = ResnetBottleneckBlockEPN(
+            in_dim, in_dim, r, s, self.group_norm, self.config, strided=True
+        )(x, q_pts, s_pts, sub_idx, q_msk, s_mask=s_msk, influence=inf_sub,
+          window=win_sub)
+        x = ResnetBottleneckBlockEPN(
+            in_dim, in_dim * 2, r * 2, s * 2, self.group_norm, self.config
+        )(x, q_pts, q_pts, nbr_idx, q_msk, influence=inf_same, window=win_same)
+        x = ResnetBottleneckBlockEPN(
+            in_dim * 2, in_dim * 2, r * 2, s * 2, self.group_norm, self.config
+        )(x, q_pts, q_pts, nbr_idx, q_msk, influence=inf_same, window=win_same)
+        return x
+
+
 class E2PNBackbone(nn.Module):
     """4- or 5-stage E2PN encoder + invariant FPN decoder.
 
@@ -513,6 +566,13 @@ class E2PNBackbone(nn.Module):
     # the datasets emit all-ones features) -> the first conv skips its
     # neighbor gather entirely
     ones_input: bool = False
+    # per-stage jax.checkpoint: the backward pass recomputes each stage's
+    # block internals (feature windows, one-hots, wf tensors) instead of
+    # saving them — the difference between the production se3ete.3dmatch
+    # train step fitting the 16 GB chip or OOMing (BENCH.md round 2: plain
+    # OOMs by 0.36 GB; naive whole-model remat by 1.42 GB — stage boundaries
+    # are the right granularity).  No effect on forward-only inference.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, feats, pyramid, fused=False):
@@ -592,34 +652,25 @@ class E2PNBackbone(nn.Module):
                 win_same[st],
             )
 
+        Stage0 = nn.remat(_EPNStage0) if self.remat else _EPNStage0
+        Stage = nn.remat(_EPNStage) if self.remat else _EPNStage
+
         x = lift_features(feats, cfg.kanchor)
-        x = SimpleBlockEPN(self.input_dim, d, r, s, self.group_norm, cfg)(
-            x, pts[0], pts[0], nbs[0], msk[0], influence=inf_same[0],
+        x = Stage0(
+            self.input_dim, d, r, s, self.group_norm, cfg,
             ones_input=self.ones_input and self.input_dim == 1,
-            window=win_same[0],
-        )
-        x = ResnetBottleneckBlockEPN(d, d * 2, r, s, self.group_norm, cfg)(
-            x, pts[0], pts[0], nbs[0], msk[0], influence=inf_same[0],
-            window=win_same[0],
-        )
+        )(x, pts[0], nbs[0], msk[0], inf_same[0], win_same[0])
 
         stage_feats = [x]
         dims = [d * 2]
         for st in range(1, self.num_stages):
             mult = 2 ** (st - 1)
             in_dim = dims[-1]
-            x = ResnetBottleneckBlockEPN(
-                in_dim, in_dim, r * mult, s * mult, self.group_norm, cfg, strided=True
-            )(x, pts[st], pts[st - 1], subs[st - 1], msk[st], s_mask=msk[st - 1],
-              influence=inf_sub[st], window=win_sub[st])
-            x = ResnetBottleneckBlockEPN(
-                in_dim, in_dim * 2, r * mult * 2, s * mult * 2, self.group_norm, cfg
-            )(x, pts[st], pts[st], nbs[st], msk[st], influence=inf_same[st],
-              window=win_same[st])
-            x = ResnetBottleneckBlockEPN(
-                in_dim * 2, in_dim * 2, r * mult * 2, s * mult * 2, self.group_norm, cfg
-            )(x, pts[st], pts[st], nbs[st], msk[st], influence=inf_same[st],
-              window=win_same[st])
+            x = Stage(in_dim, r * mult, s * mult, self.group_norm, cfg)(
+                x, pts[st], pts[st - 1], subs[st - 1], nbs[st], msk[st],
+                msk[st - 1], inf_sub[st], inf_same[st], win_sub[st],
+                win_same[st],
+            )
             stage_feats.append(x)
             dims.append(in_dim * 2)
 

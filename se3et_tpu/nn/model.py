@@ -58,6 +58,11 @@ class ModelConfig:
     # GroupNorm statistics across the ref+src pair (the reference's stacked
     # semantics) instead of per cloud — ablation knob, see BENCH.md
     gn_joint_stats: bool = False
+    # per-stage jax.checkpoint in the backbone: required for the production
+    # se3ete.3dmatch train step to fit 16 GB HBM (see E2PNBackbone.remat).
+    # Affects training memory/compute only; forward-only inference is
+    # untouched.
+    backbone_remat: bool = True
     epn: EPNConfig = EPNConfig()
     # transformer
     gt_input_dim: int = 1024
@@ -126,6 +131,7 @@ class SE3ETModel(nn.Module):
                 config=c.epn,
                 num_stages=c.num_stages,
                 ones_input=c.ones_features,
+                remat=c.backbone_remat,
             )
         else:
             self.backbone_net = KPConvFPN(
@@ -200,6 +206,13 @@ class SE3ETModel(nn.Module):
         # production shapes, dominated by XLA's TopK over (Nc, Nf)).
         if "node_knn_indices" in data and (
             data["node_knn_indices"].shape[-1] == c.num_points_in_patch
+            # the pipeline builds the partition for ITS OWN (fine=1,
+            # coarse=num_stages-1) stages — verify the node/point dims match
+            # this model's stage choice before trusting it (a num_stages
+            # mismatch with a coincidentally equal patch_k would silently
+            # partition against the wrong node set)
+            and data["node_knn_indices"].shape[-2] == points_c.shape[1]
+            and data["patch_node_masks"].shape[-1] == points_c.shape[1]
         ):
             node_masks = data["patch_node_masks"]
             knn_idx = data["node_knn_indices"]

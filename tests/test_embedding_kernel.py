@@ -35,3 +35,43 @@ def test_chebyshev_table_accuracy():
     )
     got = np.cos(theta[:, None] * np.arange(a.shape[0])[None, :]) @ a
     assert np.abs(got - want).max() < 2e-4
+
+
+def test_chunked_embedding_matches_unchunked():
+    """The train-path row-chunked embedding (lax.map + per-block checkpoint,
+    n >= 256) equals the one-shot formulation bit-for-bit up to fp32 noise."""
+    from se3et_tpu.ops import geometry
+
+    rng = np.random.RandomState(0)
+    b, n, c, k = 2, 256, 32, 3
+    pts = jnp.asarray(rng.uniform(-1, 1, size=(b, n, 3)), jnp.float32)
+    masks = jnp.asarray(np.ones((b, n), bool))
+    mod = GeometricStructureEmbedding(c, 0.2, 15.0, k, kanchor=1)
+    params = mod.init(jax.random.PRNGKey(0), pts, masks)
+    got = np.asarray(mod.apply(params, pts, masks)[0])  # n=256 -> chunked
+
+    p = params["params"]
+    sq = geometry.pairwise_distance(pts, pts)
+    dist = jnp.sqrt(sq)
+    _, knn = jax.lax.top_k(-sq, k + 1)
+    knn_pts = jnp.take_along_axis(
+        pts, knn[:, :, 1:].reshape(b, n * k, 1), axis=1
+    ).reshape(b, n, k, 3)
+    ref_v = knn_pts - pts[:, :, None, :]
+    anc = pts[:, None, :, :] - pts[:, :, None, :]
+    cross = jnp.cross(ref_v[:, :, None], anc[:, :, :, None])
+    ang = jnp.arctan2(
+        jnp.linalg.norm(cross, axis=-1),
+        (ref_v[:, :, None] * anc[:, :, :, None]).sum(-1),
+    ) * (180.0 / (15.0 * np.pi))
+    div = jnp.exp(jnp.arange(0, c, 2) * (-np.log(10000.0) / c))
+
+    def sinu(idx):
+        a = idx[..., None] * div
+        return jnp.concatenate([jnp.sin(a), jnp.cos(a)], -1)
+
+    want = (
+        sinu(dist / 0.2) @ p["proj_d_kernel"] + p["proj_d_bias"]
+        + (sinu(ang) @ p["proj_a_kernel"] + p["proj_a_bias"]).max(3)
+    )
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=1e-5)
