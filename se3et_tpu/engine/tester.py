@@ -80,17 +80,39 @@ class Tester:
         return summary
 
     def _save_pair(self, out, data, meta, benchmark, index):
-        """Per-pair dump mirroring ``test.py:65-92``."""
+        """Per-pair dump mirroring ``test.py:65-92``.
+
+        Node-level arrays (coarse points/features, predicted and gt node
+        correspondences) live in the padded node index space; the valid-node
+        masks are dumped alongside so offline consumers can subset.
+        """
         scene = meta.get("scene_name") or meta.get("seq_id") or "scene"
         scene_dir = osp.join(self.feature_dir, benchmark, str(scene))
         os.makedirs(scene_dir, exist_ok=True)
         ref_frame = meta.get("ref_frame", index)
         src_frame = meta.get("src_frame", index)
+        coarse = self.model_cfg.num_stages - 1
         cv = np.asarray(out["corr_valid"])
+        nv = np.asarray(out["node_corr_valid"])
+        # gt node correspondences: overlap above the evaluator's threshold
+        # (reference get_node_correspondences keeps overlap > 0,
+        # eval.py:139-149 consumes the index pairs)
+        gt_pairs = np.argwhere(
+            np.asarray(out["gt_overlap_mat"]) > self.eval_cfg.acceptance_overlap
+        ).astype(np.int32)
         np.savez_compressed(
             osp.join(scene_dir, f"{ref_frame}_{src_frame}.npz"),
             ref_points=np.asarray(data["points_0"][0])[np.asarray(data["masks_0"][0])],
             src_points=np.asarray(data["points_0"][1])[np.asarray(data["masks_0"][1])],
+            ref_points_c=np.asarray(data[f"points_{coarse}"][0]),
+            src_points_c=np.asarray(data[f"points_{coarse}"][1]),
+            ref_node_masks=np.asarray(out["ref_node_masks"]),
+            src_node_masks=np.asarray(out["src_node_masks"]),
+            ref_feats_c=np.asarray(out["ref_feats_c"]),
+            src_feats_c=np.asarray(out["src_feats_c"]),
+            ref_node_corr_indices=np.asarray(out["ref_node_corr_indices"])[nv],
+            src_node_corr_indices=np.asarray(out["src_node_corr_indices"])[nv],
+            gt_node_corr_indices=gt_pairs,
             ref_corr_points=np.asarray(out["ref_corr_points"])[cv],
             src_corr_points=np.asarray(out["src_corr_points"])[cv],
             corr_scores=np.asarray(out["corr_scores"])[cv],
@@ -159,6 +181,18 @@ def evaluate_benchmark(
             )
             rre, rte = bench_lib.compute_registration_error(gt, est)
             board = scene_metrics[scene]
+            if "gt_node_corr_indices" in d:  # round-3 dumps carry node corrs
+                pir = bench_lib.compute_sparse_precision(
+                    d["ref_node_corr_indices"], d["src_node_corr_indices"],
+                    d["gt_node_corr_indices"],
+                )
+                # coarse precision + matching-recall thresholds
+                # (reference eval.py:139-149, 244-253)
+                board.update("PIR", pir)
+                board.update("PMR>0", float(pir > 0))
+                board.update("PMR>=0.1", float(pir >= 0.1))
+                board.update("PMR>=0.3", float(pir >= 0.3))
+                board.update("PMR>=0.5", float(pir >= 0.5))
             board.update("IR", ir)
             board.update("FMR", float(ir >= inlier_ratio_threshold))
             board.update("RRE", rre)
@@ -166,6 +200,8 @@ def evaluate_benchmark(
             if kitti_registration:
                 rr = float(rre < rre_threshold and rte < rte_threshold)
                 board.update("RR", rr)
+                if "gt_node_corr_indices" in d:
+                    pair_board.update("PIR", pir)
                 pair_board.update("IR", ir)
                 pair_board.update("FMR", float(ir >= inlier_ratio_threshold))
                 pair_board.update("RRE", rre)

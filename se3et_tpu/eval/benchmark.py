@@ -140,6 +140,20 @@ def compute_inlier_ratio(ref_corr, src_corr, transform, positive_radius=0.1):
     return float(np.mean(residual < positive_radius)) if len(residual) else 0.0
 
 
+def compute_sparse_precision(ref_corr_indices, src_corr_indices,
+                             gt_corr_indices):
+    """Coarse node-correspondence precision (PIR): fraction of *distinct*
+    predicted node pairs that are in the gt pair set
+    (``utils/registration.py:253-281`` evaluate_sparse_correspondences —
+    the reference dedupes via 0/1 indicator matrices)."""
+    pred = {(int(r), int(s))
+            for r, s in zip(ref_corr_indices, src_corr_indices)}
+    gt = {(int(r), int(s)) for r, s in np.asarray(gt_corr_indices)}
+    if not pred:
+        return 0.0
+    return len(pred & gt) / len(pred)
+
+
 def compute_overlap(ref_points, src_points, transform, positive_radius=0.1):
     """Fraction of ref points with an aligned src point within radius."""
     from scipy.spatial import cKDTree

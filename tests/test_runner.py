@@ -71,6 +71,10 @@ def test_trainval_test_eval_roundtrip(tmp_path, monkeypatch):
     result = runner.run_eval(cfg, ["--benchmark", "test", "--method", "svd"])
     assert "overall" in result
     assert np.isfinite(result["overall"]["RRE"])
+    # offline coarse metrics (reference eval.py:139-149, 244-253)
+    for key in ("PIR", "PMR>0", "PMR>=0.1", "PMR>=0.3", "PMR>=0.5"):
+        assert key in result["overall"], key
+        assert 0.0 <= result["overall"][key] <= 1.0
 
     result_ransac = runner.run_eval(cfg, ["--benchmark", "test", "--method", "ransac"])
     assert np.isfinite(result_ransac["overall"]["RRE"])
