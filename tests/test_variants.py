@@ -43,6 +43,102 @@ def test_variant_modes_run_and_are_finite(mode, kwargs):
         np.testing.assert_allclose(np.asarray(aux["attn_w"]).sum(-1), 1.0, atol=1e-4)
 
 
+def _numpy_reference_rsoft(q, k, v, trace, *, positive="sq", summ="mean",
+                           on_sub=False, adj0=None, multihead=False,
+                           num_corr=256):
+    """Direct numpy transcription of the reference r_soft chain
+    (``vanilla_transformer.py:284-300`` local scores / on_sub subset,
+    ``:379-454`` head-mean -> positive -> mean/double_norm pooling,
+    ``:536-575`` rotation fold + normalize, ``:810-846`` softmax ->
+    attn_r-weighted sum over rotations).  q, k, v: (B, A, H, N|M, c)."""
+    b, a, h, n, c = q.shape
+    m = k.shape[3]
+    s_ae = np.einsum("bahnc,behmc->baehnm", q, k) / np.sqrt(c)
+    sub = [0, adj0] if on_sub else list(range(a))
+    s_sub = s_ae[:, sub]
+    g = s_sub if multihead else s_sub.mean(3, keepdims=True)
+    assert positive == "sq"
+    g = g**2
+    if summ == "mean":
+        attn_ae = g.mean((-2, -1))  # (B, A', E, H')
+    else:  # double_norm (vanilla_transformer.py:432-441)
+        ref_n = g / g.sum(-1, keepdims=True)
+        src_n = g / g.sum(-2, keepdims=True)
+        ms = (ref_n * src_n).reshape(*g.shape[:-2], -1)
+        kk = min(num_corr, ms.shape[-1])
+        top = np.sort(ms, axis=-1)[..., ::-1][..., :kk]
+        attn_ae = top.mean(-1)
+    nr = trace.shape[0]
+    cols = trace[:, sub]  # (R, A')
+    attn_ar = np.stack(
+        [attn_ae[:, np.arange(len(sub)), cols[r]] for r in range(nr)], axis=1
+    )  # (B, R, A', H')
+    attn_r = attn_ar.mean(2)  # (B, R, H')
+    attn_r = attn_r / attn_r.sum(1, keepdims=True)
+    out = np.zeros((b, a, h, n, c))
+    for r in range(nr):
+        for ai in range(a):
+            e = trace[r, ai]
+            s = s_ae[:, ai, e]  # (B, H, N, M)
+            sm = np.exp(s - s.max(-1, keepdims=True))
+            sm = sm / sm.sum(-1, keepdims=True)
+            w = attn_r[:, r]  # (B, H') with H'=H or 1
+            out[:, ai] += w[:, :, None, None] * np.einsum(
+                "bhnm,bhmc->bhnc", sm, v[:, e]
+            )
+    # merge heads (B, A, N, H*c)
+    return np.moveaxis(out, 2, 3).reshape(b, a, n, h * c)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(),
+        dict(attn_r_summ="double_norm"),
+        dict(attn_on_sub=True),
+        dict(attn_r_multihead=True),
+        dict(attn_r_summ="double_norm", attn_on_sub=True,
+             attn_r_multihead=True),
+    ],
+)
+def test_rsoft_variants_match_reference_transcription(kwargs):
+    """Golden semantics check: every variant switch reproduces the reference
+    math on a hand-computable case (full rotation expansion, no masks)."""
+    from se3et_tpu.core import anchors as anchor_lib
+
+    b, a, n, m, d, h = 1, 6, 4, 5, 8, 2
+    rng = np.random.RandomState(7)
+    iq = jnp.asarray(rng.randn(b, a, n, d), jnp.float32)
+    ik = jnp.asarray(rng.randn(b, a, m, d), jnp.float32)
+    iv = jnp.asarray(rng.randn(b, a, m, d), jnp.float32)
+    attn = MultiHeadAttentionEQ(d, h, attn_mode="r_soft", kanchor=6,
+                                num_correspondences=9, **kwargs)
+    params = attn.init(jax.random.PRNGKey(0), iq, ik, iv)
+    got, _ = attn.apply(params, iq, ik, iv)
+
+    p = params["params"]
+    def project(x, lin):
+        y = np.asarray(x) @ np.asarray(p[lin]["kernel"]) + np.asarray(
+            p[lin]["bias"]
+        )
+        # split heads: (B, A, N, H*c) -> (B, A, H, N, c)
+        ch = d // h
+        y = y.reshape(*y.shape[:-1], h, ch)
+        return np.moveaxis(y, -2, -3)
+
+    space = anchor_lib.get_anchor_space(6, 4)
+    want = _numpy_reference_rsoft(
+        project(iq, "TorchLinear_0"), project(ik, "TorchLinear_1"),
+        project(iv, "TorchLinear_2"), np.asarray(space.trace_idx_ori),
+        summ=kwargs.get("attn_r_summ", "mean"),
+        on_sub=kwargs.get("attn_on_sub", False),
+        adj0=int(space.v_adjs[0, 0]),
+        multihead=kwargs.get("attn_r_multihead", False),
+        num_corr=9,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
 def test_double_norm_differs_from_mean_pooling():
     q, k, v, km, qm = _inputs(seed=3)
     out = {}
