@@ -61,10 +61,24 @@ def make_batched_train_step(model, loss_cfg, tx):
     With the batch sharded over a 1-D mesh and params replicated, XLA
     partitions the vmapped model per pair and all-reduces the gradients —
     pure data parallelism over ICI.
+
+    An optional ``pair_weights`` (P,) float entry in the batch turns the mean
+    into a weighted mean — weight 0 masks a pair out entirely (exact: its
+    gradient contribution is zero).  The trainer uses this to pad a trailing
+    partial batch up to the device count so ONE jitted signature serves the
+    whole epoch (no second production-size compile for leftovers).
     """
 
     def train_step(params, opt_state, batch, rng):
+        batch = dict(batch)
+        weights = batch.pop("pair_weights", None)
         num_pairs = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        if weights is None:
+            weights = jnp.ones((num_pairs,), jnp.float32)
+        wsum = jnp.maximum(jnp.sum(weights), 1e-9)
+
+        def wmean(x):
+            return jnp.sum(weights * x) / wsum
 
         def pair_loss(p, data, key):
             out = model.apply(
@@ -78,7 +92,7 @@ def make_batched_train_step(model, loss_cfg, tx):
             totals, losses = jax.vmap(pair_loss, in_axes=(None, 0, 0))(
                 p, batch, keys
             )
-            return jnp.mean(totals), jax.tree_util.tree_map(jnp.mean, losses)
+            return wmean(totals), jax.tree_util.tree_map(wmean, losses)
 
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, new_opt = tx.update(grads, opt_state, params)

@@ -278,20 +278,34 @@ class Trainer:
         nd = self._dp.num_devices
         pending = []
         steps = 0
-        for data in loader:
-            pending.append(data)
-            if len(pending) < nd:
-                continue
-            batch = self._dp.shard_batch(stack_pairs(pending))
-            pending = []
+
+        def run_batch(pairs, rng):
+            # A trailing partial batch is padded with repeats of its last pair
+            # at weight 0 — the weighted mean in make_batched_train_step makes
+            # the padding's gradient contribution exactly zero, and ONE jitted
+            # signature serves the whole epoch (no second production-size
+            # executable for leftovers).
+            n_real = len(pairs)
+            pairs = pairs + [pairs[-1]] * (nd - n_real)
+            batch = stack_pairs(pairs)
+            batch["pair_weights"] = (np.arange(nd) < n_real).astype(np.float32)
+            batch = self._dp.shard_batch(batch)
             rng, sub = jax.random.split(rng)
             sub = jax.device_put(sub, self._dp.replicated_sharding())
             self.params, self.opt_state, losses = self._dp_train_step(
                 self.params, self.opt_state, batch, sub
             )
             self.iteration += 1
-            steps += 1
             board.update_from_dict({k: float(v) for k, v in losses.items()})
+            return rng
+
+        for data in loader:
+            pending.append(data)
+            if len(pending) < nd:
+                continue
+            rng = run_batch(pending, rng)
+            pending = []
+            steps += 1
             if steps % self.log_steps == 0:
                 self.logger.info(
                     f"epoch {self.epoch} step {steps} (x{nd} pairs): {board.format()}"
@@ -299,15 +313,8 @@ class Trainer:
                 self.metrics_writer.add_dict(
                     board.summary(), self.iteration, prefix="train/"
                 )
-        # leftovers smaller than a full device batch: single-pair steps
-        for data in pending:
-            data = {k: jnp.asarray(v) for k, v in data.items()}
-            rng, sub = jax.random.split(rng)
-            self.params, self.opt_state, losses = self._train_step(
-                self.params, self.opt_state, data, sub
-            )
-            self.iteration += 1
-            board.update_from_dict({k: float(v) for k, v in losses.items()})
+        if pending:
+            rng = run_batch(pending, rng)
         self.metrics_writer.flush()
         return board.summary()
 

@@ -157,3 +157,60 @@ def test_batched_train_step_on_mesh(micro_setup):
     # and the step actually moved them
     old_leaf = jax.tree_util.tree_leaves(params)[0]
     assert not np.allclose(np.asarray(vals[0]), np.asarray(old_leaf))
+
+
+def test_padded_leftover_batch_matches_unpadded(micro_setup):
+    """A trailing partial batch padded to the device count with weight-0
+    repeats (trainer._train_epoch_dp) produces EXACTLY the update of the
+    unpadded partial batch — padding content contributes zero gradient."""
+    from se3et_tpu.engine.steps import make_batched_train_step
+    from se3et_tpu.experiments import make_cfg
+    from se3et_tpu.nn.init_util import jit_init
+
+    model, batch = micro_setup
+    one = {k: jnp.asarray(v[0]) for k, v in batch.items()}
+    params = jit_init(
+        model,
+        {"params": jax.random.PRNGKey(0), "targets": jax.random.PRNGKey(1)},
+        one, train=True, with_registration=False,
+    )
+    loss_cfg = dataclasses.replace(
+        make_cfg("se3ete.3dmatch").loss, fine_positive_radius=0.2
+    )
+    tx = optax.sgd(1e-2)
+    opt = tx.init(params)
+    step = jax.jit(make_batched_train_step(model, loss_cfg, tx))
+    rng = jax.random.PRNGKey(11)
+
+    # the per-pair RNG keys are prefix-stable across batch sizes -- the
+    # padded-8 and unpadded-5 runs see identical keys for the real pairs
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.split(rng, 8)[:5]),
+        np.asarray(jax.random.split(rng, 5)),
+    )
+
+    n_real = 5
+    real = {k: v[:n_real] for k, v in batch.items()}
+    ref_params, _, ref_losses = step(params, opt, real, rng)
+
+    padded = {k: np.concatenate([v[:n_real]] + [v[n_real - 1:n_real]] * 3, 0)
+              for k, v in batch.items()}
+    padded["pair_weights"] = (np.arange(8) < n_real).astype(np.float32)
+    got_params, _, got_losses = step(params, opt, padded, rng)
+
+    # padding with DIFFERENT content must not change anything either
+    padded2 = {k: np.concatenate([v[:n_real], v[n_real:]], 0)
+               for k, v in batch.items()}
+    padded2["pair_weights"] = padded["pair_weights"]
+    got2_params, _, _ = step(params, opt, padded2, rng)
+
+    for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                    jax.tree_util.tree_leaves(got_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(got_params),
+                    jax.tree_util.tree_leaves(got2_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(ref_losses["loss"]),
+                               float(got_losses["loss"]), rtol=1e-5)

@@ -130,15 +130,18 @@ def test_backbone_fused_matches_unfused():
         ones_input=True,
     )
     params = net.init(jax.random.PRNGKey(0), data["features"], data)
+    pipe.WINDOW_DROP_STATS.clear()
     ff_ref, fc_ref = net.apply(params, data["features"], data, fused=False)
     ff_got, fc_got = net.apply(params, data["features"], data, fused=True)
-    # fused path: one-hot matmul accumulation order + ~1e-5 double-bf16
-    # influence noise, amplified through 9 conv layers / group norms — well
-    # below the bf16 activation noise of the real inference path
+    # fused path: the influence kernel's double-bf16 coordinate windows carry
+    # ~2^-18 relative reconstruction error (~1e-5 per-layer influence noise),
+    # amplified through 9 conv layers / group norms.  Measured max abs error
+    # at this config: 3.0e-3 (ff) / 6.5e-3 (fc) with ZERO window drops —
+    # bounds are ~2x that, so a real divergence above ~1% relative fails.
     np.testing.assert_allclose(np.asarray(ff_got), np.asarray(ff_ref),
-                               rtol=5e-2, atol=1e-2)
+                               rtol=2e-2, atol=6e-3)
     np.testing.assert_allclose(np.asarray(fc_got), np.asarray(fc_ref),
-                               rtol=5e-2, atol=1e-2)
+                               rtol=2e-2, atol=1.3e-2)
 
 
 def test_cap_truncation_unbiased_and_counted():
