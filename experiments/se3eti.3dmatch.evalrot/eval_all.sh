@@ -1,0 +1,7 @@
+#!/bin/sh
+# reference experiments/se3eti.3dmatch.evalrot/eval_all.sh
+python eval.py --benchmark=3DLoMatch --method=lgr
+
+for n in 5000 2500 1000 500 250; do
+    python eval.py --num_corr=$n --benchmark=3DLoMatch --method=ransac
+done

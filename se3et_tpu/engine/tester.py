@@ -136,6 +136,8 @@ def evaluate_benchmark(
     kitti_registration: bool = False,
     gt_root: str | None = None,
     ransac_kwargs: dict | None = None,
+    num_corr: int | None = None,
+    pairwise_registration: bool = False,
 ):
     """Offline evaluation over per-pair dumps (port of ``eval.py``).
 
@@ -148,6 +150,12 @@ def evaluate_benchmark(
     KITTI protocol (``kitti_registration=True``): RR = (RRE < rre_threshold
     AND RTE < rte_threshold), averaged over all pairs with no scene grouping
     (``se3eti.kitti/eval.py:120-140``).
+
+    ``num_corr`` keeps only the top-scoring correspondences before
+    registration/metrics (reference ``eval.py:101-105`` --num_corr, used by
+    the eval.sh RANSAC sweeps).  ``pairwise_registration`` switches pair RR
+    to the RRE/RTE-threshold acceptance the reference's ``eval_dgr.py``
+    uses (``eval_dgr.py:180-186``) while keeping scene grouping.
     """
     root = osp.join(feature_dir, benchmark)
     scene_metrics = defaultdict(lambda: SummaryBoard())
@@ -159,6 +167,12 @@ def evaluate_benchmark(
         for fname in sorted(os.listdir(scene_dir)):
             d = np.load(osp.join(scene_dir, fname))
             ref_corr, src_corr = d["ref_corr_points"], d["src_corr_points"]
+            scores = d["corr_scores"]
+            if num_corr is not None and len(scores) > num_corr:
+                sel = np.argsort(-scores)[:num_corr]
+                ref_corr, src_corr, scores = (
+                    ref_corr[sel], src_corr[sel], scores[sel]
+                )
             gt = d["gt_transform"]
             if method == "lgr":
                 est = d["estimated_transform"]
@@ -170,7 +184,7 @@ def evaluate_benchmark(
                 est = np.asarray(
                     se3.weighted_procrustes(
                         jnp.asarray(src_corr), jnp.asarray(ref_corr),
-                        jnp.asarray(d["corr_scores"]),
+                        jnp.asarray(scores),
                     )
                 )
             else:
@@ -207,6 +221,11 @@ def evaluate_benchmark(
                 pair_board.update("RRE", rre)
                 pair_board.update("RTE", rte)
                 pair_board.update("RR", rr)
+            elif pairwise_registration:
+                # eval_dgr protocol: threshold acceptance, scene-grouped
+                board.update(
+                    "RR", float(rre < rre_threshold and rte < rte_threshold)
+                )
             else:
                 # realignment RMSE RR
                 src_points = d["src_points"]

@@ -288,11 +288,19 @@ def run_test(cfg: ExperimentConfig, argv=None):
     return tester.run(loader(), benchmark=benchmark)
 
 
-def run_eval(cfg: ExperimentConfig, argv=None):
+def run_eval(cfg: ExperimentConfig, argv=None, pairwise: bool = False):
+    """Offline eval over feature dumps (reference ``eval.py``; with
+    ``pairwise=True``, the ``eval_dgr.py`` RRE/RTE-acceptance protocol)."""
     parser = argparse.ArgumentParser()
     parser.add_argument("--benchmark", type=str, default=None)
     parser.add_argument("--method", type=str, default="lgr",
                         choices=["lgr", "ransac", "svd"])
+    parser.add_argument("--num_corr", type=int, default=None,
+                        help="keep only the top-N scoring correspondences")
+    parser.add_argument("--test_epoch", type=int, default=None,
+                        help="accepted for reference-CLI parity (dumps are "
+                        "per-benchmark, not per-epoch)")
+    parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
     benchmark = args.benchmark or cfg.data.benchmarks[0]
     gt_root = osp.join(cfg.data.dataset_root, "metadata", "benchmarks", benchmark)
@@ -309,11 +317,18 @@ def run_eval(cfg: ExperimentConfig, argv=None):
             num_points=cfg.eval.ransac_num_points,
             num_iterations=cfg.eval.ransac_num_iterations,
         ),
+        num_corr=args.num_corr,
+        pairwise_registration=pairwise,
     )
     logger = get_logger()
     for scene, vals in result.items():
         logger.info(f"{scene}: " + ", ".join(f"{k}={v:.4f}" for k, v in vals.items()))
     return result
+
+
+def run_eval_dgr(cfg: ExperimentConfig, argv=None):
+    """Reference ``eval_dgr.py``: same dumps, per-pair RRE/RTE acceptance."""
+    return run_eval(cfg, argv, pairwise=True)
 
 
 def run_demo(cfg: ExperimentConfig, argv=None):
@@ -323,6 +338,9 @@ def run_demo(cfg: ExperimentConfig, argv=None):
     parser.add_argument("--src_file", type=str, default=None)
     parser.add_argument("--ref_file", type=str, default=None)
     parser.add_argument("--gt_file", type=str, default=None)
+    parser.add_argument("--out_dir", type=str, default=None,
+                        help="where to write the demo PLYs "
+                        "(default <output_dir>/demo)")
     args = parser.parse_args(argv)
 
     import jax
@@ -360,6 +378,10 @@ def run_demo(cfg: ExperimentConfig, argv=None):
     def forward(p, data):
         return model.apply(p, data, train=False, with_registration=True)
 
+    from se3et_tpu.utils import pointcloud_io as pc_io
+
+    out_dir = args.out_dir or osp.join(cfg.output_dir, "demo")
+    os.makedirs(out_dir, exist_ok=True)
     for tag, rot in (("original", np.eye(3)),
                      ("rotated src", np.asarray(
                          ds_lib.random_sample_rotation_v2(np.random.RandomState(3))))):
@@ -372,4 +394,25 @@ def run_demo(cfg: ExperimentConfig, argv=None):
             jnp.asarray(gt_r), out["estimated_transform"]
         )
         logger.info(f"demo [{tag}]: RRE {float(rre):.3f} deg, RTE {float(rte):.3f} m")
+        if tag == "original":
+            # visual artifacts (reference demo.py:103-156 renders these live;
+            # headless here, so write PLYs): raw pair, registered pair with
+            # the ESTIMATED transform applied to src, and correspondences
+            est = np.asarray(out["estimated_transform"])
+            cv = np.asarray(out["corr_valid"])
+            src_reg = src_r @ est[:3, :3].T + est[:3, 3]
+            red = np.tile([[220, 60, 60]], (len(ref), 1)).astype(np.uint8)
+            blue = np.tile([[60, 100, 220]], (len(src_r), 1)).astype(np.uint8)
+            pc_io.write_ply(osp.join(out_dir, "pair_raw.ply"),
+                            np.concatenate([ref, src_r]),
+                            np.concatenate([red, blue]))
+            pc_io.write_ply(osp.join(out_dir, "pair_registered.ply"),
+                            np.concatenate([ref, src_reg]),
+                            np.concatenate([red, blue]))
+            pc_io.write_correspondence_ply(
+                osp.join(out_dir, "correspondences.ply"),
+                np.asarray(out["ref_corr_points"])[cv],
+                np.asarray(out["src_corr_points"])[cv],
+            )
+            logger.info(f"demo artifacts written to {out_dir}")
     return float(rre), float(rte)

@@ -41,11 +41,20 @@ def test_all_reference_experiments_resolve():
 
 
 def test_all_experiment_dirs_have_cli_scripts():
+    """Every dir mirrors the reference's script surface, including the shell
+    wrappers and eval_dgr.py exactly where the reference ships them."""
+    ref_root = "/root/reference/experiments"
     for name in REFERENCE_EXPERIMENTS:
         d = osp.join(REPO, "experiments", name)
         assert osp.isdir(d), name
         for script in ("config.py", "trainval.py", "test.py", "eval.py", "demo.py"):
             assert osp.isfile(osp.join(d, script)), f"{name}/{script}"
+        ref_dir = osp.join(ref_root, name)
+        if osp.isdir(ref_dir):
+            for script in ("eval.sh", "eval_all.sh", "eval_dgr.py",
+                           "find_failure_case.sh"):
+                if osp.isfile(osp.join(ref_dir, script)):
+                    assert osp.isfile(osp.join(d, script)), f"{name}/{script}"
 
 
 def test_geotransformer_kitti_config_matches_reference():

@@ -76,5 +76,17 @@ def test_trainval_test_eval_roundtrip(tmp_path, monkeypatch):
         assert key in result["overall"], key
         assert 0.0 <= result["overall"][key] <= 1.0
 
-    result_ransac = runner.run_eval(cfg, ["--benchmark", "test", "--method", "ransac"])
+    result_ransac = runner.run_eval(
+        cfg, ["--benchmark", "test", "--method", "ransac", "--num_corr", "8"]
+    )
     assert np.isfinite(result_ransac["overall"]["RRE"])
+
+    # eval_dgr protocol: pairwise RRE/RTE acceptance over the same dumps
+    result_dgr = runner.run_eval_dgr(cfg, ["--benchmark", "test", "--method", "svd"])
+    assert "RR" in result_dgr["overall"]
+    assert "RMSE" not in result_dgr["overall"]
+
+    # demo writes registered-pair + correspondence artifacts
+    runner.run_demo(cfg, ["--snapshot", osp.join(outdir, "snapshots", "latest")])
+    for f in ("pair_raw.ply", "pair_registered.ply", "correspondences.ply"):
+        assert osp.isfile(osp.join(outdir, "demo", f)), f
