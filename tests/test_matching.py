@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from se3et_tpu.core import se3
 from se3et_tpu.nn import matching as M
@@ -228,3 +229,83 @@ def test_global_topk_inf_masked():
     want_vt, want_it = jax.lax.top_k(tiny, 64)
     got_vt, got_it = global_topk(tiny, 64)
     assert set(np.asarray(got_it).tolist()) == set(np.asarray(want_it).tolist())
+
+
+@pytest.mark.slow
+def test_node_correspondences_shortlist_covers_kitti_geometry():
+    """VERDICT r2 #9: the gt_candidates=48 nearest-node shortlist is argued
+    exact because patch diameters are a few voxels; measure that claim at
+    5-stage KITTI densities (voxel 0.3, radius x10 family, coarse cap 1000,
+    patch_k 128) instead of inheriting it.  For every ref node, every src
+    node with nonzero patch overlap must rank inside the shortlist."""
+    from se3et_tpu.data.datasets import SyntheticPairDataset
+    from se3et_tpu.data.pipeline import build_pair_pyramid
+    from se3et_tpu.experiments import make_cfg
+
+    cfg = make_cfg("se3eti.kitti")
+    mc = cfg.model
+    assert cfg.pipeline.patch_k == mc.num_points_in_patch
+    worst_rank = -1
+    for seed in (5, 17):
+        item = SyntheticPairDataset(
+            num_pairs=1, num_points=cfg.data.point_limit, extent=20.0,
+            seed=seed,
+        )[0]
+        data = build_pair_pyramid(
+            item["ref_points"], item["src_points"], item["transform"],
+            cfg.pipeline,
+        )
+        coarse = cfg.pipeline.num_stages - 1
+        nodes = np.asarray(data[f"points_{coarse}"])
+        node_masks = np.asarray(data["patch_node_masks"])
+        knn_idx = np.asarray(data["node_knn_indices"])
+        knn_masks = np.asarray(data["node_knn_masks"])
+        fine = np.asarray(data["points_1"])
+        tf = np.asarray(item["transform"])
+        r = mc.ground_truth_matching_radius
+
+        # aligned src geometry (sentinel index = Nf -> pad row, masked out)
+        pad = np.zeros((1, 3), np.float32)
+        ref_knn = np.concatenate([fine[0], pad])[knn_idx[0]]
+        src_pts = fine[1] @ tf[:3, :3].T + tf[:3, 3]
+        src_knn = np.concatenate([src_pts, pad])[knn_idx[1]]
+        src_nodes = nodes[1] @ tf[:3, :3].T + tf[:3, 3]
+
+        ref_valid = np.where(node_masks[0])[0]
+        src_valid = node_masks[1]
+        d_nodes = np.linalg.norm(
+            nodes[0][:, None] - src_nodes[None, :], axis=-1
+        )
+        d_nodes[:, ~src_valid] = np.inf
+        ref_rad = np.where(knn_masks[0],
+                           np.linalg.norm(ref_knn - nodes[0][:, None], axis=-1),
+                           0.0).max(1)
+        src_rad = np.where(knn_masks[1],
+                           np.linalg.norm(src_knn - src_nodes[:, None], axis=-1),
+                           0.0).max(1)
+
+        for i in ref_valid:
+            cand = np.where(
+                src_valid & (d_nodes[i] < ref_rad[i] + src_rad + r)
+            )[0]
+            if len(cand) == 0:
+                continue
+            d2 = np.sum(
+                (ref_knn[i][None, :, None, :] - src_knn[cand][:, None, :, :])
+                ** 2, axis=-1,
+            )  # (C, K, K)
+            pm = knn_masks[0][i][None, :, None] & knn_masks[1][cand][:, None, :]
+            overlapping = cand[np.any((d2 < r * r) & pm, axis=(1, 2))]
+            if len(overlapping) == 0:
+                continue
+            order = np.argsort(d_nodes[i])
+            ranks = np.searchsorted(
+                d_nodes[i][order], d_nodes[i][overlapping], side="left"
+            )
+            worst_rank = max(worst_rank, int(ranks.max()))
+    # measured bound: every overlapping pair sits well inside the shortlist
+    assert worst_rank >= 0, "generator produced no overlapping patches"
+    assert worst_rank < mc.gt_candidates, (
+        f"shortlist miss: overlapping src node at distance rank {worst_rank} "
+        f">= gt_candidates={mc.gt_candidates}"
+    )
