@@ -220,9 +220,66 @@ class MultiHeadAttentionEQ(nn.Module):
         quotient = {3: 1, 4: 3, 6: 4, 12: 5}[self.kanchor]
         return anchor_lib.get_anchor_space(self.kanchor, quotient)
 
+    def _flash_path(self, q, k, v, key_masks, q_masks, trace_ori):
+        """Flash-kernel route for a_soft / r_soft (mean pooling, all-anchor,
+        head-averaged): stats pass -> tiny (A, E) weight math -> apply pass.
+        Exactness-tested against the XLA formulation (test_attention.py)."""
+        from se3et_tpu.ops.pallas import eq_attention as flash
+
+        a = self.kanchor
+        qs, ks, vs = q[0], k[0], v[0]  # (A, H, N/M, c)
+        qm = (q_masks[0] if q_masks is not None
+              else jnp.ones((q.shape[-2],), bool))
+        km = (key_masks[0] if key_masks is not None
+              else jnp.ones((k.shape[-2],), bool))
+        interp = jax.default_backend() != "tpu"
+        aux = {}
+
+        if self.with_rot_supervision:
+            iq = 1.0 / (jnp.linalg.norm(q, axis=(-2, -1)) + 1e-9)  # (1, A, H)
+            ik = 1.0 / (jnp.linalg.norm(k, axis=(-2, -1)) + 1e-9)
+            rowmax, rowsum, attn_ae, sup = flash.eq_attention_stats(
+                qs, ks, qm, km, iq[0][..., None], ik[0][..., None],
+                positive=self.attn_r_positive, with_sup=True,
+                interpret=interp,
+            )
+            aux["attn_matrix"] = _positive(
+                sup, self.attn_r_positive_rot_supervise
+            )[None]
+        else:
+            rowmax, rowsum, attn_ae = flash.eq_attention_stats(
+                qs, ks, qm, km, positive=self.attn_r_positive,
+                interpret=interp,
+            )
+
+        if self.attn_mode == "a_soft":
+            w_ae = attn_ae / (jnp.sum(attn_ae, axis=1, keepdims=True) + 1e-9)
+            aux["attn_w"] = w_ae[None]
+        else:  # r_soft: fold anchor pairs into rotations via the trace table
+            nr = trace_ori.shape[0]
+            a_ids = jnp.broadcast_to(jnp.arange(a)[None, :], (nr, a))
+            attn_r = jnp.mean(attn_ae[a_ids, trace_ori], axis=1)  # (R,)
+            attn_r = attn_r / (jnp.sum(attn_r) + 1e-9)
+            onehot = jax.nn.one_hot(trace_ori, a, dtype=attn_r.dtype)
+            w_ae = jnp.einsum("r,rae->ae", attn_r, onehot)
+            aux["attn_w"] = attn_r[None]
+
+        hidden = flash.eq_attention_apply(
+            qs, ks, vs, w_ae, rowmax, rowsum, km, interpret=interp
+        ).astype(v.dtype)[None]
+        return _merge_heads(hidden), aux
+
     @nn.compact
-    def __call__(self, input_q, input_k, input_v, key_masks=None, q_masks=None):
-        """inputs: (B, A, N/M, C); key_masks/q_masks: (B, M)/(B, N) True=valid."""
+    def __call__(self, input_q, input_k, input_v, key_masks=None, q_masks=None,
+                 use_flash=False):
+        """inputs: (B, A, N/M, C); key_masks/q_masks: (B, M)/(B, N) True=valid.
+
+        ``use_flash`` (serving path): route a_soft/r_soft through the Pallas
+        flash kernels (``ops/pallas/eq_attention.py``) — no (A, E, H, N, M)
+        score materialization.  Falls back to the XLA formulation for modes
+        the kernel does not cover (and always for training, which needs
+        autodiff through this block).
+        """
         h = self.num_heads
         dh = self.d_model // h
         a = self.kanchor
@@ -235,6 +292,18 @@ class MultiHeadAttentionEQ(nn.Module):
         v = _split_heads(TorchLinear(self.d_model)(input_v), h)
 
         scale = 1.0 / np.sqrt(dh)
+
+        flash_ok = (
+            use_flash
+            and self.attn_mode in ("a_soft", "r_soft")
+            and self.attn_r_summ == "mean"
+            and not self.attn_on_sub
+            and not self.attn_r_multihead
+            and q.shape[0] == 1
+            and (not self.with_rot_supervision or self.attn_mode == "r_soft")
+        )
+        if flash_ok:
+            return self._flash_path(q, k, v, key_masks, q_masks, trace_ori)
         s_ae = jnp.einsum("bahnc,behmc->baehnm", q, k, precision=prec.feature()) * scale
 
         pair_mask = None
@@ -431,7 +500,7 @@ class AttentionLayer(nn.Module):
 
     @nn.compact
     def __call__(self, input_states, memory_states, value_states=None,
-                 memory_masks=None, q_masks=None):
+                 memory_masks=None, q_masks=None, use_flash=False):
         if value_states is None:
             value_states = memory_states
         if self.equivariant:
@@ -445,7 +514,7 @@ class AttentionLayer(nn.Module):
             )
             hidden, aux = attention(
                 input_states, memory_states, value_states,
-                key_masks=memory_masks, q_masks=q_masks,
+                key_masks=memory_masks, q_masks=q_masks, use_flash=use_flash,
             )
         else:
             attention = MultiHeadAttention(self.d_model, self.num_heads)
@@ -478,7 +547,7 @@ class TransformerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, input_states, memory_states, value_states=None,
-                 memory_masks=None, q_masks=None):
+                 memory_masks=None, q_masks=None, use_flash=False):
         hidden, aux = AttentionLayer(
             self.d_model, self.num_heads, equivariant=self.equivariant,
             attn_mode=self.attn_mode, kanchor=self.kanchor,
@@ -487,7 +556,8 @@ class TransformerLayer(nn.Module):
             with_rot_supervision=self.with_rot_supervision,
             attn_r_summ=self.attn_r_summ, attn_on_sub=self.attn_on_sub,
             attn_r_multihead=self.attn_r_multihead,
-        )(input_states, memory_states, value_states, memory_masks, q_masks)
+        )(input_states, memory_states, value_states, memory_masks, q_masks,
+          use_flash=use_flash)
         return AttentionOutput(self.d_model, self.activation_fn)(hidden), aux
 
 

@@ -264,8 +264,10 @@ class SE3ETModel(nn.Module):
             ref_masks=masks_c[0][None], src_masks=masks_c[1][None],
             ref_normal=None if normals_c is None else normals_c[0][None],
             src_normal=None if normals_c is None else normals_c[1][None],
-            # tile-fused Pallas embedding on the inference path (no VJP)
+            # tile-fused Pallas embedding + flash EQ-cross attention on the
+            # inference path (no VJP; training keeps the XLA formulations)
             fused_embedding=not train,
+            fused_attention=not train,
         )
         out["attn_matrix0"] = am0
         out["attn_matrix1"] = am1

@@ -187,7 +187,7 @@ class RPEConditionalTransformer(nn.Module):
 
     def __call__(self, feats0, feats1, embeddings0, embeddings1, masks0=None,
                  masks1=None, equiv_embed0=None, equiv_embed1=None,
-                 ref_normal=None, src_normal=None):
+                 ref_normal=None, src_normal=None, use_flash=False):
         """feats: (B, A, N, C) equivariant or (B, N, C) invariant coarse feats."""
         feats0_eq = feats1_eq = None
         attn_matrix0 = attn_matrix1 = None
@@ -233,10 +233,12 @@ class RPEConditionalTransformer(nn.Module):
 
             aux0 = aux1 = None
             feats0_new, aux0 = layer(
-                feats0, feats1, memory_masks=masks1, q_masks=masks0
+                feats0, feats1, memory_masks=masks1, q_masks=masks0,
+                use_flash=use_flash,
             )
             feats1_new, aux1 = layer(
-                feats1, feats0, memory_masks=masks0, q_masks=masks1
+                feats1, feats0, memory_masks=masks0, q_masks=masks1,
+                use_flash=use_flash,
             )
             feats0, feats1 = feats0_new, feats1_new
 
@@ -301,7 +303,8 @@ class GeometricTransformer(nn.Module):
     @nn.compact
     def __call__(self, ref_points, src_points, ref_feats, src_feats,
                  ref_masks=None, src_masks=None, ref_normal=None,
-                 src_normal=None, fused_embedding=False):
+                 src_normal=None, fused_embedding=False,
+                 fused_attention=False):
         """points: (B, N, 3); feats: (B, N, C_in) or (B, N, A, C_in).
 
         Returns (ref_out, src_out, ref_feat_m, src_feat_m, attn_matrix0,
@@ -360,5 +363,6 @@ class GeometricTransformer(nn.Module):
             f0, f1, ref_emb, src_emb, masks0=ref_masks, masks1=src_masks,
             equiv_embed0=ref_eq_emb, equiv_embed1=src_eq_emb,
             ref_normal=ref_normal, src_normal=src_normal,
+            use_flash=fused_attention,
         )
         return out_proj(f0), out_proj(f1), ref_feat_m, src_feat_m, am0, am1

@@ -171,3 +171,44 @@ def test_r_soft_collapse_equals_rotation_expansion():
             )
     want = hidden.transpose(0, 1, 3, 2, 4).reshape(b, a, n, c)
     np.testing.assert_allclose(np.asarray(out), want, rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("mode,sup", [
+    ("a_soft", False), ("r_soft", False), ("r_soft", True),
+])
+def test_flash_eq_attention_matches_xla_path(mode, sup):
+    """The Pallas flash route (stats + apply kernels, interpret mode on CPU)
+    reproduces the XLA formulation: outputs, pooled weights, and the
+    rotation-supervision matrix."""
+    rng = np.random.RandomState(3)
+    b, a, n, m, c = 1, 6, 24, 28, 16
+    attn = A.MultiHeadAttentionEQ(
+        d_model=c, num_heads=2, attn_mode=mode, kanchor=a,
+        with_rot_supervision=sup,
+    )
+    q = jnp.asarray(rng.normal(size=(b, a, n, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, a, m, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, a, m, c)).astype(np.float32))
+    key_masks = jnp.asarray((np.arange(m) < m - 5)[None])
+    q_masks = jnp.asarray((np.arange(n) < n - 3)[None])
+    params = attn.init(jax.random.PRNGKey(0), q, k, v, key_masks, q_masks)
+
+    out_ref, aux_ref = attn.apply(params, q, k, v, key_masks, q_masks)
+    out_fl, aux_fl = attn.apply(
+        params, q, k, v, key_masks, q_masks, use_flash=True
+    )
+    # padded query rows carry garbage on both paths; compare valid rows
+    vr = np.asarray(q_masks[0])
+    np.testing.assert_allclose(
+        np.asarray(out_fl)[:, :, vr], np.asarray(out_ref)[:, :, vr],
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_fl["attn_w"]), np.asarray(aux_ref["attn_w"]),
+        rtol=1e-4, atol=1e-6,
+    )
+    if sup:
+        np.testing.assert_allclose(
+            np.asarray(aux_fl["attn_matrix"]),
+            np.asarray(aux_ref["attn_matrix"]), rtol=1e-4, atol=1e-6,
+        )
