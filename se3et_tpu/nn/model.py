@@ -58,11 +58,12 @@ class ModelConfig:
     # GroupNorm statistics across the ref+src pair (the reference's stacked
     # semantics) instead of per cloud — ablation knob, see BENCH.md
     gn_joint_stats: bool = False
-    # per-stage jax.checkpoint in the backbone: required for the production
-    # se3ete.3dmatch train step to fit 16 GB HBM (see E2PNBackbone.remat).
-    # Affects training memory/compute only; forward-only inference is
-    # untouched.
-    backbone_remat: bool = True
+    # per-stage jax.checkpoint in the backbone (see E2PNBackbone.remat).
+    # With the row-chunked geometric embedding the production se3ete.3dmatch
+    # train step fits 16 GB HBM without remat and runs ~16% faster (measured
+    # 1035 vs 1205 ms/step, BENCH.md round 3), so the default is off; flip on
+    # for larger-than-registered shapes.  Training only; inference untouched.
+    backbone_remat: bool = False
     epn: EPNConfig = EPNConfig()
     # transformer
     gt_input_dim: int = 1024
