@@ -88,13 +88,15 @@ def _stats_kernel(q_ref, k_ref, qm_ref, km_ref, sup_q_ref, sup_k_ref,
 
     g = _positive(hacc * (1.0 / num_heads), positive)
     g = g * qmask[:, None] * kmask[None, :]
-    gsum_ref[0, 0, 0] = jnp.sum(g)
+    # scalar partials broadcast into one (8, 128) tile: Mosaic requires
+    # output block minor dims divisible by (8, 128); 590 KB total at A=E=6
+    gsum_ref[0, 0, 0] = jnp.broadcast_to(jnp.sum(g), (8, 128))
     if with_sup:
         sup = jnp.where(
             (qmask[:, None] > 0) & (kmask[None, :] > 0),
             supacc * (1.0 / num_heads), _NEG,
         )
-        supmax_ref[0, 0, 0] = jnp.max(sup)
+        supmax_ref[0, 0, 0] = jnp.broadcast_to(jnp.max(sup), (8, 128))
 
 
 def _apply_kernel(q_ref, k_ref, v_ref, w_ref, rowmax_ref, rowsum_ref, km_ref,
@@ -102,14 +104,16 @@ def _apply_kernel(q_ref, k_ref, v_ref, w_ref, rowmax_ref, rowsum_ref, km_ref,
     """Per-(a, n-block), key anchors e innermost: accumulate the weighted
     softmax-attention output without materializing scores."""
     e = pl.program_id(2)
-    a = pl.program_id(0)
     kmask = km_ref[0]  # (M,)
 
     @pl.when(e == 0)
     def _init():
         acc[:] = jnp.zeros_like(acc)
 
-    w = w_ref[a, e]  # scalar
+    # w_ae arrives as a grid-indexed (8, 128) broadcast tile — a dynamic
+    # lane index into a raw (A, E) array cannot be lowered (Mosaic requires
+    # lane indices provably multiple-of-128)
+    w = w_ref[0, 0, 0, 0]
     for h in range(num_heads):
         s = jax.lax.dot_general(
             q_ref[0, h], k_ref[0, h],
@@ -196,26 +200,28 @@ def eq_attention_stats(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, h, bn), lambda i, j, t: (i, j, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda i, j, t: (i, j, t),
+            pl.BlockSpec((1, 1, 1, 8, 128), lambda i, j, t: (i, j, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda i, j, t: (i, j, t),
+            pl.BlockSpec((1, 1, 1, 8, 128), lambda i, j, t: (i, j, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((a, e, h, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((a, e, h, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((a, e, nb), jnp.float32),
-            jax.ShapeDtypeStruct((a, e, nb), jnp.float32),
+            jax.ShapeDtypeStruct((a, e, nb, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((a, e, nb, 8, 128), jnp.float32),
         ],
         interpret=interpret,
     )(qp, kp, qm, km, sup_q, sup_k)
 
     counts = jnp.sum(q_masks) * jnp.sum(k_masks)
-    attn_ae = jnp.sum(gsum, axis=-1) / (counts.astype(jnp.float32) + 1e-9)
+    attn_ae = jnp.sum(gsum[..., 0, 0], axis=-1) / (
+        counts.astype(jnp.float32) + 1e-9
+    )
     rowmax = rowmax[..., :n]
     rowsum = rowsum[..., :n]
     if with_sup:
-        return rowmax, rowsum, attn_ae, jnp.max(supmax, axis=-1)
+        return rowmax, rowsum, attn_ae, jnp.max(supmax[..., 0, 0], axis=-1)
     return rowmax, rowsum, attn_ae
 
 
@@ -254,7 +260,8 @@ def eq_attention_apply(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, m_pad, c), lambda i, t, j: (j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_ae (A, E) whole
+            pl.BlockSpec((1, 1, 8, 128), lambda i, t, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),  # w_ae broadcast tiles
             pl.BlockSpec((1, 1, h, bn), lambda i, t, j: (i, j, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, h, bn), lambda i, t, j: (i, j, 0, t),
@@ -267,6 +274,10 @@ def eq_attention_apply(
         out_shape=jax.ShapeDtypeStruct((a, h, n_pad, c), jnp.float32),
         scratch_shapes=[pltpu.VMEM((h, bn, c), jnp.float32)],
         interpret=interpret,
-    )(qp, kp, vp, w_ae.astype(jnp.float32), rmx, rsm, km)
+    )(qp, kp, vp,
+      jnp.broadcast_to(
+          w_ae.astype(jnp.float32)[:, :, None, None], (a, e, 8, 128)
+      ),
+      rmx, rsm, km)
 
     return out[:, :, :n]
