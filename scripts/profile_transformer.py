@@ -95,7 +95,7 @@ def main():
         feats_inv, emb, masks[:1],
     )
 
-    # --- EQ cross blocks ---
+    # --- EQ cross blocks (XLA path and, for a/r_soft, the flash kernels) ---
     for mode in ("a_soft", "r_soft", "a_best", "r_best"):
         layer = TransformerLayer(d, h, equivariant=True, attn_mode=mode, kanchor=a)
         p_l = jax.jit(lambda layer=layer: layer.init(
@@ -108,6 +108,14 @@ def main():
             )[0],
             feats_eq, masks[:1],
         )
+        if mode in ("a_soft", "r_soft"):
+            bench(
+                f"cross_{mode} (EQ, flash)",
+                lambda f, m, layer=layer, p_l=p_l: layer.apply(
+                    p_l, f, f, None, m, m, use_flash=True
+                )[0],
+                feats_eq, masks[:1],
+            )
 
     # --- plain cross (invariant) ---
     cross = TransformerLayer(d, h, equivariant=False)

@@ -286,7 +286,7 @@ def registration_ransac_from_correspondences(
         rr = vt2.T @ d2 @ u2.T
         tt = ref_in.mean(0) - rr @ src_in.mean(0)
     else:
-        rr, tt = r[best_idx], t[best_idx]
+        rr, tt = best_r, best_t
     out = np.eye(4, dtype=np.float32)
     out[:3, :3] = rr
     out[:3, 3] = tt
