@@ -118,7 +118,12 @@ def main():
             out = forward_batched(params, batch)
         sync(out)
         dt = time.time() - t0
-        pairs_per_sec = max(pairs_per_sec, reps * batch_size / dt)
+        batched_pps = reps * batch_size / dt
+        print(
+            f"batch={batch_size}: {dt / reps * 1000:.1f} ms/batch "
+            f"({batched_pps:.2f} pairs/s)", file=sys.stderr,
+        )
+        pairs_per_sec = max(pairs_per_sec, batched_pps)
 
     record = {
         "metric": "pairs_per_sec_per_chip",
