@@ -77,7 +77,8 @@ def main():
         rows = raw_sets[key]
         budget = None
         rate_at = {}
-        for nseg in range(2, args.max_nseg + 1, 2):
+        step = max(128 // pipe.WINDOW_SSEG, 1)  # keep W on a 128-lane boundary
+        for nseg in range(step, args.max_nseg + 1, step):
             dropped = total = 0
             for nbr, cap_s in rows:
                 pipe.WINDOW_DROP_STATS.clear()

@@ -60,7 +60,7 @@ class PyramidConfig:
     # ``subsampling_{s}`` — so the whole backbone runs gather-free.  Morton
     # ordering keeps per-block segment occupancy low; overflow drops are
     # counted in :data:`WINDOW_DROP_STATS`.
-    window_segments: int = 28
+    window_segments: int = 56
     # per-set overrides: ((set_key, nseg), ...) — kernel cost scales with the
     # window width, and the drop-rate/width tradeoff differs per set (coarser
     # stages spread neighbors over more Morton segments).  Set from measured
@@ -184,9 +184,12 @@ def build_cloud_pyramid(
 WINDOW_QSEG = 128  # query rows per window block (kernel grid granularity)
 # Source rows per window segment.  Finer than the query block: halving the
 # segment size from 128 cut the summed window width W (= kernel cost, linear
-# in W) by ~25-35% at matched drop rates — neighbors of a 128-query Morton
-# block concentrate in sub-128-row runs of the Morton-sorted source stage.
-WINDOW_SSEG = 64
+# in W) by ~25-35% at matched drop rates, and 64 -> 32 a further ~15-20% —
+# neighbors of a 128-query Morton block concentrate in short runs of the
+# Morton-sorted source stage, so finer segments capture them with fewer
+# wasted rows.  Keep per-set budgets multiples of (128 // WINDOW_SSEG) so W
+# stays on a 128-lane boundary inside the kernels.
+WINDOW_SSEG = 32
 
 # aggregate window-overflow accounting: {stage_key: [dropped, total]}
 WINDOW_DROP_STATS: dict[str, list[int]] = {}

@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 QSEG = 128  # query rows per window block; must match pipeline.WINDOW_QSEG
-SSEG = 64  # source rows per window segment; must match pipeline.WINDOW_SSEG
+SSEG = 32  # source rows per window segment; must match pipeline.WINDOW_SSEG
 
 
 def segment_window_gather(x, seg_idx, precision=None):

@@ -49,7 +49,7 @@ def test_windowed_conv_matches_gather_path():
     cfg = pipe.PyramidConfig(
         num_stages=2, voxel_size=0.1, search_radius=0.25,
         neighbor_limits=(10, 10), stage_caps=(512, 192), coarse_point_cap=192,
-        window_segments=3,
+        window_segments=6,
     )
     pipe.WINDOW_DROP_STATS.clear()
     data = pipe.build_pair_pyramid(
@@ -118,7 +118,7 @@ def test_backbone_fused_matches_unfused():
     cfg = pipe.PyramidConfig(
         num_stages=3, voxel_size=0.12, search_radius=0.3,
         neighbor_limits=(10, 10, 10), stage_caps=(384, 160, 64),
-        coarse_point_cap=64, window_segments=8,
+        coarse_point_cap=64, window_segments=16,
     )
     data = pipe.build_pair_pyramid(
         item["ref_points"], item["src_points"], item["transform"], cfg
