@@ -334,6 +334,30 @@ def nearest_upsample(x, upsample_indices):
     return jnp.where((idx < num_s)[..., None], out, 0.0)
 
 
+def knn_interpolate(s_feats, q_points, s_points, neighbor_indices, k,
+                    eps=1e-8):
+    """Inverse-squared-distance KNN feature interpolation (the reference's
+    ``KNNInterpolate`` k>1 decoder mode, ``kpconv/functional.py:25-52``;
+    k=1 is :func:`nearest_upsample`).
+
+    s_feats: (B, M, C); q_points: (B, N, 3); s_points: (B, M, 3);
+    neighbor_indices: (B, N, X) distance-sorted with sentinel M -> (B, N, C).
+    """
+    num_s = s_feats.shape[1]
+    idx = neighbor_indices[:, :, :k]
+    safe = jnp.clip(idx, 0, num_s - 1)
+    knn_points = jnp.take_along_axis(
+        s_points, safe.reshape(idx.shape[0], -1, 1), axis=1
+    ).reshape(*idx.shape, 3)
+    knn_feats = jnp.take_along_axis(
+        s_feats, safe.reshape(idx.shape[0], -1, 1), axis=1
+    ).reshape(*idx.shape, s_feats.shape[-1])
+    sq = jnp.sum((q_points[:, :, None, :] - knn_points) ** 2, axis=-1)
+    w = (idx < num_s).astype(s_feats.dtype) / (sq + eps)
+    w = w / (jnp.sum(w, axis=-1, keepdims=True) + eps)
+    return jnp.sum(knn_feats * w[..., None], axis=2)
+
+
 class KPConvInterSO3Block(nn.Module):
     """Conv -> GroupNorm -> LeakyReLU (``blocks_epn.py:703-743``)."""
 

@@ -290,3 +290,44 @@ def test_host_point_to_node_matches_device():
         want = set(np.asarray(d_ki)[m][np.asarray(d_km)[m]].tolist())
         got = set(h_ki[m][h_km[m]].tolist())
         assert got == want, m
+
+
+def test_knn_interpolate_matches_reference_semantics():
+    """knn_interpolate: inverse-sq-distance weights over the first k ordered
+    neighbors, sentinel-masked (kpconv/functional.py:25-52); k=1 degenerates
+    to nearest_upsample."""
+    import jax.numpy as jnp
+
+    from se3et_tpu.nn.epn import knn_interpolate, nearest_upsample
+
+    rng = np.random.RandomState(0)
+    m, n, c = 6, 4, 3
+    s_pts = rng.uniform(-1, 1, (1, m, 3)).astype(np.float32)
+    q_pts = rng.uniform(-1, 1, (1, n, 3)).astype(np.float32)
+    s_f = rng.randn(1, m, c).astype(np.float32)
+    d = np.linalg.norm(q_pts[0][:, None] - s_pts[0][None], axis=-1)
+    order = np.argsort(d, axis=1).astype(np.int32)
+    nbr = order[:, :3][None]
+    # sentinel one slot of one query
+    nbr = nbr.copy()
+    nbr[0, 2, 2] = m
+
+    got = np.asarray(knn_interpolate(
+        jnp.asarray(s_f), jnp.asarray(q_pts), jnp.asarray(s_pts),
+        jnp.asarray(nbr), k=3,
+    ))
+    for i in range(n):
+        idx = nbr[0, i]
+        valid = idx < m
+        sq = np.sum((q_pts[0, i] - s_pts[0, np.clip(idx, 0, m - 1)]) ** 2, -1)
+        w = valid / (sq + 1e-8)
+        w = w / (w.sum() + 1e-8)
+        want = (s_f[0, np.clip(idx, 0, m - 1)] * w[:, None]).sum(0)
+        np.testing.assert_allclose(got[0, i], want, atol=1e-6)
+
+    k1 = np.asarray(knn_interpolate(
+        jnp.asarray(s_f), jnp.asarray(q_pts), jnp.asarray(s_pts),
+        jnp.asarray(nbr), k=1,
+    ))
+    nu = np.asarray(nearest_upsample(jnp.asarray(s_f), jnp.asarray(nbr)))
+    np.testing.assert_allclose(k1, nu, atol=1e-6)
