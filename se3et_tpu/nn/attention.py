@@ -252,9 +252,24 @@ class MultiHeadAttentionEQ(nn.Module):
                 interpret=interp,
             )
 
+        # all four modes collapse to ONE weighted-apply form
+        #   hidden[a] = sum_e w_ae[a, e] softmax(s[a, e]) @ v[e]
+        # (soft modes: normalized pooled weights; best modes: one-hot of the
+        # argmax anchor/rotation — softmax commutes with the gather)
         if self.attn_mode == "a_soft":
             w_ae = attn_ae / (jnp.sum(attn_ae, axis=1, keepdims=True) + 1e-9)
             aux["attn_w"] = w_ae[None]
+        elif self.attn_mode == "a_best":
+            idx = jnp.argmax(attn_ae, axis=1)  # (A,)
+            w_ae = jax.nn.one_hot(idx, a, dtype=jnp.float32)
+            aux["attn_idx"] = idx[None]
+        elif self.attn_mode == "r_best":
+            nr = trace_ori.shape[0]
+            a_ids = jnp.broadcast_to(jnp.arange(a)[None, :], (nr, a))
+            attn_r = jnp.mean(attn_ae[a_ids, trace_ori], axis=1)  # (R,)
+            perm = trace_ori[jnp.argmax(attn_r)]  # (A,)
+            w_ae = jax.nn.one_hot(perm, a, dtype=jnp.float32)
+            aux["attn_idx"] = perm[None]
         else:  # r_soft: fold anchor pairs into rotations via the trace table
             nr = trace_ori.shape[0]
             a_ids = jnp.broadcast_to(jnp.arange(a)[None, :], (nr, a))
@@ -295,12 +310,13 @@ class MultiHeadAttentionEQ(nn.Module):
 
         flash_ok = (
             use_flash
-            and self.attn_mode in ("a_soft", "r_soft")
+            and self.attn_mode in ("a_soft", "r_soft", "a_best", "r_best")
             and self.attn_r_summ == "mean"
             and not self.attn_on_sub
             and not self.attn_r_multihead
             and q.shape[0] == 1
-            and (not self.with_rot_supervision or self.attn_mode == "r_soft")
+            and (not self.with_rot_supervision
+                 or self.attn_mode in ("r_soft", "r_best"))
         )
         if flash_ok:
             return self._flash_path(q, k, v, key_masks, q_masks, trace_ori)

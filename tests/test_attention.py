@@ -175,6 +175,7 @@ def test_r_soft_collapse_equals_rotation_expansion():
 
 @pytest.mark.parametrize("mode,sup", [
     ("a_soft", False), ("r_soft", False), ("r_soft", True),
+    ("a_best", False), ("r_best", False), ("r_best", True),
 ])
 def test_flash_eq_attention_matches_xla_path(mode, sup):
     """The Pallas flash route (stats + apply kernels, interpret mode on CPU)
@@ -203,10 +204,15 @@ def test_flash_eq_attention_matches_xla_path(mode, sup):
         np.asarray(out_fl)[:, :, vr], np.asarray(out_ref)[:, :, vr],
         rtol=2e-4, atol=2e-5,
     )
-    np.testing.assert_allclose(
-        np.asarray(aux_fl["attn_w"]), np.asarray(aux_ref["attn_w"]),
-        rtol=1e-4, atol=1e-6,
-    )
+    if "attn_w" in aux_ref:
+        np.testing.assert_allclose(
+            np.asarray(aux_fl["attn_w"]), np.asarray(aux_ref["attn_w"]),
+            rtol=1e-4, atol=1e-6,
+        )
+    else:
+        np.testing.assert_array_equal(
+            np.asarray(aux_fl["attn_idx"]), np.asarray(aux_ref["attn_idx"])
+        )
     if sup:
         np.testing.assert_allclose(
             np.asarray(aux_fl["attn_matrix"]),
