@@ -45,7 +45,8 @@ def main():
     # a handful of distinct synthetic pairs at the dataset point_limit
     num_pairs = 4
     datas = [
-        graft._example_pair(pipeline, num_points=cfg.data.point_limit, seed=i)
+        graft._example_pair(pipeline, num_points=cfg.data.point_limit, seed=i,
+                            model_cfg=model_cfg)
         for i in range(num_pairs)
     ]
     datas = [{k: jax.numpy.asarray(v) for k, v in d.items()} for d in datas]
@@ -70,7 +71,8 @@ def main():
     if batch_size > 1:
         batch = stack_pairs(
             [
-                graft._example_pair(pipeline, num_points=cfg.data.point_limit, seed=i)
+                graft._example_pair(pipeline, num_points=cfg.data.point_limit,
+                                    seed=i, model_cfg=model_cfg)
                 for i in range(batch_size)
             ]
         )

@@ -128,10 +128,13 @@ def _build_and_run(args, pcfg, mcfg, lcfg, ecfg):
     )
 
     def build(ds, i):
+        from se3et_tpu.data.influence import precompute_influence
+
         item = ds[i]
         d = pipeline.build_pair_pyramid(
             item["ref_points"], item["src_points"], item["transform"], pcfg
         )
+        precompute_influence(d, mcfg)
         return {k: jnp.asarray(v) for k, v in d.items()}
 
     print("building pyramids...", flush=True)

@@ -1,0 +1,103 @@
+r"""Host-side precompute of kernel-point influence weights.
+
+Influence weights are *pure geometry*: ``w[n, h, k] = f_sigma(|nbr - q -
+kernel_point_k|)`` depends only on point coordinates, the (fixed) kernel
+dispositions, and the per-stage radius/sigma schedule — never on parameters.
+Like the point-to-node partition (round 2), they therefore belong on the
+host data path, not the device: precomputing them
+
+* removes every influence kernel from the serving graph (~17-33 ms/pair of
+  the backbone section, BENCH.md), and from the train step;
+* is *more exact* than the fused device path (fp32 host math vs the
+  double-bf16 coordinate windows' ~2^-18 relative reconstruction noise);
+* pipelines with device compute in serving (host builds pair i+1's
+  geometry while the chip runs pair i).
+
+Cost: ~50 MB/pair extra HBM at production 3DMatch shapes (fp16 on the
+wire, cast to the compute dtype on device) and ~0.5 s/pair of vectorized
+numpy (amortized across loader workers).
+
+Mirrors ``nn/epn._influence_weights`` (reference ``blocks_epn.py:341-366``)
+and both backbones' shared radius schedule: same-level sets at
+``(2^(st-1)) * 2 * init`` (stage 0: ``init``), strided sets at
+``2^(st-1) * init``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from se3et_tpu.core import kernel_points as kp_lib
+
+
+def _kernel_points_for(model_cfg, radius: float) -> np.ndarray:
+    epn = model_cfg.epn
+    if model_cfg.backbone != "e2pn" or epn.kanchor == 1:
+        return kp_lib.load_kernels(
+            radius, model_cfg.kernel_size, dimension=3, fixed="center",
+            equiv_mode=True,
+        )
+    if epn.fixed_kernel_points == "verticals":
+        return kp_lib.so2_symmetric_kernel_points(
+            radius, epn.num_kernel_points, epn.kanchor * epn.quotient_factor
+        )
+    return kp_lib.equivariant_kernel_points(
+        radius, epn.num_kernel_points, epn.kanchor, epn.quotient_factor
+    )
+
+
+def _influence_np(q_points, s_points, neighbor_indices, kernel_points, sigma,
+                  mode: str) -> np.ndarray:
+    """Numpy mirror of ``nn/epn._influence_weights`` (fp32, batched)."""
+    num_s = s_points.shape[1]
+    safe = np.clip(neighbor_indices, 0, num_s - 1)
+    b = q_points.shape[0]
+    nbr = np.stack([s_points[i][safe[i]] for i in range(b)])  # (B, Nq, H, 3)
+    valid = neighbor_indices < num_s
+    rel = nbr - q_points[:, :, None, :]
+    rel2 = np.sum(rel**2, axis=-1, keepdims=True)
+    cross = np.einsum("bnhc,kc->bnhk", rel, kernel_points)
+    kp2 = np.sum(kernel_points**2, axis=-1)
+    sq = np.maximum(rel2 - 2.0 * cross + kp2, 0.0)
+    if mode == "linear":
+        w = np.maximum(1.0 - np.sqrt(sq) / sigma, 0.0)
+    elif mode == "constant":
+        w = np.ones_like(sq)
+    elif mode == "gaussian":
+        sig2 = (sigma * 0.3) ** 2
+        w = np.exp(-sq / (2.0 * sig2))
+    else:
+        raise ValueError(mode)
+    return (w * valid[..., None]).astype(np.float16)
+
+
+def precompute_influence(data: dict, model_cfg) -> dict:
+    """Add ``influence_same_{st}`` / ``influence_sub_{st}`` (B, Nq, H, K)
+    fp16 arrays to a pyramid dict for every conv neighbor set of
+    ``model_cfg``'s backbone.  Returns ``data`` (mutated)."""
+    if model_cfg.backbone not in ("e2pn", "kpconv"):
+        return data
+    r0, s0 = model_cfg.init_radius, model_cfg.init_sigma
+    mode = model_cfg.epn.kp_influence if model_cfg.backbone == "e2pn" else "linear"
+    num_stages = model_cfg.num_stages
+    pts = [np.asarray(data[f"points_{i}"], np.float32)
+           for i in range(num_stages)]
+
+    def one(radius, sigma, q, sup, idx):
+        return _influence_np(
+            q, sup, np.asarray(idx), _kernel_points_for(model_cfg, radius),
+            sigma, mode,
+        )
+
+    data["influence_same_0"] = one(r0, s0, pts[0], pts[0], data["neighbors_0"])
+    for st in range(1, num_stages):
+        mult = 2 ** (st - 1)
+        data[f"influence_sub_{st}"] = one(
+            r0 * mult, s0 * mult, pts[st], pts[st - 1],
+            data[f"subsampling_{st - 1}"],
+        )
+        data[f"influence_same_{st}"] = one(
+            r0 * mult * 2, s0 * mult * 2, pts[st], pts[st],
+            data[f"neighbors_{st}"],
+        )
+    return data

@@ -16,6 +16,7 @@ import os.path as osp
 import numpy as np
 
 from se3et_tpu.data import datasets as ds_lib
+from se3et_tpu.data import influence as influence_lib
 from se3et_tpu.data import pipeline as pipe_lib
 from se3et_tpu.engine.tester import Tester, evaluate_benchmark
 from se3et_tpu.engine.trainer import Trainer
@@ -122,6 +123,9 @@ def pyramid_loader(dataset, cfg: ExperimentConfig, with_meta=False, workers=4):
         data = pipe_lib.build_pair_pyramid(
             item["ref_points"], item["src_points"], item["transform"], cfg.pipeline
         )
+        # geometry-only host precompute: conv influence weights (like the
+        # p2n partition) — zero device cost, fp32-exact
+        influence_lib.precompute_influence(data, cfg.model)
         meta = {k: v for k, v in item.items()
                 if k not in ("ref_points", "src_points", "transform")}
         return (data, meta) if with_meta else data
@@ -389,6 +393,7 @@ def run_demo(cfg: ExperimentConfig, argv=None):
         gt_r = gt.copy()
         gt_r[:3, :3] = gt[:3, :3] @ rot.T
         data = pipe_lib.build_pair_pyramid(ref, src_r, gt_r, cfg.pipeline)
+        influence_lib.precompute_influence(data, cfg.model)
         out = forward(params, {k: jnp.asarray(v) for k, v in data.items()})
         rre, rte = se3.isotropic_transform_error(
             jnp.asarray(gt_r), out["estimated_transform"]

@@ -631,13 +631,23 @@ class E2PNBackbone(nn.Module):
             local = pyramid.get(f"{set_name}_local_{st}")
             return None if segs is None else (segs, local)
 
-        def make_influence(radius, sigma, q, sup, idx, win):
+        def make_influence(radius, sigma, q, sup, idx, win, key=None):
             """Influence weights, shared by all convs of a (stage, set).
 
-            Fused path: computed by the windowed Pallas kernel from the
-            per-block coordinate windows — no per-row coordinate gathers.
-            Fallback: XLA formulation (row gathers, ~8.4 ns/row).
+            Host-precomputed path (``data/influence.py``, geometry-only like
+            the p2n partition): the pipeline ships (B, Nq, H, K) fp16
+            tensors — zero device cost, fp32-exact geometry.  Fused path:
+            computed by the windowed Pallas kernel from the per-block
+            coordinate windows — no per-row coordinate gathers.  Fallback:
+            XLA formulation (row gathers, ~8.4 ns/row).
             """
+            pre = None if key is None else pyramid.get(key)
+            if (
+                pre is not None
+                and pre.shape[:3] == idx.shape
+                and pre.shape[-1] == cfg.num_kernel_points
+            ):
+                return prec.cast_feature(pre)
             if win is not None:
                 from se3et_tpu.ops.pallas import windowed_conv as wc
 
@@ -664,16 +674,17 @@ class E2PNBackbone(nn.Module):
         ]
         inf_same = [None] * self.num_stages
         inf_sub = [None] * self.num_stages
-        inf_same[0] = make_influence(r, s, pts[0], pts[0], nbs[0], win_same[0])
+        inf_same[0] = make_influence(r, s, pts[0], pts[0], nbs[0], win_same[0],
+                                     key="influence_same_0")
         for st in range(1, self.num_stages):
             mult = 2 ** (st - 1)
             inf_sub[st] = make_influence(
                 r * mult, s * mult, pts[st], pts[st - 1], subs[st - 1],
-                win_sub[st],
+                win_sub[st], key=f"influence_sub_{st}",
             )
             inf_same[st] = make_influence(
                 r * mult * 2, s * mult * 2, pts[st], pts[st], nbs[st],
-                win_same[st],
+                win_same[st], key=f"influence_same_{st}",
             )
 
         Stage0 = nn.remat(_EPNStage0) if self.remat else _EPNStage0

@@ -159,20 +159,31 @@ class KPConvFPN(nn.Module):
         subs = [pyramid[f"subsampling_{i}"] for i in range(self.num_stages - 1)]
         ups = [pyramid[f"upsampling_{i}"] for i in range(self.num_stages - 1)]
 
-        def make_influence(radius, sigma, q, sup, idx):
+        def make_influence(radius, sigma, q, sup, idx, key):
+            # host-precomputed geometry fast path (data/influence.py)
+            pre = pyramid.get(key)
+            if (
+                pre is not None
+                and pre.shape[:3] == idx.shape
+                and pre.shape[-1] == self.kernel_size
+            ):
+                return prec.cast_feature(pre)
             kp = kp_lib.load_kernels(radius, self.kernel_size, dimension=3,
                                      fixed="center", equiv_mode=True)
             return _influence_weights(q, sup, idx, jnp.asarray(kp), sigma)
 
-        inf_same = [make_influence(r, s, pts[0], pts[0], nbs[0])]
+        inf_same = [make_influence(r, s, pts[0], pts[0], nbs[0],
+                                   "influence_same_0")]
         inf_sub = [None]
         for st in range(1, self.num_stages):
             mult = 2 ** (st - 1)
             inf_sub.append(
-                make_influence(r * mult, s * mult, pts[st], pts[st - 1], subs[st - 1])
+                make_influence(r * mult, s * mult, pts[st], pts[st - 1],
+                               subs[st - 1], f"influence_sub_{st}")
             )
             inf_same.append(
-                make_influence(r * mult * 2, s * mult * 2, pts[st], pts[st], nbs[st])
+                make_influence(r * mult * 2, s * mult * 2, pts[st], pts[st],
+                               nbs[st], f"influence_same_{st}")
             )
 
         x = ConvBlock(self.input_dim, d, self.kernel_size, r, s, self.group_norm)(

@@ -210,3 +210,101 @@ def test_kitti_window_budgets_drop_rate():
     """KITTI 5-stage budgets hold <= 1% drops at LiDAR scale (extent 20,
     matching runner.build_dataset's synthetic-fallback scale)."""
     _check_budget_drops("se3eti.kitti", extent=20.0, seed=123)
+
+
+def test_host_influence_matches_device_formulation():
+    """data/influence.py (numpy fp32 -> fp16) == nn/epn._influence_weights
+    for every conv set of a pyramid, within fp16 storage rounding."""
+    import jax.numpy as jnp
+
+    from se3et_tpu.core import kernel_points as kp_lib
+    from se3et_tpu.data.datasets import SyntheticPairDataset
+    from se3et_tpu.data.influence import precompute_influence
+    from se3et_tpu.experiments import make_cfg
+    from se3et_tpu.nn.epn import _influence_weights
+
+    cfg = make_cfg("se3ete.3dmatch")
+    item = SyntheticPairDataset(num_pairs=1, num_points=3000, seed=2)[0]
+    import dataclasses
+
+    pcfg = dataclasses.replace(
+        cfg.pipeline, stage_caps=(3000, 1500, 512, 256), coarse_point_cap=256
+    )
+    data = pipe.build_pair_pyramid(
+        item["ref_points"], item["src_points"], item["transform"], pcfg
+    )
+    precompute_influence(data, cfg.model)
+    mc, epn_cfg = cfg.model, cfg.model.epn
+    r0, s0 = mc.init_radius, mc.init_sigma
+
+    def device_ref(radius, sigma, q, sup, idx):
+        kp = kp_lib.equivariant_kernel_points(
+            radius, epn_cfg.num_kernel_points, epn_cfg.kanchor,
+            epn_cfg.quotient_factor,
+        )
+        return np.asarray(_influence_weights(
+            jnp.asarray(q), jnp.asarray(sup), jnp.asarray(idx),
+            jnp.asarray(kp), sigma, epn_cfg.kp_influence,
+        ))
+
+    pts = [np.asarray(data[f"points_{i}"]) for i in range(4)]
+    checks = [("influence_same_0", device_ref(r0, s0, pts[0], pts[0],
+                                              data["neighbors_0"]))]
+    for st in (1, 2, 3):
+        mult = 2 ** (st - 1)
+        checks.append((f"influence_sub_{st}", device_ref(
+            r0 * mult, s0 * mult, pts[st], pts[st - 1],
+            data[f"subsampling_{st - 1}"])))
+        checks.append((f"influence_same_{st}", device_ref(
+            r0 * mult * 2, s0 * mult * 2, pts[st], pts[st],
+            data[f"neighbors_{st}"])))
+    for key, want in checks:
+        got = np.asarray(data[key], np.float32)
+        assert got.shape == want.shape, key
+        np.testing.assert_allclose(got, want, atol=7e-4, err_msg=key)
+
+
+def test_model_with_host_influence_matches_without():
+    """Full backbone: host-precomputed influence == on-device influence to
+    fp16 storage noise."""
+    from se3et_tpu.data.datasets import SyntheticPairDataset
+    from se3et_tpu.data.influence import precompute_influence
+    from se3et_tpu.nn.epn import E2PNBackbone, EPNConfig
+    import jax
+    import jax.numpy as jnp
+
+    item = SyntheticPairDataset(num_pairs=1, num_points=500, seed=1)[0]
+    cfg = pipe.PyramidConfig(
+        num_stages=3, voxel_size=0.12, search_radius=0.3,
+        neighbor_limits=(10, 10, 10), stage_caps=(384, 160, 64),
+        coarse_point_cap=64, window_segments=16,
+    )
+    data = pipe.build_pair_pyramid(
+        item["ref_points"], item["src_points"], item["transform"], cfg
+    )
+    data = {k: jnp.asarray(v) for k, v in data.items()}
+    net = E2PNBackbone(
+        input_dim=1, output_dim=16, init_dim=8, init_radius=0.3,
+        init_sigma=0.24, group_norm=4,
+        config=EPNConfig(kanchor=6, quotient_factor=4),
+        num_stages=3, ones_input=True,
+    )
+    params = net.init(jax.random.PRNGKey(0), data["features"], data)
+    ff_ref, fc_ref = net.apply(params, data["features"], data, fused=False)
+
+    class MC:  # minimal model-config view for precompute_influence
+        backbone = "e2pn"
+        num_stages = 3
+        init_radius = 0.3
+        init_sigma = 0.24
+        kernel_size = 15
+        epn = EPNConfig(kanchor=6, quotient_factor=4)
+
+    host = {k: np.asarray(v) for k, v in data.items()}
+    precompute_influence(host, MC)
+    host = {k: jnp.asarray(v) for k, v in host.items()}
+    ff_got, fc_got = net.apply(params, host["features"], host, fused=False)
+    np.testing.assert_allclose(np.asarray(ff_got), np.asarray(ff_ref),
+                               rtol=2e-2, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(fc_got), np.asarray(fc_ref),
+                               rtol=2e-2, atol=1e-2)
