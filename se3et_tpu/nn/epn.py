@@ -160,6 +160,19 @@ class KPConvInterSO3(nn.Module):
             self.num_k_real = num_real
             self.wg_index = jnp.asarray(idx.astype(np.int32))  # (R=A, K, A)
 
+        if self.wg_index is not None and cfg.non_sep_conv:
+            # (KA, R*O) 0/1 class-reduction matrix for the factored weight
+            # contraction: column r*O+o selects the (k, a) pairs whose tied
+            # weight block is o for output anchor r
+            idx_np = np.asarray(self.wg_index)  # (R, K, A)
+            r_dim, kk, aa = idx_np.shape
+            num_o = self.num_weight_blocks
+            m = np.zeros((kk * aa, r_dim * num_o), np.float32)
+            for r in range(r_dim):
+                flat = idx_np[r].reshape(-1)  # (KA,) in (k, a) order
+                m[np.arange(kk * aa), r * num_o + flat] = 1.0
+            self.reduce_mats = jnp.asarray(m)
+
         k = cfg.num_kernel_points
         a = cfg.kanchor
         if cfg.kanchor == 1 or not cfg.non_sep_conv:
@@ -264,16 +277,30 @@ class KPConvInterSO3(nn.Module):
             )
             return out.astype(jnp.float32)
 
-        # Gathered effective weight: (R, K, A, Cin, Cout) -> matmul layout.
-        wg = prec.cast_feature(self.weights)[self.wg_index]  # (R, K, A, Cin, Cout)
+        # Factored weight contraction exploiting the steerability tying:
+        #   out[n, r, d] = sum_{k,a,c} wf[n,k,a,c] * W[wg_index[r,k,a], c, d]
+        #               = sum_{o,c} (sum_{ka: idx[r,ka]=o} wf[n,ka,c]) W[o,c,d]
+        # The (k,a) -> class reduction (one 0/1 matmul, inner KA=90) shrinks
+        # the main matmul's inner dim from K*A*Cin to O*Cin — O=27 (exact
+        # tying) / 36 (relaxed) vs KA=90 for the flagship config, a ~3x FLOP
+        # cut on what was the model's dominant matmul family.  Identical math
+        # to gathering the expanded (R, K, A, Cin, Cout) weight (regrouped
+        # summation; equivalence-tested).
         if wf_flat is None:
             wf_flat = wf.reshape(wf.shape[0], wf.shape[1], k * a * cin)
-        rhs = jnp.transpose(wg, (1, 2, 3, 0, 4)).reshape(
-            k * a * cin, a * self.out_channels
+        num_o = self.num_weight_blocks
+        wf_kac = wf_flat.reshape(wf_flat.shape[:2] + (k * a, cin))
+        reduce_m = prec.cast_feature(self.reduce_mats)  # (KA, R*O)
+        red = jnp.einsum(
+            "bnxc,xm->bnmc", wf_kac, reduce_m, precision=prec.feature()
+        ).reshape(wf_flat.shape[:2] + (a, num_o * cin))
+        out = jnp.einsum(
+            "bnrm,md->bnrd", red,
+            prec.cast_feature(self.weights).reshape(num_o * cin,
+                                                    self.out_channels),
+            precision=prec.feature(),
         )
-        out = jnp.einsum("bnm,mo->bno", wf_flat, rhs, precision=prec.feature())
-        out = out.astype(jnp.float32)
-        return out.reshape(out.shape[0], out.shape[1], a, self.out_channels)
+        return out.astype(jnp.float32)
 
 
 class KPConvIntraSO3(nn.Module):

@@ -168,3 +168,37 @@ def test_so2_mode_equivariance():
         out_r = np.asarray(_apply(conv, params, jnp.asarray(feats[:, :, perm]),
                                   jnp.asarray(pts_r), jnp.asarray(nbrs)))
         np.testing.assert_allclose(out_r[0], out[0][:, perm], rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("steer", ["exact", "relaxed"])
+def test_factored_weight_contraction_matches_expanded(steer):
+    """The class-reduction factored contraction == the expanded
+    (R, K, A, Cin, Cout) weight-gather formulation (regrouped summation)."""
+    import jax
+
+    from se3et_tpu.nn.epn import EPNConfig, KPConvInterSO3
+
+    rng = np.random.RandomState(0)
+    cfg = EPNConfig(kanchor=6, quotient_factor=4, steerability=steer)
+    n, h, cin, cout = 12, 5, 8, 16
+    conv = KPConvInterSO3(cin, cout, radius=0.5, sigma=0.4, config=cfg)
+    pts = jnp.asarray(rng.uniform(-1, 1, (1, n, 3)), jnp.float32)
+    nbr = jnp.asarray(rng.randint(0, n, (1, n, h)), jnp.int32)
+    x = jnp.asarray(rng.randn(1, n, 6, cin), jnp.float32)
+    params = conv.init(jax.random.PRNGKey(0), x, pts, pts, nbr)
+    got = np.asarray(conv.apply(params, x, pts, pts, nbr))
+
+    # explicit expanded-weight reference
+    bound = conv.bind(params)
+    from se3et_tpu.nn.epn import _influence_weights
+    w = np.asarray(_influence_weights(
+        pts, pts, nbr, bound.kernel_points, 0.4, cfg.kp_influence
+    ))
+    xs = np.asarray(x)
+    nbr_np = np.asarray(nbr)
+    nbr_x = xs[0][nbr_np[0]]  # (N, H, A, C)
+    wf = np.einsum("nhac,nhk->nkac", nbr_x, w[0])
+    weights = np.asarray(params["params"]["weights"])
+    wg = weights[np.asarray(bound.wg_index)]  # (R, K, A, Cin, Cout)
+    want = np.einsum("nkac,rkacd->nrd", wf, wg)
+    np.testing.assert_allclose(got[0], want, rtol=2e-4, atol=2e-4)
