@@ -48,6 +48,9 @@ def main(argv=None):
     data = build_pair_pyramid(
         item["ref_points"], item["src_points"], item["transform"], cfg.pipeline
     )
+    from se3et_tpu.data.influence import precompute_influence
+
+    precompute_influence(data, cfg.model)  # serving-path host geometry
     data = {k: jnp.asarray(v) for k, v in data.items()}
 
     model = SE3ETModel(c)
