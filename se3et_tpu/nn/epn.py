@@ -160,11 +160,12 @@ class KPConvInterSO3(nn.Module):
             self.num_k_real = num_real
             self.wg_index = jnp.asarray(idx.astype(np.int32))  # (R=A, K, A)
 
-        if self.wg_index is not None and cfg.non_sep_conv:
+        if cfg.kanchor != 1 and cfg.non_sep_conv:
             # (KA, R*O) 0/1 class-reduction matrix for the factored weight
             # contraction: column r*O+o selects the (k, a) pairs whose tied
-            # weight block is o for output anchor r
-            idx_np = np.asarray(self.wg_index)  # (R, K, A)
+            # weight block is o for output anchor r.  Built from the numpy
+            # table (setup may run under trace; jnp attrs become tracers).
+            idx_np = idx.astype(np.int64)  # (R, K, A)
             r_dim, kk, aa = idx_np.shape
             num_o = self.num_weight_blocks
             m = np.zeros((kk * aa, r_dim * num_o), np.float32)
