@@ -42,6 +42,8 @@ def main():
                         help="registered experiment name, e.g. se3eti.3dmatch")
     parser.add_argument("--val_every", type=int, default=0,
                         help="periodic validation interval (0 = only at end)")
+    parser.add_argument("--save_params", default="",
+                        help="pickle final params here for post-hoc eval")
     args = parser.parse_args()
 
     import jax
@@ -181,6 +183,15 @@ def _build_and_run(args, pcfg, mcfg, lcfg, ecfg):
             print(f"val @ step {i + 1}: "
                   + " ".join(f"{k}={v:.4f}" for k, v in mid.items()),
                   flush=True)
+
+    if args.save_params:
+        import pickle
+
+        import jax as _jax
+
+        with open(args.save_params, "wb") as f:
+            pickle.dump(_jax.device_get(params), f)
+        print(f"params saved to {args.save_params}", flush=True)
 
     after = validate(params)
     print("after training:", {k: round(v, 4) for k, v in after.items()}, flush=True)
