@@ -1,0 +1,86 @@
+"""In-graph section attribution via prefix timing.
+
+Each per-section jit carries the axon relay's per-dispatch bias (~0.6-12 ms,
+varies with relay load), which inflated the round-2/3 section tables.  This
+harness times PREFIXES of the full serving graph (via
+``SE3ETModel.__call__(stop_after=...)``) — every prefix pays the same single
+dispatch, so consecutive DIFFERENCES are unbiased in-graph section costs.
+
+Usage: python scripts/profile_prefix.py [--exp se3ete.3dmatch] [--reps 30]
+"""
+
+import argparse
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exp", default="se3ete.3dmatch")
+    ap.add_argument("--reps", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), ".jax_cache"),
+    )
+
+    import __graft_entry__ as graft
+    from se3et_tpu.experiments import make_cfg
+    from se3et_tpu.nn.init_util import jit_init
+    from se3et_tpu.nn.model import SE3ETModel
+
+    cfg = make_cfg(args.exp)
+    model = SE3ETModel(cfg.model)
+    data = graft._example_pair(
+        cfg.pipeline, num_points=cfg.data.point_limit, seed=0,
+        model_cfg=cfg.model,
+    )
+    data = {k: jnp.asarray(v) for k, v in data.items()}
+    rngs = {"params": jax.random.PRNGKey(0), "targets": jax.random.PRNGKey(1)}
+    params = jit_init(model, rngs, data, train=False, with_registration=False)
+
+    stages = ["backbone", "transformer", "matching", "sinkhorn", ""]
+    labels = ["backbone", "transformer+embedding", "superpoint match+gather",
+              "sinkhorn", "LGR"]
+
+    def run_prefix(stop):
+        fn = jax.jit(
+            lambda p, d: model.apply(
+                p, d, train=False, with_registration=(stop == ""),
+                with_gt=False, stop_after=stop,
+            )
+        )
+        out = fn(params, data)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf).ravel()[:1]
+        t0 = time.time()
+        for _ in range(args.reps):
+            out = fn(params, data)
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        return (time.time() - t0) / args.reps * 1000.0
+
+    times = []
+    for stop in stages:
+        t = run_prefix(stop)
+        times.append(t)
+        print(f"prefix through {stop or 'FULL':24s} {t:8.2f} ms", flush=True)
+
+    print("\nin-graph section costs (prefix deltas, dispatch bias cancelled):")
+    prev = 0.0
+    for label, t in zip(labels, times):
+        print(f"  {label:28s} {t - prev:8.2f} ms")
+        prev = t
+    print(f"  full graph                   {times[-1]:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -176,7 +176,12 @@ class SE3ETModel(nn.Module):
             )
 
     def __call__(self, data, train: bool = False, with_registration: bool = True,
-                 with_gt: bool = True):
+                 with_gt: bool = True, stop_after: str = ""):
+        # ``stop_after`` in {"backbone", "transformer", "matching",
+        # "sinkhorn"}: early-return for in-graph prefix profiling
+        # (scripts/profile_prefix.py) — differences between consecutive
+        # prefixes cancel the per-dispatch relay bias that inflates
+        # section-by-section timings.
         from se3et_tpu import precision as prec_mod
 
         c = self.cfg
@@ -255,6 +260,8 @@ class SE3ETModel(nn.Module):
         feats_f = feats_f.astype(jnp.float32)
         feats_c = feats_c.astype(jnp.float32)
         # feats_f: (2, Nf, C); feats_c: (2, Nc, [A,] C)
+        if stop_after == "backbone":
+            return {"feats_f": feats_f, "feats_c": feats_c}
 
         # 4. coarse transformer (batch of one pair)
         ref_in = feats_c[0][None]  # (1, Nc, [A,] C)
@@ -299,6 +306,8 @@ class SE3ETModel(nn.Module):
         out["src_feats_c"] = src_feats_c
         out["ref_feats_f"] = feats_f[0]
         out["src_feats_f"] = feats_f[1]
+        if stop_after == "transformer":
+            return out
 
         # 5. coarse correspondences (feature top-k, no grad)
         ref_idx, src_idx, corr_scores, corr_valid = matching_lib.superpoint_matching(
@@ -334,6 +343,9 @@ class SE3ETModel(nn.Module):
         out["src_node_corr_knn_points"] = sel_src_knn_points
         out["ref_node_corr_knn_masks"] = sel_ref_knn_masks
         out["src_node_corr_knn_masks"] = sel_src_knn_masks
+        if stop_after == "matching":
+            out["_gathered_feats"] = (sel_ref_knn_feats, sel_src_knn_feats)
+            return out
 
         # inference rotation: cross-anchor similarity of matched-node
         # equivariant features (se3eti.kitti/model.py:247-273)
@@ -362,6 +374,8 @@ class SE3ETModel(nn.Module):
             scores, sel_ref_knn_masks, sel_src_knn_masks, use_fused=True
         )
         out["matching_scores"] = matching_scores
+        if stop_after == "sinkhorn":
+            return out
 
         # 8. local-to-global registration (inference tail, no grad)
         if with_registration:
