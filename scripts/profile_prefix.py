@@ -53,19 +53,23 @@ def main():
               "sinkhorn", "LGR"]
 
     def run_prefix(stop):
+        # reduce to ONE scalar in-graph: fetching a multi-MB output over the
+        # ~100 MB/s relay would otherwise dominate the measurement
         fn = jax.jit(
-            lambda p, d: model.apply(
-                p, d, train=False, with_registration=(stop == ""),
-                with_gt=False, stop_after=stop,
+            lambda p, d: sum(
+                jnp.sum(leaf.astype(jnp.float32))
+                for leaf in jax.tree_util.tree_leaves(model.apply(
+                    p, d, train=False, with_registration=(stop == ""),
+                    with_gt=False, stop_after=stop,
+                ))
+                if jnp.issubdtype(leaf.dtype, jnp.floating)
             )
         )
-        out = fn(params, data)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(leaf).ravel()[:1]
+        float(fn(params, data))
         t0 = time.time()
         for _ in range(args.reps):
             out = fn(params, data)
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        float(out)
         return (time.time() - t0) / args.reps * 1000.0
 
     times = []
