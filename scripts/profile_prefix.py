@@ -23,6 +23,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", default="se3ete.3dmatch")
     ap.add_argument("--reps", type=int, default=30)
+    ap.add_argument("--backbone", action="store_true",
+                    help="stage-level prefixes inside the backbone instead")
+    ap.add_argument("--no_fused", action="store_true",
+                    help="backbone mode: XLA row-gather path instead of the "
+                    "windowed kernels")
     args = ap.parse_args()
 
     import jax
@@ -47,6 +52,11 @@ def main():
     data = {k: jnp.asarray(v) for k, v in data.items()}
     rngs = {"params": jax.random.PRNGKey(0), "targets": jax.random.PRNGKey(1)}
     params = jit_init(model, rngs, data, train=False, with_registration=False)
+
+    if args.backbone:
+        _backbone_prefixes(model, params, data, args.reps,
+                           fused=not args.no_fused)
+        return
 
     stages = ["backbone", "transformer", "matching", "sinkhorn", ""]
     labels = ["backbone", "transformer+embedding", "superpoint match+gather",
@@ -84,6 +94,43 @@ def main():
         print(f"  {label:28s} {t - prev:8.2f} ms")
         prev = t
     print(f"  full graph                   {times[-1]:8.2f} ms")
+
+
+def _backbone_prefixes(model, params, data, reps, fused=True):
+    import jax
+    import jax.numpy as jnp
+
+    cuts = [0, 1, 2, 3, -1]
+    labels = ["stage 0 (+lift)", "stage 1", "stage 2", "stage 3",
+              "inv-pool + decoder"]
+
+    def run(cut):
+        # call the backbone submodule directly with the model's param tree
+        bb = jax.jit(
+            lambda p, d: sum(
+                jnp.sum(leaf.astype(jnp.float32))
+                for leaf in jax.tree_util.tree_leaves(
+                    model.bind(p).backbone_net(
+                        d["features"], d, fused=fused, stop_stage=cut
+                    )
+                )
+            )
+        )
+        float(bb(params, data))
+        t0 = time.time()
+        for _ in range(reps):
+            out = bb(params, data)
+        float(out)
+        return (time.time() - t0) / reps * 1000.0
+
+    times = [run(c) for c in cuts]
+    for label, t in zip(labels, times):
+        print(f"prefix through {label:24s} {t:8.2f} ms", flush=True)
+    print("\nin-graph backbone stage costs (prefix deltas):")
+    prev = 0.0
+    for label, t in zip(labels, times):
+        print(f"  {label:28s} {t - prev:8.2f} ms")
+        prev = t
 
 
 if __name__ == "__main__":

@@ -627,7 +627,9 @@ class E2PNBackbone(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, feats, pyramid, fused=False):
+    def __call__(self, feats, pyramid, fused=False, stop_stage=-1):
+        # ``stop_stage`` >= 0: early-return after encoder stage i (prefix
+        # profiling, scripts/profile_prefix.py --backbone)
         cfg = self.config
         d = self.init_dim
         r, s = self.init_radius, self.init_sigma
@@ -723,6 +725,8 @@ class E2PNBackbone(nn.Module):
             self.input_dim, d, r, s, self.group_norm, cfg,
             ones_input=self.ones_input and self.input_dim == 1,
         )(x, pts[0], nbs[0], msk[0], inf_same[0], win_same[0])
+        if stop_stage == 0:
+            return x, x
 
         stage_feats = [x]
         dims = [d * 2]
@@ -736,6 +740,8 @@ class E2PNBackbone(nn.Module):
             )
             stage_feats.append(x)
             dims.append(in_dim * 2)
+            if stop_stage == st:
+                return x, x
 
         # invariant features per stage (anchor pooling)
         inv_feats = [
