@@ -181,7 +181,11 @@ def build_cloud_pyramid(
     return stage_points, stage_normals, neighbors, subsampling, upsampling
 
 
-WINDOW_QSEG = 128  # query rows per window block (kernel grid granularity)
+# Query rows per window block (kernel grid granularity).  Smaller blocks
+# see fewer source segments: 128 -> 64 cuts summed window width W (= kernel
+# cost) another ~24% at matched drops (measured host-side, round 3) for 2x
+# grid programs — the W term dominates.
+WINDOW_QSEG = 64
 # Source rows per window segment.  Finer than the query block: halving the
 # segment size from 128 cut the summed window width W (= kernel cost, linear
 # in W) by ~25-35% at matched drop rates, and 64 -> 32 a further ~15-20% —

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-QSEG = 128  # query rows per window block; must match pipeline.WINDOW_QSEG
+QSEG = 64  # query rows per window block; must match pipeline.WINDOW_QSEG
 SSEG = 32  # source rows per window segment; must match pipeline.WINDOW_SSEG
 
 
