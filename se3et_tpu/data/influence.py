@@ -13,7 +13,7 @@ host data path, not the device: precomputing them
 * pipelines with device compute in serving (host builds pair i+1's
   geometry while the chip runs pair i).
 
-Cost: ~50 MB/pair extra HBM at production 3DMatch shapes (fp16 on the
+Cost: ~50 MB/pair extra HBM at production 3DMatch shapes (bf16 on the
 wire, cast to the compute dtype on device) and ~0.5 s/pair of vectorized
 numpy (amortized across loader workers).
 
@@ -68,12 +68,23 @@ def _influence_np(q_points, s_points, neighbor_indices, kernel_points, sigma,
         w = np.exp(-sq / (2.0 * sig2))
     else:
         raise ValueError(mode)
-    return (w * valid[..., None]).astype(np.float16)
+    w = w * valid[..., None]
+    # pad H to the conv kernel's chunk multiple (hc=8) with zeros HERE — a
+    # device-side pad of the (B, N, H, K) tensor relayouts ~1.3 ms/pair —
+    # and emit bf16 directly (the serving compute dtype; an f16 parameter
+    # costs a cast + layout copy on device)
+    import ml_dtypes
+
+    h = w.shape[2]
+    h_pad = ((h + 7) // 8) * 8
+    if h_pad > h:
+        w = np.pad(w, ((0, 0), (0, 0), (0, h_pad - h), (0, 0)))
+    return w.astype(ml_dtypes.bfloat16)
 
 
 def precompute_influence(data: dict, model_cfg) -> dict:
     """Add ``influence_same_{st}`` / ``influence_sub_{st}`` (B, Nq, H, K)
-    fp16 arrays to a pyramid dict for every conv neighbor set of
+    bf16 arrays to a pyramid dict for every conv neighbor set of
     ``model_cfg``'s backbone.  Returns ``data`` (mutated)."""
     if model_cfg.backbone not in ("e2pn", "kpconv"):
         return data

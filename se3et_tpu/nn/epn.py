@@ -264,7 +264,12 @@ class KPConvInterSO3(nn.Module):
             )
 
             # wf[b, n, k, a, c] = sum_h nbr_x[b,n,h,a,c] * w[b,n,h,k]
-            wf = jnp.einsum("bnhac,bnhk->bnkac", nbr_x, w, precision=prec.feature())
+            # (host-precomputed influence may carry zero h-padding)
+            wf = jnp.einsum(
+                "bnhac,bnhk->bnkac", nbr_x,
+                w[:, :, : neighbor_indices.shape[2]],
+                precision=prec.feature(),
+            )
             wf_flat = None
 
         k, a = cfg.num_kernel_points, cfg.kanchor
@@ -294,11 +299,11 @@ class KPConvInterSO3(nn.Module):
         reduce_m = prec.cast_feature(self.reduce_mats)  # (KA, R*O)
         red = jnp.einsum(
             "bnxc,xm->bnmc", wf_kac, reduce_m, precision=prec.feature()
-        ).reshape(wf_flat.shape[:2] + (a, num_o * cin))
+        ).reshape(wf_flat.shape[:2] + (a, num_o, cin))
+        # contract (o, c) as two dot dims — a flattened (O*Cin) axis forces
+        # XLA to relayout the reduce output (measured ~1.3 ms/conv copies)
         out = jnp.einsum(
-            "bnrm,md->bnrd", red,
-            prec.cast_feature(self.weights).reshape(num_o * cin,
-                                                    self.out_channels),
+            "bnroc,ocd->bnrd", red, prec.cast_feature(self.weights),
             precision=prec.feature(),
         )
         return out.astype(jnp.float32)
@@ -674,7 +679,8 @@ class E2PNBackbone(nn.Module):
             pre = None if key is None else pyramid.get(key)
             if (
                 pre is not None
-                and pre.shape[:3] == idx.shape
+                and pre.shape[:2] == idx.shape[:2]
+                and pre.shape[2] >= idx.shape[2]  # H padded to hc on host
                 and pre.shape[-1] == cfg.num_kernel_points
             ):
                 return prec.cast_feature(pre)

@@ -70,7 +70,11 @@ class KPConv(nn.Module):
         valid = neighbor_indices < num_s
         nbr_x = jnp.where(valid[..., None], nbr_x, 0.0)
 
-        wf = jnp.einsum("bnhc,bnhk->bnkc", nbr_x, w, precision=prec.feature())
+        # host-precomputed influence may carry zero h-padding
+        wf = jnp.einsum(
+            "bnhc,bnhk->bnkc", nbr_x,
+            w[:, :, : neighbor_indices.shape[2]], precision=prec.feature(),
+        )
         out = jnp.einsum(
             "bnkc,kcd->bnd", wf, prec.cast_feature(self.weights),
             precision=prec.feature(),
@@ -164,7 +168,8 @@ class KPConvFPN(nn.Module):
             pre = pyramid.get(key)
             if (
                 pre is not None
-                and pre.shape[:3] == idx.shape
+                and pre.shape[:2] == idx.shape[:2]
+                and pre.shape[2] >= idx.shape[2]
                 and pre.shape[-1] == self.kernel_size
             ):
                 return prec.cast_feature(pre)

@@ -360,7 +360,13 @@ def windowed_gather_wf(local, infl, windows, *, hc=8, mp=None, interpret=False):
     if h_pad > h:
         local = jnp.pad(local, ((0, 0), (0, 0), (0, h_pad - h)),
                         constant_values=w)
-        infl = jnp.pad(infl, ((0, 0), (0, 0), (0, h_pad - h), (0, 0)))
+    if infl.shape[2] < h_pad:
+        # host-precomputed influence arrives pre-padded to the hc multiple —
+        # a device-side pad of this (B, N, H, K) tensor relayouts ~1.3 ms
+        infl = jnp.pad(
+            infl, ((0, 0), (0, 0), (0, h_pad - infl.shape[2]), (0, 0))
+        )
+    assert infl.shape[2] == h_pad, (infl.shape, h_pad)
 
     nsub = nblk_q * spb
     dtype = windows.dtype

@@ -213,8 +213,8 @@ def test_kitti_window_budgets_drop_rate():
 
 
 def test_host_influence_matches_device_formulation():
-    """data/influence.py (numpy fp32 -> fp16) == nn/epn._influence_weights
-    for every conv set of a pyramid, within fp16 storage rounding."""
+    """data/influence.py (numpy fp32 -> bf16) == nn/epn._influence_weights
+    for every conv set of a pyramid, within bf16 storage rounding."""
     import jax.numpy as jnp
 
     from se3et_tpu.core import kernel_points as kp_lib
@@ -260,13 +260,18 @@ def test_host_influence_matches_device_formulation():
             data[f"neighbors_{st}"])))
     for key, want in checks:
         got = np.asarray(data[key], np.float32)
-        assert got.shape == want.shape, key
-        np.testing.assert_allclose(got, want, atol=7e-4, err_msg=key)
+        # host arrays carry zero h-padding to the kernel's hc multiple
+        assert got.shape[2] >= want.shape[2] and got.shape[2] % 8 == 0, key
+        # bf16 storage: 8-bit mantissa, ulp at 1.0 = 2^-8 ~ 3.9e-3
+        np.testing.assert_allclose(
+            got[:, :, : want.shape[2]], want, atol=4e-3, err_msg=key
+        )
+        np.testing.assert_array_equal(got[:, :, want.shape[2]:], 0.0)
 
 
 def test_model_with_host_influence_matches_without():
     """Full backbone: host-precomputed influence == on-device influence to
-    fp16 storage noise."""
+    bf16 storage noise."""
     from se3et_tpu.data.datasets import SyntheticPairDataset
     from se3et_tpu.data.influence import precompute_influence
     from se3et_tpu.nn.epn import E2PNBackbone, EPNConfig
@@ -304,7 +309,12 @@ def test_model_with_host_influence_matches_without():
     precompute_influence(host, MC)
     host = {k: jnp.asarray(v) for k, v in host.items()}
     ff_got, fc_got = net.apply(params, host["features"], host, fused=False)
-    np.testing.assert_allclose(np.asarray(ff_got), np.asarray(ff_ref),
-                               rtol=2e-2, atol=5e-3)
-    np.testing.assert_allclose(np.asarray(fc_got), np.asarray(fc_ref),
-                               rtol=2e-2, atol=1e-2)
+    # bf16 influence storage (ulp ~4e-3 at 1.0; the production serving
+    # precision — the fused kernel emits the same) vs the fp32 unfused
+    # fallback, amplified through the GroupNorm stack: thin tail of larger
+    # deviations on O(1) outputs.  Same magnitude as the fused-vs-unfused
+    # test's double-bf16 bound.
+    for got, ref in ((ff_got, ff_ref), (fc_got, fc_ref)):
+        diff = np.abs(np.asarray(got) - np.asarray(ref))
+        assert np.quantile(diff, 0.999) < 3e-2, np.quantile(diff, 0.999)
+        assert diff.max() < 1e-1, diff.max()
