@@ -88,6 +88,7 @@ class Trainer:
         seed: int = 7351,
         log_steps: int = 10,
         data_parallel: bool | None = None,
+        batch_size: int = 1,
     ):
         # data_parallel=None: auto-enable on multi-chip TPU only (the CPU
         # test mesh and the single-chip bench use the per-pair step)
@@ -98,6 +99,10 @@ class Trainer:
                 _jax.default_backend() == "tpu" and len(_jax.devices()) > 1
             )
         self.data_parallel = data_parallel
+        # single-device pair batching (vmapped step, trailing batch padded at
+        # weight 0); independent of data_parallel, which shards pairs across
+        # devices instead
+        self.batch_size = int(batch_size)
         self.model_cfg = model_cfg
         self.loss_cfg = loss_cfg
         self.eval_cfg = eval_cfg
@@ -197,6 +202,16 @@ class Trainer:
             )
         else:
             self._dp = None
+        if self.batch_size > 1 and self._dp is None:
+            from se3et_tpu.engine.steps import make_batched_train_step
+
+            self._batched_train_step = jax.jit(
+                make_batched_train_step(model, loss_cfg, tx),
+                donate_argnums=(0, 1),
+            )
+            self.logger.info(f"single-device pair batching x{self.batch_size}")
+        else:
+            self._batched_train_step = None
 
     # ------------------------------------------------------- checkpointing
     def save_snapshot(self, name: str):
@@ -239,6 +254,8 @@ class Trainer:
     def train_epoch(self, loader: Iterable[dict]):
         if self._dp is not None:
             return self._train_epoch_dp(loader)
+        if self._batched_train_step is not None:
+            return self._train_epoch_batched(loader)
         board = SummaryBoard(last_n=self.log_steps)
         timer = Timer()
         rng = jax.random.PRNGKey(self.seed + 1000 + self.epoch)
@@ -264,6 +281,53 @@ class Trainer:
                     board.summary(), self.iteration, prefix="train/"
                 )
             timer.tic()
+        self.metrics_writer.flush()
+        return board.summary()
+
+    def _train_epoch_batched(self, loader: Iterable[dict]):
+        """Single-device epoch over vmapped pair batches (``batch_size`` > 1).
+
+        Same padded-trailing-batch contract as the DP epoch: one jitted
+        signature serves the whole epoch, padding pairs carry weight 0.
+        """
+        from se3et_tpu.parallel.mesh import stack_pairs
+
+        board = SummaryBoard(last_n=self.log_steps)
+        rng = jax.random.PRNGKey(self.seed + 1000 + self.epoch)
+        bs = self.batch_size
+        pending = []
+        steps = 0
+
+        def run_batch(pairs, rng):
+            n_real = len(pairs)
+            pairs = pairs + [pairs[-1]] * (bs - n_real)
+            batch = stack_pairs(pairs)
+            batch["pair_weights"] = (np.arange(bs) < n_real).astype(np.float32)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            rng, sub = jax.random.split(rng)
+            self.params, self.opt_state, losses = self._batched_train_step(
+                self.params, self.opt_state, batch, sub
+            )
+            self.iteration += 1
+            board.update_from_dict({k: float(v) for k, v in losses.items()})
+            return rng
+
+        for data in loader:
+            pending.append(data)
+            if len(pending) < bs:
+                continue
+            rng = run_batch(pending, rng)
+            pending = []
+            steps += 1
+            if steps % self.log_steps == 0:
+                self.logger.info(
+                    f"epoch {self.epoch} step {steps} (x{bs} pairs): {board.format()}"
+                )
+                self.metrics_writer.add_dict(
+                    board.summary(), self.iteration, prefix="train/"
+                )
+        if pending:
+            rng = run_batch(pending, rng)
         self.metrics_writer.flush()
         return board.summary()
 

@@ -37,6 +37,10 @@ class DataConfig:
     benchmarks: tuple[str, ...] = ("3DMatch", "3DLoMatch")
     point_limit: Optional[int] = 20000
     test_point_limit: Optional[int] = None
+    # pairs per train step on ONE device (vmapped; reference train.batch_size,
+    # configs/cfg 'train.batch_size=1').  Multi-device DP shards pairs across
+    # chips independently of this.
+    batch_size: int = 1
     use_augmentation: bool = True
     augmentation_noise: float = 0.005
     augmentation_rotation: float = 1.0

@@ -163,7 +163,8 @@ def run_trainval(cfg: ExperimentConfig, argv=None):
     val_ds = build_dataset(cfg, cfg.data.val_subset, training=False)
 
     trainer = Trainer(
-        cfg.model, cfg.loss, cfg.eval, optim, cfg.output_dir, seed=cfg.seed
+        cfg.model, cfg.loss, cfg.eval, optim, cfg.output_dir, seed=cfg.seed,
+        batch_size=cfg.data.batch_size,
     )
     steps = len(train_ds)
     if args.max_steps_per_epoch:

@@ -64,3 +64,53 @@ def test_loss_decreases_under_training():
     last = np.mean(losses[-4:])
     assert np.isfinite(last)
     assert last < first * 0.8, (first, last)
+
+def test_trainer_single_device_pair_batching(tmp_path):
+    """Trainer(batch_size=2): epoch groups pairs into vmapped batches, pads
+    the trailing leftover at weight 0, and serves the whole epoch with one
+    jitted signature (VERDICT r2 #10 / round-3 wiring of
+    make_batched_train_step into the Trainer epoch loop)."""
+    import dataclasses
+
+    from se3et_tpu.engine.trainer import OptimConfig, Trainer
+    from se3et_tpu.experiments import make_cfg
+
+    pcfg = pipeline.PyramidConfig(
+        num_stages=2, voxel_size=0.2, search_radius=0.5,
+        neighbor_limits=(6, 6), stage_caps=(64, 24), coarse_point_cap=24,
+    )
+    mcfg = ModelConfig(
+        num_stages=2, init_dim=8, output_dim=16, gt_input_dim=16,
+        gt_hidden_dim=16, gt_output_dim=16, num_heads=2,
+        blocks=("self_eq", "cross"), init_radius=0.5, init_sigma=0.4,
+        group_norm=4, num_points_in_patch=4, num_sinkhorn_iterations=3,
+        num_targets=4, num_correspondences=6, gt_candidates=4,
+        correspondence_limit=16,
+    )
+    lcfg = dataclasses.replace(
+        make_cfg("se3ete.3dmatch").loss, fine_positive_radius=0.2
+    )
+    ecfg = make_cfg("se3ete.3dmatch").eval
+
+    ds = datasets.SyntheticPairDataset(num_pairs=3, num_points=120, seed=0)
+    pairs = []
+    for i in range(3):
+        item = ds[i]
+        pairs.append(pipeline.build_pair_pyramid(
+            item["ref_points"], item["src_points"], item["transform"], pcfg
+        ))
+
+    trainer = Trainer(
+        mcfg, lcfg, ecfg, OptimConfig(max_epoch=1), str(tmp_path),
+        data_parallel=False, batch_size=2,
+    )
+    trainer.initialize(pairs[0], steps_per_epoch=2)
+    assert trainer._batched_train_step is not None
+    old_leaf = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0])
+
+    summary = trainer.train_epoch(iter(pairs))
+    # 3 pairs at batch 2 -> one full batch + one padded leftover = 2 steps
+    assert trainer.iteration == 2
+    assert np.isfinite(summary["loss"])
+    new_leaf = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0])
+    assert not np.allclose(new_leaf, old_leaf)
