@@ -69,14 +69,17 @@ def _influence_np(q_points, s_points, neighbor_indices, kernel_points, sigma,
     else:
         raise ValueError(mode)
     w = w * valid[..., None]
-    # pad H to the conv kernel's chunk multiple (hc=8) with zeros HERE — a
+    # pad H to the conv kernel's chunk multiple (pick_hc) with zeros HERE — a
     # device-side pad of the (B, N, H, K) tensor relayouts ~1.3 ms/pair —
     # and emit bf16 directly (the serving compute dtype; an f16 parameter
     # costs a cast + layout copy on device)
     import ml_dtypes
 
+    from se3et_tpu.ops.pallas.windowed_conv import pick_hc
+
     h = w.shape[2]
-    h_pad = ((h + 7) // 8) * 8
+    hc = pick_hc(h)
+    h_pad = ((h + hc - 1) // hc) * hc
     if h_pad > h:
         w = np.pad(w, ((0, 0), (0, 0), (0, h_pad - h), (0, 0)))
     return w.astype(ml_dtypes.bfloat16)

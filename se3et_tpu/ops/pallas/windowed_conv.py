@@ -34,6 +34,21 @@ QSEG = 64  # query rows per window block; must match pipeline.WINDOW_QSEG
 SSEG = 32  # source rows per window segment; must match pipeline.WINDOW_SSEG
 
 
+def pick_hc(h: int) -> int:
+    """Neighbor-chunk size for the windowed kernels.
+
+    Fewest chunks whose width is a sublane multiple, capped at 40: at the
+    production H=36-40 a single full-H chunk (one big one-hot matmul + one
+    40-deep batched contraction per block) measured 5-10% faster than the
+    old hc=8 (5 shallow chunk iterations) on every conv set — see BENCH.md
+    round-3 hc sweep.  Must stay in sync with the host influence pre-pad
+    (``data/influence.py``).
+    """
+    n_chunks = (h + 39) // 40
+    per = (h + n_chunks - 1) // n_chunks
+    return ((per + 7) // 8) * 8
+
+
 def segment_window_gather(x, seg_idx, precision=None):
     """x: (B, Ns, AC); seg_idx: (B, nblk_q, S) -> windows (B, nblk_q, S*SSEG, AC).
 
@@ -119,8 +134,8 @@ def _infl_kernel(local_ref, q4_ref, win_ref, kp_ref, out_ref, is_ref, isacc,
     static_argnames=("sigma", "influence", "hc", "interpret", "out_dtype"),
 )
 def influence_windowed_pallas(local, q_points, win_points, kernel_points, *,
-                              sigma, influence="linear", hc=8, interpret=False,
-                              out_dtype=jnp.bfloat16):
+                              sigma, influence="linear", hc=None,
+                              interpret=False, out_dtype=jnp.bfloat16):
     """Windowed influence-weight computation: geometry -> (infl, inf_sum).
 
     local:         (B, Nq, H) int32 window-local neighbor idx (sentinel = W)
@@ -136,6 +151,8 @@ def influence_windowed_pallas(local, q_points, win_points, kernel_points, *,
     B*N*H rows per (stage, neighbor set).
     """
     b, nq, h = local.shape
+    if hc is None:
+        hc = pick_hc(h)
     nblk_q, w, _ = win_points.shape[1:]
     k = kernel_points.shape[0]
     assert nblk_q * QSEG >= nq, (nq, nblk_q)
@@ -323,7 +340,8 @@ def windowed_max_pool(local, windows, nq, *, hc=8, mp=None, interpret=False):
 
 
 @functools.partial(jax.jit, static_argnames=("hc", "mp", "interpret"))
-def windowed_gather_wf(local, infl, windows, *, hc=8, mp=None, interpret=False):
+def windowed_gather_wf(local, infl, windows, *, hc=None, mp=None,
+                       interpret=False):
     """Fused neighbor gather + influence contraction.
 
     local:   (B, Nq, H) int32 window-local neighbor idx, sentinel = W
@@ -340,6 +358,8 @@ def windowed_gather_wf(local, infl, windows, *, hc=8, mp=None, interpret=False):
     window, so keep ``mp`` as large as fits.
     """
     b, nq, h = local.shape
+    if hc is None:
+        hc = pick_hc(h)
     k = infl.shape[3]
     nblk_q, w, ac = windows.shape[1:]
     assert nblk_q * QSEG >= nq, (nq, nblk_q)
