@@ -37,16 +37,20 @@ def main():
     from se3et_tpu.nn.model import SE3ETModel
 
     # honest production shapes: the registered se3ete.3dmatch config
-    # (point_limit 20000 -> stage caps 20000/10000/2500/1024, coarse 1000)
-    cfg = make_cfg("se3ete.3dmatch")
+    # (point_limit 20000 -> stage caps 20000/10000/2500/1024, coarse 1000).
+    # BENCH_EXP selects another registered experiment (e.g. se3eti.kitti for
+    # the 5-stage LiDAR pipeline) — the headline stays the flagship.
+    cfg = make_cfg(os.environ.get("BENCH_EXP", "se3ete.3dmatch"))
     pipeline, model_cfg = cfg.pipeline, cfg.model
     model = SE3ETModel(model_cfg)
 
-    # a handful of distinct synthetic pairs at the dataset point_limit
+    # a handful of distinct synthetic pairs at the dataset point_limit;
+    # LiDAR-family configs use the runner's LiDAR-scale synthetic extent
+    extent = 2.0 if cfg.data.dataset in ("threedmatch", "modelnet") else 20.0
     num_pairs = 4
     datas = [
         graft._example_pair(pipeline, num_points=cfg.data.point_limit, seed=i,
-                            model_cfg=model_cfg)
+                            model_cfg=model_cfg, extent=extent)
         for i in range(num_pairs)
     ]
     datas = [{k: jax.numpy.asarray(v) for k, v in d.items()} for d in datas]

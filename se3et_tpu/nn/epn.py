@@ -283,17 +283,36 @@ class KPConvInterSO3(nn.Module):
             )
             return out.astype(jnp.float32)
 
-        # Factored weight contraction exploiting the steerability tying:
-        #   out[n, r, d] = sum_{k,a,c} wf[n,k,a,c] * W[wg_index[r,k,a], c, d]
-        #               = sum_{o,c} (sum_{ka: idx[r,ka]=o} wf[n,ka,c]) W[o,c,d]
-        # The (k,a) -> class reduction (one 0/1 matmul, inner KA=90) shrinks
-        # the main matmul's inner dim from K*A*Cin to O*Cin — O=27 (exact
-        # tying) / 36 (relaxed) vs KA=90 for the flagship config, a ~3x FLOP
-        # cut on what was the model's dominant matmul family.  Identical math
-        # to gathering the expanded (R, K, A, Cin, Cout) weight (regrouped
-        # summation; equivalence-tested).
+        # Two equivalent weight contractions (regrouped summation; identical
+        # math, equivalence-tested in test_epn_equivariance.py):
+        #
+        # (a) EXPANDED: one matmul against the gathered effective weight,
+        #     out[n, (r d)] = wf_flat[n, (k a c)] @ Wg[(k a c), (r d)] with
+        #     Wg = W[wg_index] — inner dim K*A*Cin, 3x the FLOPs of (b) but
+        #     NO large intermediate.
+        # (b) FACTORED via steerability classes:
+        #     out[n,r,d] = sum_{o,c} (sum_{ka: idx[r,ka]=o} wf[n,ka,c]) W[o,c,d]
+        #     — 3x fewer FLOPs (inner O*Cin, O=27 exact / 36 relaxed vs KA=90),
+        #     but the class-reduced intermediate (B, N, A, O, Cin) is ~2x the
+        #     wf tensor (415 MB at production s0/s1) and its HBM round-trip
+        #     dominates at 5% MFU.
+        #
+        # Measured (scripts/bench_weight_matmul.py, one v5e chip): expanded
+        # wins 1.3-3.6 ms/conv for Cin <= 128 (s0 5.19 -> 1.98, s1 6.01 ->
+        # 2.44, s2 4.33 -> 3.38); factored wins only at Cin = 256 (s3 3.72
+        # vs 4.29) where the 3x FLOP cut finally outweighs the traffic.
         if wf_flat is None:
             wf_flat = wf.reshape(wf.shape[0], wf.shape[1], k * a * cin)
+        if cin < 256:
+            wg = prec.cast_feature(self.weights)[self.wg_index]
+            rhs = jnp.transpose(wg, (1, 2, 3, 0, 4)).reshape(
+                k * a_dim * cin, a * self.out_channels
+            )
+            out = jnp.einsum(
+                "bnm,mo->bno", wf_flat, rhs, precision=prec.feature()
+            ).astype(jnp.float32)
+            return out.reshape(out.shape[0], out.shape[1], a,
+                               self.out_channels)
         num_o = self.num_weight_blocks
         wf_kac = wf_flat.reshape(wf_flat.shape[:2] + (k * a, cin))
         reduce_m = prec.cast_feature(self.reduce_mats)  # (KA, R*O)
