@@ -113,14 +113,17 @@ def main():
 
         for hc in hcs:
             for mp in mps:
-                def conv_fn(local, infl, win, hc=hc, mp=mp):
-                    return wc.windowed_gather_wf(local, infl, win, hc=hc, mp=mp)
-                tag = f"  wf hc={hc} mp={mp or 'auto'}"
-                try:
-                    bench(tag, conv_fn, local, infl, win)
-                except Exception as e:
-                    print(f"{tag:52s} FAIL {type(e).__name__}: {str(e)[:120]}",
-                          flush=True)
+                for kfirst in (False, True):
+                    def conv_fn(local, infl, win, hc=hc, mp=mp, kf=kfirst):
+                        return wc.windowed_gather_wf(local, infl, win, hc=hc,
+                                                     mp=mp, kfirst=kf)
+                    tag = (f"  wf hc={hc} mp={mp or 'auto'}"
+                           f"{' kfirst' if kfirst else ''}")
+                    try:
+                        bench(tag, conv_fn, local, infl, win)
+                    except Exception as e:
+                        print(f"{tag:52s} FAIL {type(e).__name__}: "
+                              f"{str(e)[:120]}", flush=True)
 
     # maxpool skip s0->s1
     segs0, local0 = data["subsampling_segs_0"], data["subsampling_local_0"]

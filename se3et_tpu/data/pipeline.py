@@ -70,10 +70,21 @@ class PyramidConfig:
     # coarsest-stage nodes); 0 disables the precompute and the model falls
     # back to the device op.  Set to the model's num_points_in_patch.
     patch_k: int = 0
+    # per-set neighbor-count caps: ((set_key, H), ...).  Conv/maxpool kernel
+    # cost is linear in the padded H, but the calibrated neighbor_limits are
+    # tail-quantile worst cases (measured 3DMatch-scale means: 6-27 valid of
+    # 36-38 columns).  Neighbors are distance-sorted, so truncating the (also
+    # sentinel-compacted) rows keeps the NEAREST = highest-influence entries;
+    # dropped-influence mass per set is calibrated <= 0.5%
+    # (scripts/calibrate_h_caps.py) and counted in :data:`H_DROP_STATS`.
+    neighbor_h_caps_by_set: tuple = ()
 
     def nseg_for(self, set_key: str, cap_s: int) -> int:
         nseg = dict(self.window_segments_by_set).get(set_key, self.window_segments)
         return min(nseg, (cap_s + WINDOW_SSEG - 1) // WINDOW_SSEG)
+
+    def h_cap_for(self, set_key: str) -> int:
+        return dict(self.neighbor_h_caps_by_set).get(set_key, 0)
 
     def __post_init__(self):
         assert len(self.neighbor_limits) == self.num_stages
@@ -198,6 +209,33 @@ WINDOW_SSEG = 32
 # aggregate window-overflow accounting: {stage_key: [dropped, total]}
 WINDOW_DROP_STATS: dict[str, list[int]] = {}
 
+# aggregate neighbor-H-cap accounting: {set_key: [dropped_valid, total_valid]}
+H_DROP_STATS: dict[str, list[int]] = {}
+
+
+def _cap_neighbor_h(arr: np.ndarray, hcap: int, sentinel: int,
+                    stats_key: str) -> np.ndarray:
+    """Truncate a padded (Nq, H) neighbor matrix to ``hcap`` columns.
+
+    Rows are first sentinel-compacted (valid entries pushed left, stable) so
+    the cut drops only real overflow, never a valid entry shadowed by a
+    stage-cap-remapped sentinel.  Order within valid entries is preserved
+    (distance-sorted by the radius search), so the dropped entries are the
+    FARTHEST neighbors — the minimum-influence ones under every supported
+    influence mode.  Semantically position-independent for all consumers
+    (conv sum, maxpool, window maps).
+    """
+    if hcap <= 0 or hcap >= arr.shape[1]:
+        return arr
+    valid = arr < sentinel
+    order = np.argsort(~valid, axis=1, kind="stable")
+    arr = np.take_along_axis(arr, order, axis=1)
+    dropped = int((arr[:, hcap:] < sentinel).sum())
+    st = H_DROP_STATS.setdefault(stats_key, [0, 0])
+    st[0] += dropped
+    st[1] += int(valid.sum())
+    return arr[:, :hcap]
+
 
 def build_window_maps(
     neighbors: np.ndarray,
@@ -291,8 +329,14 @@ def build_pair_pyramid(
         for c in range(2):
             raw = clouds[c][2][s]
             old_sentinel = clouds[c][0][s].shape[0]
+            padded = _pad_neighbors(
+                raw, min(valid_counts[s][c], cap_s), cap_s, cap_s, old_sentinel
+            )
             nb.append(
-                _pad_neighbors(raw, min(valid_counts[s][c], cap_s), cap_s, cap_s, old_sentinel)
+                _cap_neighbor_h(
+                    padded, cfg.h_cap_for(f"neighbors_{s}"), cap_s,
+                    f"neighbors_{s}",
+                )
             )
         out[f"neighbors_{s}"] = np.stack(nb, 0)
         if cfg.window_segments > 0:
@@ -312,8 +356,13 @@ def build_pair_pyramid(
                 sent_s = clouds[c][0][s].shape[0]
                 sent_s1 = clouds[c][0][s + 1].shape[0]
                 sub.append(
-                    _pad_neighbors(
-                        raw_sub, min(valid_counts[s + 1][c], cap_q), cap_q, cap_s, sent_s
+                    _cap_neighbor_h(
+                        _pad_neighbors(
+                            raw_sub, min(valid_counts[s + 1][c], cap_q),
+                            cap_q, cap_s, sent_s,
+                        ),
+                        cfg.h_cap_for(f"subsampling_{s}"), cap_s,
+                        f"subsampling_{s}",
                     )
                 )
                 up.append(

@@ -80,7 +80,10 @@ def _threedmatch_pipeline(point_cap: int) -> PyramidConfig:
         search_radius=0.0625,
         neighbor_limits=(38, 36, 36, 38),  # reference demo.py:53 calibration
         stage_caps=(point_cap, point_cap // 2, point_cap // 8, 1024),
-        coarse_point_cap=1000,
+        # lane-aligned coarse stage (was 1000): N=M=1024 lets the flash RPE
+        # self-attention, embedding, and Sinkhorn kernels tile at 128/256
+        # without ragged tails, and keeps 24 more real nodes
+        coarse_point_cap=1024,
         input_dim=1,
         # fused-conv window budgets per neighbor set (64-query blocks, 32-row segments): the
         # kernel cost scales with window width while drops are set-dependent
@@ -95,6 +98,15 @@ def _threedmatch_pipeline(point_cap: int) -> PyramidConfig:
             ("neighbors_3", 16),
         ),
         patch_k=64,  # = num_points_in_patch (host-side p2n precompute)
+        # per-set neighbor-H caps: conv/influence cost is linear in the padded
+        # H, but the calibrated neighbor_limits are tail-quantile worst cases.
+        # Truncating the distance-sorted rows drops only the farthest =
+        # lowest-influence entries; caps chosen by scripts/calibrate_h_caps.py
+        # at <= 0.5% dropped influence mass per set (3DMatch-scale synthetic).
+        neighbor_h_caps_by_set=(
+            ("neighbors_0", 24), ("subsampling_0", 24),
+            ("neighbors_1", 32), ("subsampling_1", 32),
+        ),
     )
 
 
@@ -106,7 +118,7 @@ def _kitti_pipeline(point_cap: int) -> PyramidConfig:
         search_radius=1.275,
         neighbor_limits=(38, 36, 36, 38, 36),
         stage_caps=(point_cap, point_cap // 2, point_cap // 4, point_cap // 8, 1024),
-        coarse_point_cap=1000,
+        coarse_point_cap=1024,
         input_dim=1,
         # fused-conv window budgets (64-query blocks, 32-row segments), calibrated by
         # scripts/calibrate_window_budgets.py on the LiDAR-scale (extent 20)
@@ -120,6 +132,9 @@ def _kitti_pipeline(point_cap: int) -> PyramidConfig:
             ("neighbors_4", 8),
         ),
         patch_k=128,  # = num_points_in_patch (host-side p2n precompute)
+        # LiDAR rows run near-full (scripts/calibrate_h_caps.py: <= 0.5%
+        # influence mass only at full H for every other set).
+        neighbor_h_caps_by_set=(("subsampling_0", 32),),
     )
 
 

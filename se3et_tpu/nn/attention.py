@@ -106,10 +106,61 @@ class RPEMultiHeadAttention(nn.Module):
     num_heads: int
     equivariant: bool = False
     d_equiv_embed: int = 0
+    kanchor: int = 0
+
+    def _flash_path(self, q, k, v, wp_h, we_h, embed_qk, key_masks, points):
+        """Flash-kernel route (serving): folded-query streaming softmax.
+
+        Projection biases and the degree-0 SH term are per-query constants —
+        softmax shift invariance makes them no-ops, so only ``q @ W^T`` folds
+        are passed (``ops/pallas/rpe_attention.py``).  Exactness-tested
+        against the XLA formulation (tests/test_attention.py).
+        """
+        from se3et_tpu.ops.pallas import rpe_attention as flash
+
+        lead = q.shape[:-3]  # (B, A) or (B,)
+        b = q.shape[0]
+        n, dh = q.shape[-2:]
+        ah = int(np.prod(lead[1:])) * q.shape[-3]  # A*H (or H)
+        qf = q.reshape(b, ah, n, dh)
+        kf = k.reshape(b, ah, n, dh)
+        vf = v.reshape(b, ah, n, dh)
+        qp = jnp.einsum(
+            "...hnc,dhc->...hnd", q, wp_h, precision=prec.feature()
+        ).reshape(b, ah, n, self.d_model)
+        qp = jnp.swapaxes(qp, 1, 2)  # (B, N, AH, C)
+        qw = None
+        pts4 = None
+        if we_h is not None:
+            from se3et_tpu.core import anchors as anchor_lib
+            from se3et_tpu.core import harmonics
+
+            qe = jnp.einsum(
+                "bahnc,dhc->bahnd", q, we_h, precision=prec.feature()
+            )  # (B, A, H, N, 4)
+            space = anchor_lib.get_anchor_space(
+                self.kanchor, {4: 3, 6: 4, 12: 5}.get(self.kanchor, 1)
+            )
+            wd1 = harmonics.anchor_wigner_d([0, 1], space.anchors)[1]
+            qw = flash.fold_equivariant_query(qe, wd1)
+            pts4 = jnp.concatenate(
+                [points, jnp.zeros(points.shape[:-1] + (1,), points.dtype)],
+                axis=-1,
+            ).swapaxes(1, 2).astype(jnp.float32)  # (B, 4, N)
+        km = (key_masks if key_masks is not None
+              else jnp.ones((b, n), bool))
+        block_m = 256 if n % 256 == 0 else 128
+        hidden = flash.rpe_self_attention(
+            qf.astype(embed_qk.dtype), kf.astype(embed_qk.dtype),
+            vf.astype(embed_qk.dtype), qp.astype(embed_qk.dtype), embed_qk,
+            km, qw, pts4, scale=1.0 / float(np.sqrt(dh)), block_m=block_m,
+            interpret=jax.default_backend() != "tpu",
+        ).astype(v.dtype)
+        return _merge_heads(hidden.reshape(q.shape)), {}
 
     @nn.compact
     def __call__(self, input_q, input_k, input_v, embed_qk, key_masks=None,
-                 embed_eq=None):
+                 embed_eq=None, points=None, use_flash=False):
         h = self.num_heads
         dh = self.d_model // h
         q = _split_heads(TorchLinear(self.d_model)(input_q), h)
@@ -135,21 +186,10 @@ class RPEMultiHeadAttention(nn.Module):
         )
         wp_h = wp.reshape(self.d_model, h, dh)
         bp_h = bp.reshape(h, dh)
-        if self.equivariant:
-            qp = jnp.einsum("bahnc,dhc->bahnd", q, wp_h, precision=prec.feature())
-            s_p = jnp.einsum("bahnd,bnmd->bahnm", qp, embed_qk, precision=prec.feature())
-            s_p = s_p + jnp.einsum("bahnc,hc->bahn", q, bp_h)[..., None]
-            s_e = jnp.einsum("bahnc,bahmc->bahnm", q, k, precision=prec.feature())
-        else:
-            qp = jnp.einsum("bhnc,dhc->bhnd", q, wp_h, precision=prec.feature())
-            s_p = jnp.einsum("bhnd,bnmd->bhnm", qp, embed_qk, precision=prec.feature())
-            s_p = s_p + jnp.einsum("bhnc,hc->bhn", q, bp_h)[..., None]
-            s_e = jnp.einsum("bhnc,bhmc->bhnm", q, k, precision=prec.feature())
 
-        scores = s_e + s_p
-        if self.equivariant and self.d_equiv_embed > 0:
-            assert embed_eq is not None, "equivariant embedding required"
-            # eq = embed_eq @ We + be ;  s_eq = q . eq folded likewise
+        with_eq_term = self.equivariant and self.d_equiv_embed > 0
+        we = be = None
+        if with_eq_term:
             de = self.d_equiv_embed
             we = self.param(
                 "proj_eq_kernel",
@@ -165,6 +205,40 @@ class RPEMultiHeadAttention(nn.Module):
                 ),
                 (self.d_model,),
             )
+
+        n, m = q.shape[-2], k.shape[-2]
+        flash_ok = (
+            use_flash
+            and n == m
+            and n % 128 == 0
+            and embed_qk.shape[-3] == n
+            and (not with_eq_term
+                 or (points is not None and self.d_equiv_embed == 4
+                     and self.kanchor > 1))
+        )
+        if flash_ok:
+            return self._flash_path(
+                q, k, v, wp_h,
+                we.reshape(self.d_equiv_embed, h, dh) if with_eq_term else None,
+                embed_qk, key_masks, points,
+            )
+
+        if self.equivariant:
+            qp = jnp.einsum("bahnc,dhc->bahnd", q, wp_h, precision=prec.feature())
+            s_p = jnp.einsum("bahnd,bnmd->bahnm", qp, embed_qk, precision=prec.feature())
+            s_p = s_p + jnp.einsum("bahnc,hc->bahn", q, bp_h)[..., None]
+            s_e = jnp.einsum("bahnc,bahmc->bahnm", q, k, precision=prec.feature())
+        else:
+            qp = jnp.einsum("bhnc,dhc->bhnd", q, wp_h, precision=prec.feature())
+            s_p = jnp.einsum("bhnd,bnmd->bhnm", qp, embed_qk, precision=prec.feature())
+            s_p = s_p + jnp.einsum("bhnc,hc->bhn", q, bp_h)[..., None]
+            s_e = jnp.einsum("bhnc,bhmc->bhnm", q, k, precision=prec.feature())
+
+        scores = s_e + s_p
+        if with_eq_term:
+            assert embed_eq is not None, "equivariant embedding required"
+            # eq = embed_eq @ We + be ;  s_eq = q . eq folded likewise
+            de = self.d_equiv_embed
             we_h = we.reshape(de, h, dh)
             qe = jnp.einsum("bahnc,dhc->bahnd", q, we_h, precision=prec.feature())
             s_eq = jnp.einsum("bahnd,banmd->bahnm", qe, embed_eq, precision=prec.feature())
@@ -584,15 +658,18 @@ class RPEAttentionLayer(nn.Module):
     num_heads: int
     equivariant: bool = False
     d_equiv_embed: int = 0
+    kanchor: int = 0
 
     @nn.compact
     def __call__(self, input_states, memory_states, position_states,
-                 memory_masks=None, equiv_states=None):
+                 memory_masks=None, equiv_states=None, points=None,
+                 use_flash=False):
         hidden, aux = RPEMultiHeadAttention(
             self.d_model, self.num_heads, equivariant=self.equivariant,
-            d_equiv_embed=self.d_equiv_embed,
+            d_equiv_embed=self.d_equiv_embed, kanchor=self.kanchor,
         )(input_states, memory_states, memory_states, position_states,
-          key_masks=memory_masks, embed_eq=equiv_states)
+          key_masks=memory_masks, embed_eq=equiv_states, points=points,
+          use_flash=use_flash)
         hidden = TorchLinear(self.d_model)(hidden)
         return LayerNorm()(hidden + input_states), aux
 
@@ -605,12 +682,15 @@ class RPETransformerLayer(nn.Module):
     activation_fn: str = "ReLU"
     equivariant: bool = False
     d_equiv_embed: int = 0
+    kanchor: int = 0
 
     @nn.compact
     def __call__(self, input_states, memory_states, position_states,
-                 memory_masks=None, equiv_states=None):
+                 memory_masks=None, equiv_states=None, points=None,
+                 use_flash=False):
         hidden, aux = RPEAttentionLayer(
             self.d_model, self.num_heads, equivariant=self.equivariant,
-            d_equiv_embed=self.d_equiv_embed,
-        )(input_states, memory_states, position_states, memory_masks, equiv_states)
+            d_equiv_embed=self.d_equiv_embed, kanchor=self.kanchor,
+        )(input_states, memory_states, position_states, memory_masks,
+          equiv_states, points=points, use_flash=use_flash)
         return AttentionOutput(self.d_model, self.activation_fn)(hidden), aux

@@ -62,12 +62,14 @@ class GeometricStructureEmbedding(nn.Module):
     n_level_equiv: int = 0
 
     @nn.compact
-    def __call__(self, points, masks=None, fused=False):
+    def __call__(self, points, masks=None, fused=False, compute_equiv=True):
         """points: (B, N, 3); masks: (B, N) -> emb (B, N, N, C) [, eq (B, A, N, N, D)].
 
         ``fused=True`` computes the d/a sinusoid+projection tile-wise in one
         Pallas kernel (inference path; bf16 output) instead of materializing
-        the (B, N, M, [k,] C) fp32 sinusoids.
+        the (B, N, M, [k,] C) fp32 sinusoids.  ``compute_equiv=False`` skips
+        the (B, A, N, M, D) SH materialization (the flash RPE attention
+        recomputes the degree-1 term from raw coordinates in-kernel).
         """
         b, n, _ = points.shape
         c = self.hidden_dim
@@ -161,7 +163,7 @@ class GeometricStructureEmbedding(nn.Module):
             else:
                 emb = block_emb((points, dist, ref_vectors))
 
-        if self.n_level_equiv > 0 and self.kanchor > 1:
+        if self.n_level_equiv > 0 and self.kanchor > 1 and compute_equiv:
             eq = self._equiv_embedding(points)
             return emb, eq
         return emb, None

@@ -89,7 +89,7 @@ class RPEConditionalTransformer(nn.Module):
                     RPETransformerLayer(
                         self.d_model, self.num_heads,
                         activation_fn=self.activation_fn, equivariant=eq,
-                        d_equiv_embed=self.d_equiv_embed,
+                        d_equiv_embed=self.d_equiv_embed, kanchor=self.na,
                     )
                 )
             else:
@@ -187,7 +187,8 @@ class RPEConditionalTransformer(nn.Module):
 
     def __call__(self, feats0, feats1, embeddings0, embeddings1, masks0=None,
                  masks1=None, equiv_embed0=None, equiv_embed1=None,
-                 ref_normal=None, src_normal=None, use_flash=False):
+                 ref_normal=None, src_normal=None, use_flash=False,
+                 points0=None, points1=None):
         """feats: (B, A, N, C) equivariant or (B, N, C) invariant coarse feats."""
         feats0_eq = feats1_eq = None
         attn_matrix0 = attn_matrix1 = None
@@ -201,9 +202,11 @@ class RPEConditionalTransformer(nn.Module):
                 else:
                     in0, in1 = feats0, feats1
                 feats0, _ = layer(in0, in0, embeddings0, memory_masks=masks0,
-                                  equiv_states=equiv_embed0)
+                                  equiv_states=equiv_embed0, points=points0,
+                                  use_flash=use_flash)
                 feats1, _ = layer(in1, in1, embeddings1, memory_masks=masks1,
-                                  equiv_states=equiv_embed1)
+                                  equiv_states=equiv_embed1, points=points1,
+                                  use_flash=use_flash)
                 if block == "self_eq" and i + 1 < len(blocks) and blocks[i + 1] == "cross":
                     # next block is plain cross: pool to invariant, remember eq
                     feats0_eq, feats1_eq = feats0, feats1
@@ -317,6 +320,17 @@ class GeometricTransformer(nn.Module):
             reduction_a=self.reduction_a, kanchor=self.na or 1,
             n_level_equiv=self.n_level_equiv,
         )
+        # the flash RPE self-attention recomputes the degree-1 SH term from
+        # raw coordinates in-kernel; skip the (B, A, N, M, D) materialization
+        # when every self layer is guaranteed to take the flash route
+        n_coarse = ref_points.shape[1]
+        flash_self = (
+            fused_attention
+            and n_coarse == src_points.shape[1]
+            and n_coarse % 128 == 0
+            and (d_equiv_embed == 0
+                 or (d_equiv_embed == 4 and (self.na or 1) > 1))
+        )
         # both clouds batched through one embedding evaluation
         if (
             ref_points.shape == src_points.shape
@@ -325,7 +339,8 @@ class GeometricTransformer(nn.Module):
         ):
             pts = jnp.concatenate([ref_points, src_points], axis=0)
             mks = jnp.concatenate([ref_masks, src_masks], axis=0)
-            emb, eq_emb = embedding(pts, mks, fused=fused_embedding)
+            emb, eq_emb = embedding(pts, mks, fused=fused_embedding,
+                                    compute_equiv=not flash_self)
             nb = ref_points.shape[0]
             ref_emb, src_emb = emb[:nb], emb[nb:]
             if eq_emb is not None:
@@ -334,9 +349,11 @@ class GeometricTransformer(nn.Module):
                 ref_eq_emb = src_eq_emb = None
         else:
             ref_emb, ref_eq_emb = embedding(ref_points, ref_masks,
-                                            fused=fused_embedding)
+                                            fused=fused_embedding,
+                                            compute_equiv=not flash_self)
             src_emb, src_eq_emb = embedding(src_points, src_masks,
-                                            fused=fused_embedding)
+                                            fused=fused_embedding,
+                                            compute_equiv=not flash_self)
 
         in_proj = TorchLinear(self.hidden_dim)
         out_proj = TorchLinear(self.output_dim)
@@ -364,5 +381,7 @@ class GeometricTransformer(nn.Module):
             equiv_embed0=ref_eq_emb, equiv_embed1=src_eq_emb,
             ref_normal=ref_normal, src_normal=src_normal,
             use_flash=fused_attention,
+            points0=ref_points if flash_self else None,
+            points1=src_points if flash_self else None,
         )
         return out_proj(f0), out_proj(f1), ref_feat_m, src_feat_m, am0, am1

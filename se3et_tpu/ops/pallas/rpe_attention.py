@@ -1,0 +1,182 @@
+r"""Pallas TPU kernel: flash-style RPE self-attention over the coarse stage.
+
+The RPE self-attention layers (``nn/attention.RPEMultiHeadAttention``,
+reference ``rpe_transformer.py:18-131``) are HBM-bound at flagship shapes
+(N=M~1024, C=256, A=6, H=4): each layer reads the full (B, N, M, C) geometric
+embedding (~1 GB bf16) and the equivariant layers materialize ~200 MB
+(B, A, H, N, M) f32 score tensors twice (scores + softmax).  This kernel
+restructures one layer flash-attention style:
+
+* every projection is folded into the *query* outside the kernel
+  (``qp = q @ Wp^T`` for the positional term; the Wigner-D blocks fold into
+  the SH term's query, see :func:`fold_equivariant_query`), so the kernel
+  only ever contracts query blocks against embedding tiles;
+* row-constant score terms (the ``q . bias`` broadcasts and the degree-0 SH
+  term) are *dropped* — adding a per-query constant to every key's score is
+  a softmax no-op;
+* the degree-1 SH term needs no embedding tensor at all:
+  ``s_eq = c1/r * (qw_y dy + qw_z dz + qw_x dx)`` is computed on the VPU
+  from the raw point coordinates (``harmonics.real_sh`` degree-1 layout);
+* scores never leave VMEM: an online softmax (running row max / sum with
+  rescaled accumulators) streams the key/embedding tiles once.
+
+Anchor and head axes are independent in self-attention, so equivariant
+(A, H) collapses to one AH batch axis.  Forward-only (serving path); training
+keeps the XLA formulation, mirroring the backbone's ``fused`` convention.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e9
+# real_sh degree-1 coefficient (core/harmonics.py:45)
+_SH1_C = float(np.sqrt(3.0 / (4.0 * np.pi)))
+
+
+def _kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref,
+            pm_ref, out_ref, acc, rowmax, rowsum, *, ah, bn, bm, c, scale,
+            with_eq):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+        rowmax[...] = jnp.full_like(rowmax, -jnp.inf)
+        rowsum[...] = jnp.zeros_like(rowsum)
+
+    kmask = km_ref[0]  # (bm,) f32 0/1
+
+    # content scores, batched over anchor-heads: (AH, bn, bm)
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    # positional scores, batched over query rows: (bn, AH, bm) -> transpose
+    sp = jax.lax.dot_general(
+        qp_ref[0], emb_ref[0], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    s = s + jnp.transpose(sp, (1, 0, 2))
+
+    if with_eq:
+        # degree-1 SH term from raw coordinates (degree-0 is row-constant ->
+        # softmax no-op, dropped).  diff = p_n - p_m; sh1 = c1*(dy,dz,dx)/r.
+        dx = pn_ref[0, 0][:, None] - pm_ref[0, 0][None, :]  # (bn, bm)
+        dy = pn_ref[0, 1][:, None] - pm_ref[0, 1][None, :]
+        dz = pn_ref[0, 2][:, None] - pm_ref[0, 2][None, :]
+        r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        rinv = _SH1_C / (r + 1e-12)
+        qy = qw_ref[0, 0]  # (AH, bn)
+        qz = qw_ref[0, 1]
+        qx = qw_ref[0, 2]
+        s = s + rinv[None] * (
+            qy[:, :, None] * dy[None] + qz[:, :, None] * dz[None]
+            + qx[:, :, None] * dx[None]
+        )
+
+    s = s * scale
+    s = jnp.where(kmask[None, None, :] > 0, s, _NEG)
+
+    tmax = jnp.max(s, axis=2)  # (AH, bn)
+    new_max = jnp.maximum(rowmax[...], tmax)
+    alpha = jnp.exp(rowmax[...] - new_max)
+    p = jnp.exp(s - new_max[:, :, None]) * kmask[None, None, :]
+    rowsum[...] = rowsum[...] * alpha + jnp.sum(p, axis=2)
+    # match the XLA path's softmax.astype(v.dtype) before the value matmul
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (AH, bn, c)
+    acc[...] = acc[...] * alpha[:, :, None] + pv
+    rowmax[...] = new_max
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _flush():
+        out_ref[0] = acc[...] / jnp.maximum(rowsum[...], 1e-30)[:, :, None]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_n", "block_m", "interpret"),
+)
+def rpe_self_attention(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
+                       scale, block_n=64, block_m=256, interpret=False):
+    """Flash RPE self-attention: one fused softmax(QK + RPE [+ SH]) @ V.
+
+    q, k, v:  (B, AH, N, c) — anchor-heads flattened
+    qp:       (B, N, AH, C) — positional query ``q @ Wp^T`` (head-split Wp)
+    emb:      (B, N, N, C)  — materialized geometric embedding (bf16)
+    k_masks:  (B, N) bool   — True = valid key
+    qw:       (B, 3, AH, N) — Wigner-folded degree-1 SH query (y, z, x rows;
+              see :func:`fold_equivariant_query`), or None
+    points:   (B, 4, N) f32 — coordinate rows x, y, z (+ zero pad), required
+              with ``qw``
+    Returns   (B, AH, N, c) f32.
+
+    N must be divisible by ``block_n`` and ``block_m`` (the flagship coarse
+    stage is padded to 1024).  Row-constant score terms (projection biases,
+    degree-0 SH) must NOT be included in the folded queries — the kernel
+    relies on softmax shift invariance to skip them.
+    """
+    b, ah, n, c = q.shape
+    assert n % block_n == 0 and n % block_m == 0, (n, block_n, block_m)
+    assert emb.shape[1] == n and emb.shape[2] == n, emb.shape
+    cc = emb.shape[3]
+    with_eq = qw is not None
+    if not with_eq:
+        qw = jnp.zeros((b, 3, ah, n), jnp.float32)
+        points = jnp.zeros((b, 4, n), jnp.float32)
+
+    km = k_masks.astype(jnp.float32)
+    nb, mb = n // block_n, n // block_m
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, ah=ah, bn=block_n, bm=block_m, c=c, scale=scale,
+            with_eq=with_eq,
+        ),
+        grid=(b, nb, mb),
+        in_specs=[
+            pl.BlockSpec((1, ah, block_n, c), lambda bi, i, j: (bi, 0, i, 0)),
+            pl.BlockSpec((1, ah, block_m, c), lambda bi, i, j: (bi, 0, j, 0)),
+            pl.BlockSpec((1, ah, block_m, c), lambda bi, i, j: (bi, 0, j, 0)),
+            pl.BlockSpec((1, block_n, ah, cc), lambda bi, i, j: (bi, i, 0, 0)),
+            pl.BlockSpec((1, block_n, block_m, cc),
+                         lambda bi, i, j: (bi, i, j, 0)),
+            pl.BlockSpec((1, block_m), lambda bi, i, j: (bi, j)),
+            pl.BlockSpec((1, 3, ah, block_n), lambda bi, i, j: (bi, 0, 0, i)),
+            pl.BlockSpec((1, 4, block_n), lambda bi, i, j: (bi, 0, i)),
+            pl.BlockSpec((1, 4, block_m), lambda bi, i, j: (bi, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, ah, block_n, c),
+                               lambda bi, i, j: (bi, 0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, ah, n, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((ah, block_n, c), jnp.float32),
+            pltpu.VMEM((ah, block_n), jnp.float32),
+            pltpu.VMEM((ah, block_n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, qp, emb, km, qw, points, points)
+    return out
+
+
+def fold_equivariant_query(qe, wigner_d1):
+    """Fold the anchor Wigner-D degree-1 blocks into the SH query.
+
+    qe: (B, A, H, N, 4) — ``q @ We^T`` for n_level_equiv=2 (degrees 0, 1;
+        column 0 is the degree-0 coefficient, dropped as row-constant).
+    wigner_d1: (A, 3, 3) — ``harmonics.anchor_wigner_d([0,1], anchors)[1]``.
+    Returns (B, 3, A*H, N) f32 with component rows ordered (y, z, x) to match
+    ``real_sh`` degree-1 layout.
+    """
+    b, a, h, n, _ = qe.shape
+    qw = jnp.einsum("acd,bahnc->bdahn", jnp.asarray(wigner_d1), qe[..., 1:4])
+    return qw.reshape(b, 3, a * h, n)

@@ -218,3 +218,44 @@ def test_flash_eq_attention_matches_xla_path(mode, sup):
             np.asarray(aux_fl["attn_matrix"]),
             np.asarray(aux_ref["attn_matrix"]), rtol=1e-4, atol=1e-6,
         )
+
+
+@pytest.mark.parametrize("equivariant", [False, True])
+def test_flash_rpe_self_attention_matches_xla(equivariant):
+    """The flash RPE self-attention route (folded queries, in-kernel degree-1
+    SH, online softmax; interpret mode on CPU) == the XLA formulation.
+
+    Row-constant terms (projection biases, degree-0 SH) are dropped by the
+    kernel via softmax shift invariance — equality here proves that identity.
+    """
+    from se3et_tpu.nn.embedding import GeometricStructureEmbedding
+
+    rng = np.random.RandomState(7)
+    b, n, c, a, h = 1, 128, 16, 6, 2
+    kanchor = a if equivariant else 0
+    emb_mod = GeometricStructureEmbedding(
+        hidden_dim=c, sigma_d=0.2, sigma_a=15.0, angle_k=3,
+        kanchor=a if equivariant else 1, n_level_equiv=2 if equivariant else 0,
+    )
+    points = jnp.asarray(rng.uniform(0, 1, size=(b, n, 3)).astype(np.float32))
+    masks = jnp.asarray(np.arange(n) < n - 9)[None]
+    ep = emb_mod.init(jax.random.PRNGKey(0), points, masks)
+    emb, eq_emb = emb_mod.apply(ep, points, masks)
+
+    attn = A.RPEMultiHeadAttention(
+        d_model=c, num_heads=h, equivariant=equivariant,
+        d_equiv_embed=4 if equivariant else 0, kanchor=kanchor,
+    )
+    shape = (b, a, n, c) if equivariant else (b, n, c)
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    params = attn.init(jax.random.PRNGKey(1), x, x, x, emb, key_masks=masks,
+                       embed_eq=eq_emb)
+    ref, _ = attn.apply(params, x, x, x, emb, key_masks=masks,
+                        embed_eq=eq_emb)
+    got, _ = attn.apply(params, x, x, x, emb, key_masks=masks, points=points,
+                        use_flash=True)
+    ref, got = np.asarray(ref), np.asarray(got)
+    valid = np.asarray(masks)[0]
+    np.testing.assert_allclose(
+        got[..., valid, :], ref[..., valid, :], rtol=2e-3, atol=2e-4
+    )

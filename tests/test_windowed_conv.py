@@ -79,6 +79,42 @@ def test_windowed_conv_matches_gather_path():
     )
 
 
+def test_windowed_gather_wf_kfirst_matches_default():
+    """K-first contraction variant == default wf kernel (both dtypes).
+
+    The variants differ only in contraction order (scatter influence into the
+    window axis first vs gather features first); f32 must agree to matmul
+    roundoff, bf16 to one rounding class.
+    """
+    from se3et_tpu.ops.pallas import windowed_conv as wc
+
+    rng = np.random.RandomState(1)
+    b, nq, h, k, w, ac = 1, 128, 24, 15, 64, 96
+    nblk_q = (nq + wc.QSEG - 1) // wc.QSEG
+    local = jnp.asarray(rng.randint(0, w + 1, size=(b, nq, h)), jnp.int32)
+    infl = jnp.asarray(
+        rng.rand(b, nq, h, k) * (np.asarray(local)[..., None] < w), jnp.float32
+    )
+    windows = jnp.asarray(rng.randn(b, nblk_q, w, ac), jnp.float32)
+
+    ref = wc.windowed_gather_wf(local, infl, windows, interpret=True)
+    got = wc.windowed_gather_wf(local, infl, windows, interpret=True,
+                                kfirst=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+
+    ib, wb = infl.astype(jnp.bfloat16), windows.astype(jnp.bfloat16)
+    ref = np.asarray(
+        wc.windowed_gather_wf(local, ib, wb, interpret=True), np.float32
+    )
+    got = np.asarray(
+        wc.windowed_gather_wf(local, ib, wb, interpret=True, kfirst=True),
+        np.float32,
+    )
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=0.02 * scale)
+
+
 def test_influence_windowed_matches_xla():
     """The windowed influence kernel reproduces _influence_weights exactly."""
     from se3et_tpu.nn.epn import _influence_weights
@@ -193,11 +229,43 @@ def _check_budget_drops(exp, extent, seed):
         num_pairs=1, num_points=cfg.data.point_limit, extent=extent, seed=seed
     )[0]
     pipe.WINDOW_DROP_STATS.clear()
+    pipe.H_DROP_STATS.clear()
     pipe.build_pair_pyramid(
         item["ref_points"], item["src_points"], item["transform"], cfg.pipeline
     )
     for key, (dropped, total) in pipe.WINDOW_DROP_STATS.items():
         assert dropped / max(total, 1) <= 0.01, (key, dropped, total)
+    # neighbor-H caps: entry-count drops may exceed the 0.5% influence-mass
+    # calibration (dropped entries are the farthest = lowest-weight ones);
+    # lock at a 4% entry-rate ceiling per set.
+    for key, (dropped, total) in pipe.H_DROP_STATS.items():
+        assert dropped / max(total, 1) <= 0.04, (key, dropped, total)
+
+
+def test_cap_neighbor_h_compacts_then_truncates():
+    """_cap_neighbor_h pushes valid entries left (stable, preserving the
+    radius search's distance order) before cutting, so a row whose valid
+    entries are interleaved with sentinels loses only true overflow."""
+    sent = 100
+    arr = np.array(
+        [
+            [3, sent, 5, sent, 7, 9],   # 4 valid, interleaved sentinels
+            [sent] * 6,                  # all padding
+            [0, 1, 2, 3, 4, 5],          # full row: one real drop
+        ],
+        np.int32,
+    )
+    pipe.H_DROP_STATS.clear()
+    out = pipe._cap_neighbor_h(arr.copy(), 5, sent, "t")
+    assert out.shape == (3, 5)
+    np.testing.assert_array_equal(out[0], [3, 5, 7, 9, sent])
+    assert np.all(out[1] == sent)
+    np.testing.assert_array_equal(out[2], [0, 1, 2, 3, 4])
+    dropped, total = pipe.H_DROP_STATS["t"]
+    assert (dropped, total) == (1, 10)
+    # no-op cases return the input untouched
+    assert pipe._cap_neighbor_h(arr, 0, sent, "t2") is arr
+    assert pipe._cap_neighbor_h(arr, 6, sent, "t2") is arr
 
 
 def test_production_window_budgets_drop_rate():
