@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-3 chip work queue: runs once the axon TPU tunnel is back.
+# Probes first (cheap), then runs the queued measurements in sequence,
+# teeing each to its own /tmp log.
+set -u
+cd "$(dirname "$0")/.."
+
+probe() {
+  timeout 120 python -c "
+import jax, numpy as np, jax.numpy as jnp
+print(jax.devices())
+print(np.asarray(jnp.sum(jnp.ones((8,8)))))
+" > /tmp/probe.log 2>&1
+}
+
+echo "[queue] waiting for TPU..."
+until probe; do
+  echo "[queue] tpu down at $(date +%H:%M:%S), retrying in 120s"
+  sleep 120
+done
+echo "[queue] TPU is up at $(date +%H:%M:%S)"
+
+echo "[queue] 1/3 kfirst microbench"
+timeout 2400 python scripts/bench_wf_hc.py --hcs 40 > /tmp/wf_kfirst.log 2>&1
+echo "exit=$?" >> /tmp/wf_kfirst.log
+
+echo "[queue] 2/3 full bench"
+timeout 3500 python bench.py > /tmp/bench_r3.log 2>&1
+echo "exit=$?" >> /tmp/bench_r3.log
+
+echo "[queue] 3/3 prefix attribution"
+timeout 2400 python scripts/profile_prefix.py > /tmp/prefix_r3.log 2>&1
+echo "exit=$?" >> /tmp/prefix_r3.log
+
+echo "[queue] done"

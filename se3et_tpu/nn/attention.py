@@ -149,7 +149,10 @@ class RPEMultiHeadAttention(nn.Module):
             ).swapaxes(1, 2).astype(jnp.float32)  # (B, 4, N)
         km = (key_masks if key_masks is not None
               else jnp.ones((b, n), bool))
-        block_m = 256 if n % 256 == 0 else 128
+        # block_m=128 keeps the double-buffered (bn, bm, C) embedding tile
+        # within the ~16 MB VMEM budget at C=256 (256-wide tiles alone need
+        # 16.8 MB)
+        block_m = 128
         hidden = flash.rpe_self_attention(
             qf.astype(embed_qk.dtype), kf.astype(embed_qk.dtype),
             vf.astype(embed_qk.dtype), qp.astype(embed_qk.dtype), embed_qk,

@@ -67,6 +67,10 @@ class EPNConfig:
     dual_feature: bool = False
     kp_influence: str = "linear"
     aggregation_mode: str = "sum"
+    # windowed-conv contraction order: K-first scatters influence into the
+    # window axis before the gather matmul — MP*K rows instead of MP*HC on
+    # the dominant matmul (ops/pallas/windowed_conv._wf_kernel_kfirst)
+    wf_kfirst: bool = False
 
     @property
     def space(self) -> anchor_lib.AnchorSpace:
@@ -246,7 +250,8 @@ class KPConvInterSO3(nn.Module):
                 x.reshape(x.shape[0], num_s, a_dim * cin), seg_idx
             )
             wf_flat = wc.windowed_gather_wf(
-                local, w, win, interpret=jax.default_backend() != "tpu"
+                local, w, win, kfirst=cfg.wf_kfirst,
+                interpret=jax.default_backend() != "tpu",
             )  # (B, Nq, K*A*Cin), already weight-matmul-ready
             wf_flat = prec.cast_feature(wf_flat)
             wf = None  # only materialized (relayout!) on the shared-weight path

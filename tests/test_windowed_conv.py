@@ -386,3 +386,36 @@ def test_model_with_host_influence_matches_without():
         diff = np.abs(np.asarray(got) - np.asarray(ref))
         assert np.quantile(diff, 0.999) < 3e-2, np.quantile(diff, 0.999)
         assert diff.max() < 1e-1, diff.max()
+
+
+def test_conv_kfirst_config_matches_default():
+    """KPConvInterSO3 with EPNConfig.wf_kfirst == the default kernel order."""
+    from se3et_tpu.data.datasets import SyntheticPairDataset
+    from se3et_tpu.nn.epn import EPNConfig, KPConvInterSO3
+
+    item = SyntheticPairDataset(num_pairs=1, num_points=700, seed=3)[0]
+    cfg = pipe.PyramidConfig(
+        num_stages=2, voxel_size=0.1, search_radius=0.25,
+        neighbor_limits=(10, 10), stage_caps=(512, 192), coarse_point_cap=192,
+        window_segments=6,
+    )
+    data = pipe.build_pair_pyramid(
+        item["ref_points"], item["src_points"], item["transform"], cfg
+    )
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 512, 6, 4), jnp.float32)
+    pts = jnp.asarray(data["points_0"])
+    nbr = jnp.asarray(data["neighbors_0"])
+    window = (
+        jnp.asarray(data["neighbors_segs_0"]),
+        jnp.asarray(data["neighbors_local_0"]),
+    )
+    conv = KPConvInterSO3(4, 8, radius=0.25, sigma=0.2, config=EPNConfig())
+    params = conv.init(jax.random.PRNGKey(0), x, pts, pts, nbr)
+    ref = conv.apply(params, x, pts, pts, nbr, window=window)
+    conv_k = KPConvInterSO3(
+        4, 8, radius=0.25, sigma=0.2, config=EPNConfig(wf_kfirst=True)
+    )
+    got = conv_k.apply(params, x, pts, pts, nbr, window=window)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
