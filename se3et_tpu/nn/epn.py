@@ -249,10 +249,12 @@ class KPConvInterSO3(nn.Module):
             win = wc.segment_window_gather(
                 x.reshape(x.shape[0], num_s, a_dim * cin), seg_idx
             )
-            wf_flat = wc.windowed_gather_wf(
-                local, w, win, kfirst=cfg.wf_kfirst,
-                interpret=jax.default_backend() != "tpu",
+            wf_flat = wc.windowed_gather_wf_trainable(
+                local, w, win, cfg.wf_kfirst,
+                jax.default_backend() != "tpu",
             )  # (B, Nq, K*A*Cin), already weight-matmul-ready
+            # (custom VJP: training differentiates through the fused kernel —
+            # backward-by-features is the K-first scatter-transpose matmul)
             wf_flat = prec.cast_feature(wf_flat)
             wf = None  # only materialized (relayout!) on the shared-weight path
         else:
@@ -473,7 +475,7 @@ class ResnetBottleneckBlockEPN(nn.Module):
 
     @nn.compact
     def __call__(self, x, q_points, s_points, neighbor_indices, q_mask=None,
-                 s_mask=None, influence=None, window=None):
+                 s_mask=None, influence=None, window=None, pool_fused=True):
         if s_mask is None:
             s_mask = q_mask if not self.strided else None
         mid = self.out_dim // 4
@@ -497,7 +499,9 @@ class ResnetBottleneckBlockEPN(nn.Module):
 
             a_dim, ch = skip.shape[2], skip.shape[3]
             w_width = 0 if window is None else window[0].shape[2] * wc.SSEG
-            if window is not None and wc.windowed_max_pool_fits(
+            # the windowed max-pool is forward-only (no VJP); the training
+            # path sets pool_fused=False and keeps the XLA gather max
+            if window is not None and pool_fused and wc.windowed_max_pool_fits(
                 w_width, a_dim * ch
             ):
                 seg_idx, local = window
@@ -611,12 +615,12 @@ class _EPNStage(nn.Module):
 
     @nn.compact
     def __call__(self, x, q_pts, s_pts, sub_idx, nbr_idx, q_msk, s_msk,
-                 inf_sub, inf_same, win_sub, win_same):
+                 inf_sub, inf_same, win_sub, win_same, pool_fused=True):
         in_dim, r, s = self.in_dim, self.radius, self.sigma
         x = ResnetBottleneckBlockEPN(
             in_dim, in_dim, r, s, self.group_norm, self.config, strided=True
         )(x, q_pts, s_pts, sub_idx, q_msk, s_mask=s_msk, influence=inf_sub,
-          window=win_sub)
+          window=win_sub, pool_fused=pool_fused)
         x = ResnetBottleneckBlockEPN(
             in_dim, in_dim * 2, r * 2, s * 2, self.group_norm, self.config
         )(x, q_pts, q_pts, nbr_idx, q_msk, influence=inf_same, window=win_same)
@@ -656,9 +660,13 @@ class E2PNBackbone(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, feats, pyramid, fused=False, stop_stage=-1):
+    def __call__(self, feats, pyramid, fused=False, stop_stage=-1,
+                 fused_conv_grad=False):
         # ``stop_stage`` >= 0: early-return after encoder stage i (prefix
         # profiling, scripts/profile_prefix.py --backbone)
+        # ``fused_conv_grad``: training route — convs take the windowed
+        # kernel (differentiable via windowed_gather_wf_trainable's custom
+        # VJP) while the forward-only max-pool skips stay on the XLA gather
         cfg = self.config
         d = self.init_dim
         r, s = self.init_radius, self.init_sigma
@@ -684,7 +692,7 @@ class E2PNBackbone(nn.Module):
 
         def make_window(set_name, st):
             """Per-(stage, set) window maps for the fused conv kernel."""
-            if not fused:
+            if not (fused or fused_conv_grad):
                 return None
             segs = pyramid.get(f"{set_name}_segs_{st}")
             local = pyramid.get(f"{set_name}_local_{st}")
@@ -766,7 +774,7 @@ class E2PNBackbone(nn.Module):
             x = Stage(in_dim, r * mult, s * mult, self.group_norm, cfg)(
                 x, pts[st], pts[st - 1], subs[st - 1], nbs[st], msk[st],
                 msk[st - 1], inf_sub[st], inf_same[st], win_sub[st],
-                win_same[st],
+                win_same[st], pool_fused=fused,
             )
             stage_feats.append(x)
             dims.append(in_dim * 2)

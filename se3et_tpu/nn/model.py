@@ -64,6 +64,11 @@ class ModelConfig:
     # 1035 vs 1205 ms/step, BENCH.md round 3), so the default is off; flip on
     # for larger-than-registered shapes.  Training only; inference untouched.
     backbone_remat: bool = False
+    # training route for the backbone convs: fused windowed kernels with the
+    # custom-VJP backward (K-first scatter-transpose matmul) instead of the
+    # XLA gather forward + serialized scatter-add backward.  Max-pool skips
+    # stay on the XLA gather (forward-only kernel).
+    train_fused_conv: bool = True
     epn: EPNConfig = EPNConfig()
     # transformer
     gt_input_dim: int = 1024
@@ -251,9 +256,12 @@ class SE3ETModel(nn.Module):
 
         # 3. backbone
         if c.backbone == "e2pn":
-            # fused windowed conv + Pallas kernels on the inference path
+            # fused windowed conv + Pallas kernels on the inference path;
+            # training differentiates through the conv kernels when
+            # train_fused_conv (custom VJP, windowed_conv.py)
             feats_f, feats_c = self.backbone_net(
-                data["features"], data, fused=not train
+                data["features"], data, fused=not train,
+                fused_conv_grad=train and c.train_fused_conv,
             )
         else:
             feats_f, feats_c = self.backbone_net(data["features"], data)

@@ -287,6 +287,152 @@ def _wf_kernel_kfirst(local_ref, infl_ref, win_ref, out_ref, sacc, *, mp, hc,
         )
 
 
+def _wf_bwd_win_kernel(local_ref, infl_ref, dout_ref, dwin_ref, sacc, *, mp,
+                       hc, n_hc, w, k, ac, spb):
+    """d_windows[w', ac] = sum_{p,k} S[p,k,w'] * d_out[p,k,ac].
+
+    S is the K-first scatter matrix (``_wf_kernel_kfirst``); its transpose
+    turns the conv's backward-by-features into ONE (W, MP*K) x (MP*K, AC)
+    matmul per sub-block — no scatter-adds (XLA lowers the gather path's
+    backward as a serialized scatter, the dominant cost of the XLA train
+    step's conv layers).  Sub-blocks of the same window block accumulate into
+    the revisited output block.
+    """
+    sub = pl.program_id(1)
+
+    @pl.when(sub % spb == 0)
+    def _init():
+        dwin_ref[...] = jnp.zeros_like(dwin_ref)
+
+    sacc[...] = jnp.zeros_like(sacc)
+    dt = dout_ref.dtype
+    for c in range(n_hc):
+        loc = local_ref[0, 0, :, c * hc:(c + 1) * hc]  # (MP, HC)
+        iw = jax.lax.broadcasted_iota(jnp.int32, (mp, hc, w), 2)
+        oh = (loc[:, :, None] == iw).astype(dt)
+        ic = infl_ref[0, 0, :, c * hc:(c + 1) * hc, :]  # (MP, HC, K)
+        sacc[...] += jax.lax.dot_general(
+            ic, oh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (MP, K, W)
+    s = sacc[...].astype(dt).reshape(mp * k, w)
+    dout = dout_ref[0, 0].reshape(mp * k, ac)  # leading split: free
+    dwin_ref[0, 0] += jax.lax.dot_general(
+        s, dout, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dwin_ref.dtype)  # (W, AC)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nblk_q", "w", "k", "hc", "interpret")
+)
+def _wf_bwd_win(local, infl, d_out, *, nblk_q, w, k, hc=None,
+                interpret=False):
+    """Backward of :func:`windowed_gather_wf` w.r.t. ``windows``.
+
+    local: (B, Nq, H); infl: (B, Nq, H, K); d_out: (B, Nq, K*AC) cotangent.
+    Returns (B, nblk_q, W, AC) f32.
+    """
+    b, nq, h = local.shape
+    if hc is None:
+        hc = pick_hc(h)
+    ac = d_out.shape[2] // k
+    mp = 32
+    spb = QSEG // mp
+    q_pad = nblk_q * QSEG - nq
+    if q_pad:
+        local = jnp.pad(local, ((0, 0), (0, q_pad), (0, 0)), constant_values=w)
+        infl = jnp.pad(infl, ((0, 0), (0, q_pad), (0, 0), (0, 0)))
+        d_out = jnp.pad(d_out, ((0, 0), (0, q_pad), (0, 0)))
+    h_pad = ((h + hc - 1) // hc) * hc
+    if h_pad > h:
+        local = jnp.pad(local, ((0, 0), (0, 0), (0, h_pad - h)),
+                        constant_values=w)
+    if infl.shape[2] < h_pad:
+        infl = jnp.pad(
+            infl, ((0, 0), (0, 0), (0, h_pad - infl.shape[2]), (0, 0))
+        )
+    nsub = nblk_q * spb
+    # d_out arrives (MP, K*AC) flat; the kernel reads it as (MP*K, AC) via a
+    # leading-dim split of the (MP, K, AC) view.  bf16 matmuls when the
+    # training features are bf16; exact f32 otherwise.
+    d3 = d_out.reshape(b, nsub, mp, k * ac)
+    infl = infl.astype(d_out.dtype)
+    kernel = functools.partial(
+        _wf_bwd_win_kernel, mp=mp, hc=hc, n_hc=h_pad // hc, w=w, k=k, ac=ac,
+        spb=spb,
+    )
+    dwin = pl.pallas_call(
+        kernel,
+        grid=(b, nsub),
+        in_specs=[
+            pl.BlockSpec((1, 1, mp, h_pad), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((1, 1, mp, h_pad, k), lambda bi, i: (bi, i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, mp, k * ac), lambda bi, i: (bi, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, w, ac), lambda bi, i, spb=spb: (bi, i // spb, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nblk_q, w, ac), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((mp, k, w), jnp.float32)],
+        interpret=interpret,
+    )(
+        local.reshape(b, nsub, mp, h_pad),
+        infl.reshape(b, nsub, mp, h_pad, k),
+        d3,
+    )
+    return dwin
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def windowed_gather_wf_trainable(local, infl, windows, kfirst=False,
+                                 interpret=False):
+    """:func:`windowed_gather_wf` with a hand-written backward pass.
+
+    Training-path entry: the forward is the fused windowed kernel; the
+    backward w.r.t. ``windows`` is the K-first scatter-transpose matmul
+    kernel (``_wf_bwd_win_kernel``) instead of XLA's serialized scatter-add,
+    and the backward w.r.t. ``infl`` is an XLA gather formulation (dead-code
+    eliminated in the standard train step, where influence is a function of
+    the non-differentiated point coordinates only).
+    """
+    return windowed_gather_wf(local, infl, windows, kfirst=kfirst,
+                              interpret=interpret)
+
+
+def _wf_trainable_fwd(local, infl, windows, kfirst, interpret):
+    out = windowed_gather_wf(local, infl, windows, kfirst=kfirst,
+                             interpret=interpret)
+    return out, (local, infl, windows)
+
+
+def _wf_trainable_bwd(kfirst, interpret, res, d_out):
+    local, infl, windows = res
+    b, nq, h = local.shape
+    k = infl.shape[3]
+    nblk_q, w, ac = windows.shape[1:]
+    d_win = _wf_bwd_win(
+        local, infl, d_out, nblk_q=nblk_q, w=w, k=k, interpret=interpret
+    ).astype(windows.dtype)
+    # d_infl[p,h,k] = sum_ac windows[blk(p), local[p,h], ac] * d_out[p,k,ac]
+    # — XLA gather formulation; pruned when influence carries no gradient.
+    q_pad = nblk_q * QSEG - nq
+    loc = jnp.pad(local, ((0, 0), (0, q_pad), (0, 0)), constant_values=w)
+    idx = loc.reshape(b, nblk_q, QSEG * h)
+    g = jnp.take_along_axis(
+        windows, jnp.clip(idx, 0, w - 1)[..., None], axis=2
+    )  # (B, nblk_q, QSEG*H, AC)
+    g = g * (idx[..., None] < w).astype(g.dtype)
+    g = g.reshape(b, nblk_q * QSEG, h, ac)[:, :nq]
+    d3 = d_out.reshape(b, nq, k, ac)
+    d_infl = jnp.einsum("bnhc,bnkc->bnhk", g.astype(jnp.float32),
+                        d3.astype(jnp.float32)).astype(infl.dtype)
+    return None, d_infl, d_win
+
+
+windowed_gather_wf_trainable.defvjp(_wf_trainable_fwd, _wf_trainable_bwd)
+
+
 def windowed_max_pool_fits(w: int, ac: int, hc: int = 8) -> bool:
     """Whether the max-pool kernel fits VMEM at this (window, channel) size.
 

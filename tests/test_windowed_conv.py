@@ -419,3 +419,110 @@ def test_conv_kfirst_config_matches_default():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
     )
+
+
+def test_windowed_conv_custom_vjp_matches_xla_grads():
+    """windowed_gather_wf_trainable grads == autodiff of the XLA gather
+    formulation (f32 exact; d_win via the K-first scatter-transpose kernel)."""
+    from se3et_tpu.ops.pallas import windowed_conv as wc
+
+    rng = np.random.RandomState(0)
+    b, nq, h, k, w, ac = 1, 128, 24, 15, 64, 96
+    nblk_q = (nq + wc.QSEG - 1) // wc.QSEG
+    local = jnp.asarray(rng.randint(0, w + 1, size=(b, nq, h)), jnp.int32)
+    infl = jnp.asarray(
+        rng.rand(b, nq, h, k) * (np.asarray(local)[..., None] < w), jnp.float32
+    )
+    windows = jnp.asarray(rng.randn(b, nblk_q, w, ac), jnp.float32)
+
+    def xla_ref(i_, w_):
+        loc = jnp.pad(local, ((0, 0), (0, nblk_q * wc.QSEG - nq), (0, 0)),
+                      constant_values=w)
+        idx = loc.reshape(b, nblk_q, wc.QSEG * h)
+        g = jnp.take_along_axis(w_, jnp.clip(idx, 0, w - 1)[..., None], axis=2)
+        g = g * (idx[..., None] < w)
+        g = g.reshape(b, nblk_q * wc.QSEG, h, ac)[:, :nq]
+        return jnp.einsum("bnhk,bnhc->bnkc", i_, g).reshape(b, nq, k * ac)
+
+    ct = jnp.asarray(rng.randn(b, nq, k * ac), jnp.float32)
+    gr = jax.grad(lambda i_, w_: jnp.sum(xla_ref(i_, w_) * ct), (0, 1))(
+        infl, windows
+    )
+    gn = jax.grad(
+        lambda i_, w_: jnp.sum(
+            wc.windowed_gather_wf_trainable(local, i_, w_, False, True) * ct
+        ),
+        (0, 1),
+    )(infl, windows)
+    np.testing.assert_allclose(np.asarray(gn[0]), np.asarray(gr[0]),
+                               rtol=1e-5, atol=1e-5)
+    scale = float(np.abs(np.asarray(gr[1])).max())
+    np.testing.assert_allclose(np.asarray(gn[1]), np.asarray(gr[1]),
+                               atol=1e-5 * scale)
+    # kfirst forward composes with the same backward
+    gk = jax.grad(
+        lambda i_, w_: jnp.sum(
+            wc.windowed_gather_wf_trainable(local, i_, w_, True, True) * ct
+        ),
+        (0, 1),
+    )(infl, windows)
+    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gr[1]),
+                               atol=1e-5 * scale)
+
+
+def test_backbone_train_fused_conv_grads_match():
+    """Backbone param grads: fused_conv_grad (windowed kernels + custom VJP)
+    == the XLA gather train path, at a window budget with zero drops."""
+    from se3et_tpu.data.datasets import SyntheticPairDataset
+    from se3et_tpu.nn.epn import E2PNBackbone, EPNConfig
+
+    item = SyntheticPairDataset(num_pairs=1, num_points=500, seed=5)[0]
+    cfg = pipe.PyramidConfig(
+        num_stages=3, voxel_size=0.12, search_radius=0.3,
+        neighbor_limits=(10, 10, 10), stage_caps=(384, 160, 64),
+        coarse_point_cap=64, window_segments=16,
+    )
+    pipe.WINDOW_DROP_STATS.clear()
+    data = pipe.build_pair_pyramid(
+        item["ref_points"], item["src_points"], item["transform"], cfg
+    )
+    assert all(d == 0 for d, _ in pipe.WINDOW_DROP_STATS.values()), (
+        pipe.WINDOW_DROP_STATS
+    )
+    # host-precomputed influence: BOTH paths then consume identical influence
+    # tensors, isolating the comparison to the conv gather + custom VJP (the
+    # windowed influence kernel's double-bf16 coordinates add ~1e-5 noise
+    # that GroupNorm otherwise amplifies across stages)
+    from se3et_tpu.data.influence import precompute_influence
+    from se3et_tpu.nn.model import ModelConfig
+
+    precompute_influence(
+        data,
+        ModelConfig(
+            backbone="e2pn", init_radius=0.3, init_sigma=0.24,
+            epn=EPNConfig(), num_stages=3,
+        ),
+    )
+    data = {k: jnp.asarray(v) for k, v in data.items()}
+    net = E2PNBackbone(
+        input_dim=1, output_dim=16, init_dim=8, init_radius=0.3,
+        init_sigma=0.24, group_norm=4, config=EPNConfig(), num_stages=3,
+        ones_input=True,
+    )
+    params = net.init(jax.random.PRNGKey(0), data["features"], data)
+
+    def loss(p, **kw):
+        ff, fc = net.apply(p, data["features"], data, **kw)
+        return jnp.sum(ff**2) + jnp.sum(fc**2)
+
+    from jax.flatten_util import ravel_pytree
+
+    g_ref = jax.grad(loss)(params)
+    g_new = jax.grad(lambda p: loss(p, fused_conv_grad=True))(params)
+    flat_r, _ = ravel_pytree(g_ref)
+    flat_n, _ = ravel_pytree(g_new)
+    # the two forwards reassociate f32 sums (one-hot matmul vs row gather);
+    # GroupNorm amplifies that to ~1e-4 relative in the grads
+    scale = float(jnp.max(jnp.abs(flat_r))) + 1e-9
+    np.testing.assert_allclose(np.asarray(flat_n), np.asarray(flat_r),
+                               rtol=2e-3, atol=1e-3 * scale)
