@@ -475,7 +475,7 @@ class ResnetBottleneckBlockEPN(nn.Module):
 
     @nn.compact
     def __call__(self, x, q_points, s_points, neighbor_indices, q_mask=None,
-                 s_mask=None, influence=None, window=None, pool_fused=True):
+                 s_mask=None, influence=None, window=None, pool_mode="fused"):
         if s_mask is None:
             s_mask = q_mask if not self.strided else None
         mid = self.out_dim // 4
@@ -499,19 +499,30 @@ class ResnetBottleneckBlockEPN(nn.Module):
 
             a_dim, ch = skip.shape[2], skip.shape[3]
             w_width = 0 if window is None else window[0].shape[2] * wc.SSEG
-            # the windowed max-pool is forward-only (no VJP); the training
-            # path sets pool_fused=False and keeps the XLA gather max
-            if window is not None and pool_fused and wc.windowed_max_pool_fits(
-                w_width, a_dim * ch
+            # pool_mode: 'fused' = forward-only windowed kernel (serving),
+            # 'grad' = windowed kernel + custom VJP (training), 'xla' =
+            # gather formulation (fallback / deep wide-channel stages)
+            if (
+                window is not None
+                and pool_mode in ("fused", "grad")
+                and wc.windowed_max_pool_fits(w_width, a_dim * ch)
             ):
                 seg_idx, local = window
                 b, ns = skip.shape[0], skip.shape[1]
                 flat = prec.cast_feature(skip).reshape(b, ns, a_dim * ch)
                 win = wc.segment_window_gather(flat, seg_idx)
-                skip = wc.windowed_max_pool(
-                    local, win, q_points.shape[1],
-                    interpret=jax.default_backend() != "tpu",
-                ).reshape(b, q_points.shape[1], a_dim, ch).astype(jnp.float32)
+                interp = jax.default_backend() != "tpu"
+                if pool_mode == "grad":
+                    pooled = wc.windowed_max_pool_trainable(
+                        local, win, q_points.shape[1], 8, interp
+                    )
+                else:
+                    pooled = wc.windowed_max_pool(
+                        local, win, q_points.shape[1], interpret=interp
+                    )
+                skip = pooled.reshape(
+                    b, q_points.shape[1], a_dim, ch
+                ).astype(jnp.float32)
             else:
                 skip = max_pool_neighbors(skip, neighbor_indices)
         if self.in_dim != self.out_dim:
@@ -615,12 +626,12 @@ class _EPNStage(nn.Module):
 
     @nn.compact
     def __call__(self, x, q_pts, s_pts, sub_idx, nbr_idx, q_msk, s_msk,
-                 inf_sub, inf_same, win_sub, win_same, pool_fused=True):
+                 inf_sub, inf_same, win_sub, win_same, pool_mode="fused"):
         in_dim, r, s = self.in_dim, self.radius, self.sigma
         x = ResnetBottleneckBlockEPN(
             in_dim, in_dim, r, s, self.group_norm, self.config, strided=True
         )(x, q_pts, s_pts, sub_idx, q_msk, s_mask=s_msk, influence=inf_sub,
-          window=win_sub, pool_fused=pool_fused)
+          window=win_sub, pool_mode=pool_mode)
         x = ResnetBottleneckBlockEPN(
             in_dim, in_dim * 2, r * 2, s * 2, self.group_norm, self.config
         )(x, q_pts, q_pts, nbr_idx, q_msk, influence=inf_same, window=win_same)
@@ -664,9 +675,9 @@ class E2PNBackbone(nn.Module):
                  fused_conv_grad=False):
         # ``stop_stage`` >= 0: early-return after encoder stage i (prefix
         # profiling, scripts/profile_prefix.py --backbone)
-        # ``fused_conv_grad``: training route — convs take the windowed
-        # kernel (differentiable via windowed_gather_wf_trainable's custom
-        # VJP) while the forward-only max-pool skips stay on the XLA gather
+        # ``fused_conv_grad``: training route — convs and max-pool skips take
+        # the windowed kernels, differentiable via the custom VJPs
+        # (windowed_gather_wf_trainable / windowed_max_pool_trainable)
         cfg = self.config
         d = self.init_dim
         r, s = self.init_radius, self.init_sigma
@@ -774,7 +785,9 @@ class E2PNBackbone(nn.Module):
             x = Stage(in_dim, r * mult, s * mult, self.group_norm, cfg)(
                 x, pts[st], pts[st - 1], subs[st - 1], nbs[st], msk[st],
                 msk[st - 1], inf_sub[st], inf_same[st], win_sub[st],
-                win_same[st], pool_fused=fused,
+                win_same[st],
+                pool_mode="fused" if fused
+                else ("grad" if fused_conv_grad else "xla"),
             )
             stage_feats.append(x)
             dims.append(in_dim * 2)

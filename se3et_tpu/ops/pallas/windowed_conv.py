@@ -469,6 +469,146 @@ def _max_kernel(local_ref, win_ref, out_ref, acc, *, mp, hc, n_hc, w, ac, h):
     out_ref[0, 0] = acc[...].astype(out_ref.dtype)
 
 
+def _max_bwd_kernel(local_ref, win_ref, out_ref, dout_ref, dwin_ref, *, mp,
+                    hc, n_hc, w, ac, h, spb):
+    """d_windows for the shadow-zero neighbor max-pool.
+
+    Matches ``jnp.max``'s VJP semantics on the gather formulation
+    (``epn.max_pool_neighbors``): the cotangent splits evenly among ALL
+    tying entries — including the invalid-neighbor shadow zeros when the max
+    is 0, whose share is then dropped (the XLA path kills it at the mask
+    multiply).  d_win[w', c] = sum_{p, valid h: g==out} d_out[p,c] / ties.
+    """
+    sub = pl.program_id(1)
+
+    @pl.when(sub % spb == 0)
+    def _init():
+        dwin_ref[...] = jnp.zeros_like(dwin_ref)
+
+    win = win_ref[0, 0]  # (W, AC)
+    out = out_ref[0, 0]  # (MP, AC) — the forward result, f32
+    dout = dout_ref[0, 0]  # (MP, AC)
+    dt = win.dtype
+
+    # ties = # of valid matches + # of shadow zeros matching (out == 0)
+    ties = jnp.zeros((mp, ac), jnp.float32)
+    n_shadow = jnp.zeros((mp, 1), jnp.float32)
+    eqs = []
+    for c in range(n_hc):
+        loc = local_ref[0, 0, :, c * hc:(c + 1) * hc]  # (MP, HC)
+        iw = jax.lax.broadcasted_iota(jnp.int32, (mp, hc, w), 2)
+        oh = (loc[:, :, None] == iw).astype(dt).reshape(mp * hc, w)
+        g = jnp.dot(oh, win, preferred_element_type=jnp.float32).reshape(
+            mp, hc, ac
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (mp, hc), 1) + c * hc
+        valid = (loc < w) & (col < h)  # (MP, HC)
+        # the forward emitted out = dtype(max_f32); round g identically so
+        # the tie comparison is exact in f32 and max-preserving in bf16
+        gc = g.astype(dt).astype(jnp.float32)
+        eq = (gc == out[:, None, :]) & valid[:, :, None]
+        eqs.append(eq)
+        ties += jnp.sum(eq.astype(jnp.float32), axis=1)
+        n_shadow += jnp.sum(
+            ((loc >= w) & (col < h)).astype(jnp.float32), axis=1
+        )[:, None]
+    ties += jnp.where(out == 0.0, n_shadow, 0.0)
+    scale = dout.astype(jnp.float32) / jnp.maximum(ties, 1.0)
+    for c in range(n_hc):
+        loc = local_ref[0, 0, :, c * hc:(c + 1) * hc]
+        iw = jax.lax.broadcasted_iota(jnp.int32, (mp, hc, w), 2)
+        oh = (loc[:, :, None] == iw).astype(dt).reshape(mp * hc, w)
+        md = (eqs[c].astype(jnp.float32) * scale[:, None, :]).astype(dt)
+        dwin_ref[0, 0] += jax.lax.dot_general(
+            oh, md.reshape(mp * hc, ac), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dwin_ref.dtype)  # (W, AC)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nblk_q", "h", "hc", "interpret")
+)
+def _max_bwd_win(local, windows, out, d_out, *, nblk_q, h, hc=8,
+                 interpret=False):
+    """Backward of :func:`windowed_max_pool` w.r.t. ``windows``.
+
+    out must be the f32 forward maxima (recompute-free exact tie matching).
+    Returns (B, nblk_q, W, AC) f32.
+    """
+    b = local.shape[0]
+    w, ac = windows.shape[2:]
+    mp = 32
+    spb = QSEG // mp
+    nq = out.shape[1]
+    q_pad = nblk_q * QSEG - nq
+    if q_pad:
+        out = jnp.pad(out, ((0, 0), (0, q_pad), (0, 0)))
+        d_out = jnp.pad(d_out, ((0, 0), (0, q_pad), (0, 0)))
+    if local.shape[1] < nblk_q * QSEG:
+        local = jnp.pad(
+            local, ((0, 0), (0, nblk_q * QSEG - local.shape[1]), (0, 0)),
+            constant_values=w,
+        )
+    h_pad = ((local.shape[2] + hc - 1) // hc) * hc
+    if h_pad > local.shape[2]:
+        local = jnp.pad(local, ((0, 0), (0, 0), (0, h_pad - local.shape[2])),
+                        constant_values=w)
+    nsub = nblk_q * spb
+    kernel = functools.partial(
+        _max_bwd_kernel, mp=mp, hc=hc, n_hc=h_pad // hc, w=w, ac=ac, h=h,
+        spb=spb,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nsub),
+        in_specs=[
+            pl.BlockSpec((1, 1, mp, h_pad), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, w, ac), lambda bi, i, spb=spb: (bi, i // spb, 0, 0)
+            ),
+            pl.BlockSpec((1, 1, mp, ac), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((1, 1, mp, ac), lambda bi, i: (bi, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, w, ac), lambda bi, i, spb=spb: (bi, i // spb, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nblk_q, w, ac), jnp.float32),
+        interpret=interpret,
+    )(
+        local.reshape(b, nsub, mp, h_pad),
+        windows,
+        out.reshape(b, nsub, mp, ac).astype(jnp.float32),
+        d_out.reshape(b, nsub, mp, ac).astype(jnp.float32),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def windowed_max_pool_trainable(local, windows, nq, hc=8, interpret=False):
+    """:func:`windowed_max_pool` with a hand-written backward pass
+    (``_max_bwd_kernel``) for the training path."""
+    return windowed_max_pool(local, windows, nq, hc=hc, interpret=interpret)
+
+
+def _max_trainable_fwd(local, windows, nq, hc, interpret):
+    out = windowed_max_pool(local, windows, nq, hc=hc, interpret=interpret)
+    return out, (local, windows, out)
+
+
+def _max_trainable_bwd(nq, hc, interpret, res, d_out):
+    local, windows, out = res
+    h = local.shape[2]
+    nblk_q = windows.shape[1]
+    d_win = _max_bwd_win(
+        local, windows, out.astype(jnp.float32),
+        d_out.astype(jnp.float32), nblk_q=nblk_q, h=h, hc=hc,
+        interpret=interpret,
+    ).astype(windows.dtype)
+    return None, d_win
+
+
+windowed_max_pool_trainable.defvjp(_max_trainable_fwd, _max_trainable_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("nq", "hc", "mp", "interpret"))
 def windowed_max_pool(local, windows, nq, *, hc=8, mp=None, interpret=False):
     """Windowed neighbor max-pool (strided skip path).

@@ -526,3 +526,44 @@ def test_backbone_train_fused_conv_grads_match():
     scale = float(jnp.max(jnp.abs(flat_r))) + 1e-9
     np.testing.assert_allclose(np.asarray(flat_n), np.asarray(flat_r),
                                rtol=2e-3, atol=1e-3 * scale)
+
+
+def test_windowed_max_pool_custom_vjp_matches_xla_grads():
+    """windowed_max_pool_trainable grads == autodiff of the XLA shadow-zero
+    max formulation, including even tie-splitting with dropped shadow shares."""
+    from se3et_tpu.ops.pallas import windowed_conv as wc
+
+    rng = np.random.RandomState(4)
+    b, nq, h, w, ac = 1, 128, 10, 64, 32
+    nblk_q = (nq + wc.QSEG - 1) // wc.QSEG
+    local = jnp.asarray(rng.randint(0, w + 1, size=(b, nq, h)), jnp.int32)
+    # quantized values force ties (incl. negative-only rows maxing at the
+    # shadow zero)
+    windows = jnp.asarray(
+        np.round(rng.randn(b, nblk_q, w, ac) * 2) / 2, jnp.float32
+    )
+
+    def xla_ref(w_):
+        idx = local.reshape(b, nblk_q, (nblk_q and nq // nblk_q or nq) * h)
+        idx = local.reshape(b, nblk_q, -1)
+        g = jnp.take_along_axis(
+            w_, jnp.clip(idx, 0, w - 1)[..., None], axis=2
+        )
+        g = jnp.where((idx[..., None] < w), g, 0.0)
+        g = g.reshape(b, nq, h, ac)
+        return jnp.max(g, axis=2)
+
+    ct = jnp.asarray(rng.randn(b, nq, ac), jnp.float32)
+    # forward parity first
+    f_ref = xla_ref(windows)
+    f_new = wc.windowed_max_pool_trainable(local, windows, nq, 8, True)
+    np.testing.assert_allclose(np.asarray(f_new), np.asarray(f_ref),
+                               rtol=1e-6, atol=1e-6)
+    g_ref = jax.grad(lambda w_: jnp.sum(xla_ref(w_) * ct))(windows)
+    g_new = jax.grad(
+        lambda w_: jnp.sum(
+            wc.windowed_max_pool_trainable(local, w_, nq, 8, True) * ct
+        )
+    )(windows)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
