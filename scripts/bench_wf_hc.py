@@ -72,7 +72,7 @@ def main():
     d = m.init_dim
     rng = np.random.RandomState(0)
 
-    hcs = [int(x) for x in args.hcs.split(",")]
+    hcs = [None if x == "auto" else int(x) for x in args.hcs.split(",")]
     mps = [None if x == "auto" else int(x) for x in args.mps.split(",")]
 
     cases = [
@@ -117,7 +117,7 @@ def main():
                     def conv_fn(local, infl, win, hc=hc, mp=mp, kf=kfirst):
                         return wc.windowed_gather_wf(local, infl, win, hc=hc,
                                                      mp=mp, kfirst=kf)
-                    tag = (f"  wf hc={hc} mp={mp or 'auto'}"
+                    tag = (f"  wf hc={hc or 'auto'} mp={mp or 'auto'}"
                            f"{' kfirst' if kfirst else ''}")
                     try:
                         bench(tag, conv_fn, local, infl, win)

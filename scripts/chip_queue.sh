@@ -21,7 +21,7 @@ done
 echo "[queue] TPU is up at $(date +%H:%M:%S)"
 
 echo "[queue] 1/3 kfirst microbench"
-timeout 2400 python scripts/bench_wf_hc.py --hcs 40 > /tmp/wf_kfirst.log 2>&1
+timeout 2400 python scripts/bench_wf_hc.py --hcs auto > /tmp/wf_kfirst.log 2>&1
 echo "exit=$?" >> /tmp/wf_kfirst.log
 
 echo "[queue] 2/3 full bench"

@@ -472,10 +472,14 @@ class ResnetBottleneckBlockEPN(nn.Module):
     group_norm: int
     config: EPNConfig
     strided: bool = False
+    # strided-skip pooling route: 'fused' = forward-only windowed kernel
+    # (serving), 'grad' = windowed kernel + custom VJP (training), 'xla' =
+    # gather formulation (fallback / deep wide-channel stages)
+    pool_mode: str = "fused"
 
     @nn.compact
     def __call__(self, x, q_points, s_points, neighbor_indices, q_mask=None,
-                 s_mask=None, influence=None, window=None, pool_mode="fused"):
+                 s_mask=None, influence=None, window=None):
         if s_mask is None:
             s_mask = q_mask if not self.strided else None
         mid = self.out_dim // 4
@@ -499,9 +503,7 @@ class ResnetBottleneckBlockEPN(nn.Module):
 
             a_dim, ch = skip.shape[2], skip.shape[3]
             w_width = 0 if window is None else window[0].shape[2] * wc.SSEG
-            # pool_mode: 'fused' = forward-only windowed kernel (serving),
-            # 'grad' = windowed kernel + custom VJP (training), 'xla' =
-            # gather formulation (fallback / deep wide-channel stages)
+            pool_mode = self.pool_mode
             if (
                 window is not None
                 and pool_mode in ("fused", "grad")
@@ -623,15 +625,17 @@ class _EPNStage(nn.Module):
     sigma: float
     group_norm: int
     config: EPNConfig
+    pool_mode: str = "fused"
 
     @nn.compact
     def __call__(self, x, q_pts, s_pts, sub_idx, nbr_idx, q_msk, s_msk,
-                 inf_sub, inf_same, win_sub, win_same, pool_mode="fused"):
+                 inf_sub, inf_same, win_sub, win_same):
         in_dim, r, s = self.in_dim, self.radius, self.sigma
         x = ResnetBottleneckBlockEPN(
-            in_dim, in_dim, r, s, self.group_norm, self.config, strided=True
+            in_dim, in_dim, r, s, self.group_norm, self.config, strided=True,
+            pool_mode=self.pool_mode,
         )(x, q_pts, s_pts, sub_idx, q_msk, s_mask=s_msk, influence=inf_sub,
-          window=win_sub, pool_mode=pool_mode)
+          window=win_sub)
         x = ResnetBottleneckBlockEPN(
             in_dim, in_dim * 2, r * 2, s * 2, self.group_norm, self.config
         )(x, q_pts, q_pts, nbr_idx, q_msk, influence=inf_same, window=win_same)
@@ -782,12 +786,14 @@ class E2PNBackbone(nn.Module):
         for st in range(1, self.num_stages):
             mult = 2 ** (st - 1)
             in_dim = dims[-1]
-            x = Stage(in_dim, r * mult, s * mult, self.group_norm, cfg)(
+            x = Stage(
+                in_dim, r * mult, s * mult, self.group_norm, cfg,
+                pool_mode="fused" if fused
+                else ("grad" if fused_conv_grad else "xla"),
+            )(
                 x, pts[st], pts[st - 1], subs[st - 1], nbs[st], msk[st],
                 msk[st - 1], inf_sub[st], inf_same[st], win_sub[st],
                 win_same[st],
-                pool_mode="fused" if fused
-                else ("grad" if fused_conv_grad else "xla"),
             )
             stage_feats.append(x)
             dims.append(in_dim * 2)

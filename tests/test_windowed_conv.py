@@ -567,3 +567,36 @@ def test_windowed_max_pool_custom_vjp_matches_xla_grads():
     )(windows)
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_backbone_remat_with_fused_conv_grad():
+    """Per-stage remat composes with the fused-conv training route (pool_mode
+    is a module field, not a call arg — nn.remat rejects non-array args)."""
+    from se3et_tpu.data.datasets import SyntheticPairDataset
+    from se3et_tpu.nn.epn import E2PNBackbone, EPNConfig
+
+    item = SyntheticPairDataset(num_pairs=1, num_points=400, seed=5)[0]
+    cfg = pipe.PyramidConfig(
+        num_stages=3, voxel_size=0.12, search_radius=0.3,
+        neighbor_limits=(8, 8, 8), stage_caps=(256, 96, 64),
+        coarse_point_cap=64, window_segments=8,
+    )
+    data = pipe.build_pair_pyramid(
+        item["ref_points"], item["src_points"], item["transform"], cfg
+    )
+    data = {k: jnp.asarray(v) for k, v in data.items()}
+    net = E2PNBackbone(
+        input_dim=1, output_dim=16, init_dim=8, init_radius=0.3,
+        init_sigma=0.24, group_norm=4, config=EPNConfig(), num_stages=3,
+        ones_input=True, remat=True,
+    )
+    params = net.init(jax.random.PRNGKey(0), data["features"], data)
+
+    def loss(p):
+        ff, fc = net.apply(p, data["features"], data, fused_conv_grad=True)
+        return jnp.sum(ff**2) + jnp.sum(fc**2)
+
+    from jax.flatten_util import ravel_pytree
+
+    flat, _ = ravel_pytree(jax.grad(loss)(params))
+    assert bool(jnp.all(jnp.isfinite(flat)))
