@@ -33,3 +33,17 @@ timeout 2400 python scripts/profile_prefix.py > /tmp/prefix_r3.log 2>&1
 echo "exit=$?" >> /tmp/prefix_r3.log
 
 echo "[queue] done"
+
+echo "[queue] 4/5 train step (custom-VJP fused convs)"
+timeout 3500 python scripts/profile_train_step.py > /tmp/train_step_r3.log 2>&1
+echo "exit=$?" >> /tmp/train_step_r3.log
+
+echo "[queue] 5/5 write floor probe"
+timeout 1800 python scripts/bench_write_floor.py > /tmp/write_floor.log 2>&1
+echo "exit=$?" >> /tmp/write_floor.log
+echo "[queue] all done"
+
+echo "[queue] 6/6 KITTI 5-stage bench entry"
+timeout 3500 env BENCH_EXP=se3eti.kitti python bench.py > /tmp/bench_kitti.log 2>&1
+echo "exit=$?" >> /tmp/bench_kitti.log
+echo "[queue] fully done"

@@ -92,19 +92,17 @@ class GeometricStructureEmbedding(nn.Module):
         ).reshape(b, n, k, 3)
 
         if fused and self.reduction_a == "max" and n % 8 == 0:
-            from se3et_tpu.ops.pallas.embedding import geometric_embedding_pallas
+            from se3et_tpu.ops.pallas.embedding import (
+                geometric_embedding_trainable,
+            )
 
-            # Mosaic requires tile dims that are multiples of 8; VMEM is
-            # bounded by tiling M as well (tile_m columns per grid step)
-            tile_m = n
-            for t in (256, 200, 128, 100, 64, 50, 40, 8):
-                if n % t == 0:
-                    tile_m = t
-                    break
-            emb = geometric_embedding_pallas(
+            # the trainable wrapper == the forward kernel when no gradient is
+            # taken (serving); under jax.grad its custom VJP produces the
+            # projection-parameter gradients (basis-space accumulation)
+            emb = geometric_embedding_trainable(
                 points, knn_points, wd, bd, wa, ba,
-                sigma_d=self.sigma_d, sigma_a=self.sigma_a, tile_n=8,
-                tile_m=tile_m, interpret=jax.default_backend() != "tpu",
+                float(self.sigma_d), float(self.sigma_a), 48.0,
+                jax.default_backend() != "tpu",
             )
         else:
             from se3et_tpu import precision as prec

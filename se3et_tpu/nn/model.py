@@ -69,6 +69,11 @@ class ModelConfig:
     # XLA gather forward + serialized scatter-add backward.  Max-pool skips
     # stay on the XLA gather (forward-only kernel).
     train_fused_conv: bool = True
+    # training route for the geometric embedding: the fused Chebyshev kernel
+    # with the basis-space custom VJP (ops/pallas/embedding.py) instead of
+    # the row-chunked XLA sinusoids.  Numerics: bf16 embedding + <1e-5
+    # Chebyshev fit error (same as the serving path) vs the XLA f32 path.
+    train_fused_embedding: bool = True
     epn: EPNConfig = EPNConfig()
     # transformer
     gt_input_dim: int = 1024
@@ -282,7 +287,7 @@ class SE3ETModel(nn.Module):
             src_normal=None if normals_c is None else normals_c[1][None],
             # tile-fused Pallas embedding + flash EQ-cross attention on the
             # inference path (no VJP; training keeps the XLA formulations)
-            fused_embedding=not train,
+            fused_embedding=(not train) or c.train_fused_embedding,
             fused_attention=not train,
         )
         out["attn_matrix0"] = am0

@@ -200,6 +200,214 @@ def _embedding_kernel(
     out_ref[0, 0] = (acc + a_max).astype(out_ref.dtype)
 
 
+def _cheb_basis(x_row, inv_half_range, scratch, *, deg):
+    """Chebyshev basis T(clip(2x/x_max - 1)) as a (deg, M) scratch view."""
+    t = jnp.clip(x_row * inv_half_range - 1.0, -1.0, 1.0)  # (1, M)
+    tk_prev, tk = jnp.ones_like(t), t
+    two_t = 2.0 * t
+    rows = []
+    for k in range(deg):
+        rows.append(tk_prev)
+        tk_prev, tk = tk, two_t * tk - tk_prev
+        if len(rows) == 8:
+            g = k // 8
+            scratch[g * 8:(g + 1) * 8, :] = jnp.concatenate(rows, axis=0)
+            rows = []
+    return scratch[0:deg, :]
+
+
+def _embedding_bwd_kernel(
+    q_pts_ref, m_pts_ref, knn_ref, gd_ref, ga_ref, ba_ref, dout_ref,
+    dgd_ref, dga_ref, db_ref, cheb_scratch, aemb_scratch,
+    *, sigma_d, sigma_a, d_index_max, angle_k, deg_d, deg_a,
+):
+    """Accumulate d_Gd = sum T_d^T d_emb, d_Ga = sum_k T_a(k)^T (mask_k *
+    d_emb), d_b = sum d_emb over all (n, m) pairs.
+
+    The forward is LINEAR in the folded projections G = A @ W, so these
+    basis-space accumulators are the complete backward: outside the kernel
+    ``d_W = A^T d_G`` and ``d_bd = d_ba = d_b`` (every (n, m, c) has exactly
+    one argmax angle; ties split by first-k, the reference ``torch.max``
+    convention).  The angle argmax masks are recomputed with the SAME dtype
+    chain as the forward kernel — bitwise-identical a_emb values, exact
+    masks.
+    """
+    step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _init():
+        dgd_ref[...] = jnp.zeros_like(dgd_ref)
+        dga_ref[...] = jnp.zeros_like(dga_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    row = jax.lax.rem(pl.program_id(1), 8)
+    q = q_pts_ref[0, pl.ds(row, 1)]  # (1, 3)
+    knn = knn_ref[0, pl.ds(row, 1)]  # (1, k*3)
+    pts = m_pts_ref[0]  # (M, 3)
+    c = gd_ref.shape[1]
+    dout = dout_ref[0, 0].astype(jnp.float32)  # (M, C)
+    dtype = jnp.bfloat16 if dout_ref.dtype == jnp.bfloat16 else jnp.float32
+
+    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+    px, py, pz = pts[:, 0:1].T, pts[:, 1:2].T, pts[:, 2:3].T
+    ax, ay, az = px - qx, py - qy, pz - qz
+    dist = jnp.sqrt(jnp.maximum(ax * ax + ay * ay + az * az, 0.0))
+
+    basis_d = _cheb_basis(
+        dist, np.float32(2.0 / (d_index_max * sigma_d)), cheb_scratch,
+        deg=deg_d,
+    )
+    dgd_ref[...] += jax.lax.dot_general(
+        basis_d.astype(dtype), dout.astype(dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db_ref[...] += jnp.sum(dout, axis=0, keepdims=True)
+
+    # pass 1: recompute the k angle embeddings (forward dtype chain) + max
+    angs = []
+    a_max = None
+    for kk in range(angle_k):
+        rx = knn[:, kk * 3 + 0:kk * 3 + 1] - qx
+        ry = knn[:, kk * 3 + 1:kk * 3 + 2] - qy
+        rz = knn[:, kk * 3 + 2:kk * 3 + 3] - qz
+        cx = ry * az - rz * ay
+        cy = rz * ax - rx * az
+        cz = rx * ay - ry * ax
+        sin_v = jnp.sqrt(jnp.maximum(cx * cx + cy * cy + cz * cz, 0.0))
+        cos_v = rx * ax + ry * ay + rz * az
+        ang = _atan2_pos(sin_v, cos_v)
+        angs.append(ang)
+        a_emb = _cheb_project(ang, np.float32(2.0 / np.pi), ga_ref,
+                              ba_ref[...], cheb_scratch, deg=deg_a,
+                              dtype=dtype)
+        aemb_scratch[kk] = a_emb
+        a_max = a_emb if a_max is None else jnp.maximum(a_max, a_emb)
+
+    # pass 2: first-k argmax masks -> basis-space gradient accumulation
+    matched = jnp.zeros_like(a_max)
+    for kk in range(angle_k):
+        m_k = jnp.where(
+            (aemb_scratch[kk] == a_max) & (matched == 0.0), 1.0, 0.0
+        )
+        matched = jnp.maximum(matched, m_k)
+        basis_a = _cheb_basis(
+            angs[kk], np.float32(2.0 / np.pi), cheb_scratch, deg=deg_a
+        )
+        dga_ref[...] += jax.lax.dot_general(
+            basis_a.astype(dtype), (dout * m_k).astype(dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9)
+)
+def geometric_embedding_trainable(
+    points, knn_points, wd, bd, wa, ba, sigma_d, sigma_a, d_index_max,
+    interpret,
+):
+    """:func:`geometric_embedding_pallas` with a hand-written backward pass
+    for the projection parameters (training path).
+
+    Gradients are exact *through the Chebyshev parametrization* (the forward
+    is linear in ``G = A @ W``), with first-k argmax routing for the angle
+    max reduction.  Points carry no gradient (geometry inputs).
+    """
+    return geometric_embedding_pallas(
+        points, knn_points, wd, bd, wa, ba, sigma_d=sigma_d, sigma_a=sigma_a,
+        d_index_max=d_index_max, interpret=interpret,
+    )
+
+
+def _emb_trainable_fwd(points, knn_points, wd, bd, wa, ba, sigma_d, sigma_a,
+                       d_index_max, interpret):
+    out = geometric_embedding_pallas(
+        points, knn_points, wd, bd, wa, ba, sigma_d=sigma_d, sigma_a=sigma_a,
+        d_index_max=d_index_max, interpret=interpret,
+    )
+    return out, (points, knn_points, wd, wa)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sigma_d", "sigma_a", "d_index_max", "interpret"),
+)
+def _emb_bwd_call(points, knn_points, wd, wa, d_out, *, sigma_d, sigma_a,
+                  d_index_max, interpret):
+    b, n, _ = points.shape
+    k = knn_points.shape[2]
+    c = wd.shape[1]
+    factor_a = 180.0 / (sigma_a * np.pi)
+    deg_d = pick_deg(c, float(d_index_max))
+    deg_a = pick_deg(c, float(np.pi * factor_a))
+    a_d = jnp.asarray(chebyshev_sinusoid_table(c, float(d_index_max), deg_d))
+    a_a = jnp.asarray(
+        chebyshev_sinusoid_table(c, float(np.pi * factor_a), deg_a)
+    )
+    g_d = a_d @ wd.astype(jnp.float32)
+    g_a = a_a @ wa.astype(jnp.float32)
+
+    kernel = functools.partial(
+        _embedding_bwd_kernel, sigma_d=float(sigma_d), sigma_a=float(sigma_a),
+        d_index_max=float(d_index_max), angle_k=k, deg_d=deg_d, deg_a=deg_a,
+    )
+    dgd, dga, db = pl.pallas_call(
+        kernel,
+        grid=(b, n),
+        in_specs=[
+            pl.BlockSpec((1, 8, 3), lambda bi, i: (bi, i // 8, 0)),
+            pl.BlockSpec((1, n, 3), lambda bi, i: (bi, 0, 0)),
+            pl.BlockSpec((1, 8, k * 3), lambda bi, i: (bi, i // 8, 0)),
+            pl.BlockSpec((deg_d, c), lambda bi, i: (0, 0)),
+            pl.BlockSpec((deg_a, c), lambda bi, i: (0, 0)),
+            pl.BlockSpec((c,), lambda bi, i: (0,)),
+            pl.BlockSpec((1, 1, n, c), lambda bi, i: (bi, i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((deg_d, c), lambda bi, i: (0, 0)),
+            pl.BlockSpec((deg_a, c), lambda bi, i: (0, 0)),
+            pl.BlockSpec((1, c), lambda bi, i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((deg_d, c), jnp.float32),
+            jax.ShapeDtypeStruct((deg_a, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((max(deg_d, deg_a), n), jnp.float32),
+            pltpu.VMEM((k, n, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        points.astype(jnp.float32),
+        points.astype(jnp.float32),
+        knn_points.reshape(b, n, k * 3).astype(jnp.float32),
+        g_d,
+        g_a,
+        jnp.zeros((c,), jnp.float32),  # bias cancels in argmax comparison
+        d_out,
+    )
+    d_wd = a_d.T @ dgd
+    d_wa = a_a.T @ dga
+    return d_wd, db[0], d_wa, db[0]
+
+
+def _emb_trainable_bwd(sigma_d, sigma_a, d_index_max, interpret, res, d_out):
+    points, knn_points, wd, wa = res
+    d_wd, d_bd, d_wa, d_ba = _emb_bwd_call(
+        points, knn_points, wd, wa, d_out, sigma_d=sigma_d, sigma_a=sigma_a,
+        d_index_max=d_index_max, interpret=interpret,
+    )
+    return (
+        jnp.zeros_like(points), jnp.zeros_like(knn_points),
+        d_wd.astype(wd.dtype), d_bd, d_wa.astype(wa.dtype), d_ba,
+    )
+
+
+geometric_embedding_trainable.defvjp(_emb_trainable_fwd, _emb_trainable_bwd)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sigma_d", "sigma_a", "d_index_max", "tile_n", "tile_m",

@@ -75,3 +75,54 @@ def test_chunked_embedding_matches_unchunked():
         + (sinu(ang) @ p["proj_a_kernel"] + p["proj_a_bias"]).max(3)
     )
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_embedding_trainable_grads_match_xla():
+    """geometric_embedding_trainable's custom VJP == autodiff of the XLA
+    module path, up to the kernel's forward tolerance class (bf16 output +
+    <1e-5 Chebyshev fit; wa additionally sees argmax near-tie routing)."""
+    import jax.numpy as jnp
+    from se3et_tpu.nn.embedding import GeometricStructureEmbedding
+    from se3et_tpu.ops.pallas.embedding import geometric_embedding_trainable
+    from se3et_tpu.ops import geometry
+
+    rng = np.random.RandomState(2)
+    b, n, c, k = 1, 64, 32, 3
+    emb_mod = GeometricStructureEmbedding(
+        hidden_dim=c, sigma_d=0.2, sigma_a=15.0, angle_k=k
+    )
+    points = jnp.asarray(rng.uniform(0, 1, size=(b, n, 3)).astype(np.float32))
+    params = emb_mod.init(jax.random.PRNGKey(0), points)
+    p = params["params"]
+    wd, bd, wa, ba = (
+        jnp.asarray(p[key])
+        for key in ("proj_d_kernel", "proj_d_bias", "proj_a_kernel",
+                    "proj_a_bias")
+    )
+    sq = geometry.pairwise_distance(points, points)
+    _, knn_idx = jax.lax.top_k(-sq, k + 1)
+    knn_idx = knn_idx[:, :, 1:]
+    knn_points = jnp.take_along_axis(
+        points, knn_idx.reshape(b, n * k, 1), axis=1
+    ).reshape(b, n, k, 3)
+    ct = jnp.asarray(rng.randn(b, n, n, c), jnp.float32)
+
+    def loss_xla(wd, bd, wa, ba):
+        pp = {"params": {"proj_d_kernel": wd, "proj_d_bias": bd,
+                         "proj_a_kernel": wa, "proj_a_bias": ba}}
+        emb, _ = emb_mod.apply(pp, points)
+        return jnp.sum(emb * ct)
+
+    def loss_ker(wd, bd, wa, ba):
+        emb = geometric_embedding_trainable(
+            points, knn_points, wd, bd, wa, ba, 0.2, 15.0, 48.0, True
+        )
+        return jnp.sum(emb.astype(jnp.float32) * ct)
+
+    g_xla = jax.grad(loss_xla, (0, 1, 2, 3))(wd, bd, wa, ba)
+    g_ker = jax.grad(loss_ker, (0, 1, 2, 3))(wd, bd, wa, ba)
+    tols = {"wd": 5e-3, "bd": 5e-3, "wa": 6e-2, "ba": 5e-3}
+    for name, a, bb in zip(("wd", "bd", "wa", "ba"), g_xla, g_ker):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        err = float(jnp.max(jnp.abs(a - bb))) / scale
+        assert err < tols[name], (name, err)
