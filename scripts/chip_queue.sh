@@ -20,6 +20,10 @@ until probe; do
 done
 echo "[queue] TPU is up at $(date +%H:%M:%S)"
 
+echo "[queue] 0: kernel compile smoke"
+timeout 1800 python scripts/compile_kernels.py > /tmp/compile_kernels.log 2>&1
+echo "exit=$?" >> /tmp/compile_kernels.log
+
 echo "[queue] 1/3 kfirst microbench"
 timeout 2400 python scripts/bench_wf_hc.py --hcs auto > /tmp/wf_kfirst.log 2>&1
 echo "exit=$?" >> /tmp/wf_kfirst.log

@@ -1,0 +1,88 @@
+"""Standalone Mosaic compile check for the round-3 kernels at production
+shapes — catches lowering errors in seconds instead of failing a ~25-min
+full-graph bench compile."""
+
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = osp.join(
+        osp.dirname(osp.dirname(osp.abspath(__file__))), ".jax_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+
+    rng = np.random.RandomState(0)
+
+    def run(name, fn):
+        t0 = time.time()
+        try:
+            out = fn()
+            np.asarray(jax.tree_util.tree_leaves(out)[0])[..., :1]
+            print(f"OK   {name} ({time.time() - t0:.1f}s)", flush=True)
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+
+    # flash RPE self-attention, equivariant production shape
+    from se3et_tpu.ops.pallas import rpe_attention as fr
+
+    b, ah, n, c, cc = 1, 24, 1024, 64, 256
+    q = jnp.asarray(rng.randn(b, ah, n, c), jnp.bfloat16)
+    qp = jnp.asarray(rng.randn(b, n, ah, cc), jnp.bfloat16)
+    emb = jnp.asarray(rng.randn(b, n, n, cc), jnp.bfloat16)
+    km = jnp.asarray(np.arange(n) < 1000)[None]
+    qw = jnp.asarray(rng.randn(b, 3, ah, n), jnp.float32)
+    pts = jnp.asarray(rng.randn(b, 4, n), jnp.float32)
+    run("flash RPE eq (AH=24, N=1024, C=256)",
+        lambda: fr.rpe_self_attention(q, q, q, qp, emb, km, qw, pts,
+                                      scale=0.125, block_m=128))
+    run("flash RPE inv (AH=4)",
+        lambda: fr.rpe_self_attention(q[:, :4], q[:, :4], q[:, :4],
+                                      qp[:, :, :4], emb, km,
+                                      scale=0.125, block_m=128))
+
+    # kfirst conv + backward kernels at a stage-1-like shape
+    from se3et_tpu.ops.pallas import windowed_conv as wc
+
+    nq, h, k, w, ac = 9984, 32, 15, 640, 768
+    nblk_q = nq // wc.QSEG
+    local = jnp.asarray(rng.randint(0, w + 1, (1, nq, h)), jnp.int32)
+    infl = jnp.asarray(rng.rand(1, nq, h, k), jnp.bfloat16)
+    win = jnp.asarray(rng.randn(1, nblk_q, w, ac), jnp.bfloat16)
+    run("wf kfirst (s1-like)",
+        lambda: wc.windowed_gather_wf(local, infl, win, kfirst=True))
+    d_out = jnp.asarray(rng.randn(1, nq, k * ac), jnp.bfloat16)
+    run("wf bwd d_win",
+        lambda: wc._wf_bwd_win(local, infl, d_out, nblk_q=nblk_q, w=w, k=k))
+    out = wc.windowed_max_pool(local, win, nq)
+    run("maxpool bwd",
+        lambda: wc._max_bwd_win(local, win, out.astype(jnp.float32),
+                                jnp.ones((1, nq, ac), jnp.float32),
+                                nblk_q=nblk_q, h=h))
+
+    # embedding backward at production coarse shape
+    from se3et_tpu.ops.pallas import embedding as pe
+
+    n2, c2, kk = 1024, 256, 3
+    pts2 = jnp.asarray(rng.rand(2, n2, 3), jnp.float32)
+    knn = jnp.asarray(rng.rand(2, n2, kk, 3), jnp.float32)
+    wd = jnp.asarray(rng.randn(c2, c2) * 0.05, jnp.float32)
+    bd = jnp.zeros((c2,), jnp.float32)
+    dout = jnp.asarray(rng.randn(2, n2, n2, c2), jnp.bfloat16)
+    run("embedding bwd",
+        lambda: pe._emb_bwd_call(pts2, knn, wd, wd, dout, sigma_d=0.2,
+                                 sigma_a=15.0, d_index_max=48.0,
+                                 interpret=False))
+
+
+if __name__ == "__main__":
+    main()
