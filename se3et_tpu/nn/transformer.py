@@ -188,8 +188,15 @@ class RPEConditionalTransformer(nn.Module):
     def __call__(self, feats0, feats1, embeddings0, embeddings1, masks0=None,
                  masks1=None, equiv_embed0=None, equiv_embed1=None,
                  ref_normal=None, src_normal=None, use_flash=False,
-                 points0=None, points1=None):
-        """feats: (B, A, N, C) equivariant or (B, N, C) invariant coarse feats."""
+                 points0=None, points1=None, stacked=None):
+        """feats: (B, A, N, C) equivariant or (B, N, C) invariant coarse feats.
+
+        ``stacked``: optional (emb, masks, points) with both clouds on the
+        leading axis — the flash self layers then run ONE kernel call over
+        the stacked batch.  This is not only a dispatch saving: the flash
+        kernel is a custom call, so per-cloud ``emb[:nb]``/``emb[nb:]``
+        slices would force XLA to materialize two ~0.5 GB operand copies.
+        """
         feats0_eq = feats1_eq = None
         attn_matrix0 = attn_matrix1 = None
         ref_feat_m = src_feat_m = None
@@ -201,12 +208,22 @@ class RPEConditionalTransformer(nn.Module):
                     in0, in1 = feats0_eq, feats1_eq
                 else:
                     in0, in1 = feats0, feats1
-                feats0, _ = layer(in0, in0, embeddings0, memory_masks=masks0,
-                                  equiv_states=equiv_embed0, points=points0,
-                                  use_flash=use_flash)
-                feats1, _ = layer(in1, in1, embeddings1, memory_masks=masks1,
-                                  equiv_states=equiv_embed1, points=points1,
-                                  use_flash=use_flash)
+                if stacked is not None and in0.shape == in1.shape:
+                    emb_s, masks_s, points_s = stacked
+                    ins = jnp.concatenate([in0, in1], axis=0)
+                    outs, _ = layer(ins, ins, emb_s, memory_masks=masks_s,
+                                    points=points_s, use_flash=True)
+                    nb = in0.shape[0]
+                    feats0, feats1 = outs[:nb], outs[nb:]
+                else:
+                    feats0, _ = layer(in0, in0, embeddings0,
+                                      memory_masks=masks0,
+                                      equiv_states=equiv_embed0,
+                                      points=points0, use_flash=use_flash)
+                    feats1, _ = layer(in1, in1, embeddings1,
+                                      memory_masks=masks1,
+                                      equiv_states=equiv_embed1,
+                                      points=points1, use_flash=use_flash)
                 if block == "self_eq" and i + 1 < len(blocks) and blocks[i + 1] == "cross":
                     # next block is plain cross: pool to invariant, remember eq
                     feats0_eq, feats1_eq = feats0, feats1
@@ -332,6 +349,7 @@ class GeometricTransformer(nn.Module):
                  or (d_equiv_embed == 4 and (self.na or 1) > 1))
         )
         # both clouds batched through one embedding evaluation
+        stacked = None
         if (
             ref_points.shape == src_points.shape
             and ref_masks is not None
@@ -342,7 +360,13 @@ class GeometricTransformer(nn.Module):
             emb, eq_emb = embedding(pts, mks, fused=fused_embedding,
                                     compute_equiv=not flash_self)
             nb = ref_points.shape[0]
-            ref_emb, src_emb = emb[:nb], emb[nb:]
+            if flash_self:
+                # flash self layers consume the stacked embedding directly —
+                # per-cloud slices of a custom-call operand would copy ~1 GB
+                ref_emb = src_emb = None
+                stacked = (emb, mks, pts)
+            else:
+                ref_emb, src_emb = emb[:nb], emb[nb:]
             if eq_emb is not None:
                 ref_eq_emb, src_eq_emb = eq_emb[:nb], eq_emb[nb:]
             else:
@@ -383,5 +407,6 @@ class GeometricTransformer(nn.Module):
             use_flash=fused_attention,
             points0=ref_points if flash_self else None,
             points1=src_points if flash_self else None,
+            stacked=stacked,
         )
         return out_proj(f0), out_proj(f1), ref_feat_m, src_feat_m, am0, am1

@@ -259,3 +259,42 @@ def test_flash_rpe_self_attention_matches_xla(equivariant):
     np.testing.assert_allclose(
         got[..., valid, :], ref[..., valid, :], rtol=2e-3, atol=2e-4
     )
+
+
+def test_transformer_flash_self_matches_xla():
+    """GeometricTransformer with fused_attention (stacked flash self layers)
+    == the XLA path, at a 128-divisible coarse size (SE3ET-E blocks)."""
+    from se3et_tpu.nn.transformer import GeometricTransformer
+
+    rng = np.random.RandomState(11)
+    b, n, cin, c, a = 1, 128, 24, 16, 6
+    model = GeometricTransformer(
+        input_dim=cin, output_dim=c, hidden_dim=c, num_heads=2,
+        blocks=("self_eq", "cross_a_soft", "self_eq", "cross_r_soft",
+                "self", "cross"),
+        sigma_d=0.2, sigma_a=15.0, angle_k=3, na=a, n_level_equiv=2,
+    )
+    ref_points = jnp.asarray(rng.uniform(0, 1, (b, n, 3)).astype(np.float32))
+    src_points = jnp.asarray(rng.uniform(0, 1, (b, n, 3)).astype(np.float32))
+    ref_feats = jnp.asarray(rng.randn(b, n, a, cin).astype(np.float32))
+    src_feats = jnp.asarray(rng.randn(b, n, a, cin).astype(np.float32))
+    ref_masks = jnp.asarray(np.arange(n) < n - 5)[None]
+    src_masks = jnp.asarray(np.arange(n) < n - 9)[None]
+    params = model.init(
+        jax.random.PRNGKey(0), ref_points, src_points, ref_feats, src_feats,
+        ref_masks, src_masks,
+    )
+    out_ref = model.apply(params, ref_points, src_points, ref_feats,
+                          src_feats, ref_masks, src_masks)
+    out_new = model.apply(params, ref_points, src_points, ref_feats,
+                          src_feats, ref_masks, src_masks,
+                          fused_attention=True)
+    for i in (0, 1):
+        r = np.asarray(out_ref[i])
+        g = np.asarray(out_new[i])
+        valid = np.asarray(ref_masks if i == 0 else src_masks)[0]
+        scale = np.abs(r).max() + 1e-9
+        np.testing.assert_allclose(
+            g[:, valid], r[:, valid], atol=5e-3 * scale,
+            err_msg=f"output {i}",
+        )
