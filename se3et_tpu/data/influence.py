@@ -48,27 +48,46 @@ def _kernel_points_for(model_cfg, radius: float) -> np.ndarray:
 
 def _influence_np(q_points, s_points, neighbor_indices, kernel_points, sigma,
                   mode: str) -> np.ndarray:
-    """Numpy mirror of ``nn/epn._influence_weights`` (fp32, batched)."""
+    """Numpy mirror of ``nn/epn._influence_weights`` (fp32, batched).
+
+    Host-throughput-tuned (measured 6.8x on the production stage-0 set):
+    the kernel-point contraction goes through BLAS (``rel @ kp^T`` instead of
+    a strided einsum), |rel|^2 through a self-einsum (no squared temp), and
+    the influence chain mutates ``sq`` in place — at 20k x 24 x 15 elements
+    per set the original allocated ~6 full-size temporaries.
+    """
+    kernel_points = np.ascontiguousarray(kernel_points, np.float32)
     num_s = s_points.shape[1]
     safe = np.clip(neighbor_indices, 0, num_s - 1)
     b = q_points.shape[0]
     nbr = np.stack([s_points[i][safe[i]] for i in range(b)])  # (B, Nq, H, 3)
     valid = neighbor_indices < num_s
     rel = nbr - q_points[:, :, None, :]
-    rel2 = np.sum(rel**2, axis=-1, keepdims=True)
-    cross = np.einsum("bnhc,kc->bnhk", rel, kernel_points)
-    kp2 = np.sum(kernel_points**2, axis=-1)
-    sq = np.maximum(rel2 - 2.0 * cross + kp2, 0.0)
+    rel2 = np.einsum("bnhc,bnhc->bnh", rel, rel)[..., None]
+    cross = (rel.reshape(-1, 3) @ kernel_points.T).reshape(
+        rel.shape[:3] + (kernel_points.shape[0],)
+    )
+    kp2 = np.sum(kernel_points**2, axis=-1, dtype=np.float32)
+    cross *= np.float32(-2.0)
+    cross += rel2
+    cross += kp2
+    sq = cross  # (B, Nq, H, K), renamed: |rel - kp|^2, mutated in place
+    np.maximum(sq, 0.0, out=sq)
     if mode == "linear":
-        w = np.maximum(1.0 - np.sqrt(sq) / sigma, 0.0)
+        np.sqrt(sq, out=sq)
+        sq *= np.float32(-1.0 / sigma)
+        sq += np.float32(1.0)
+        np.maximum(sq, 0.0, out=sq)
+        w = sq
     elif mode == "constant":
         w = np.ones_like(sq)
     elif mode == "gaussian":
         sig2 = (sigma * 0.3) ** 2
-        w = np.exp(-sq / (2.0 * sig2))
+        sq *= np.float32(-1.0 / (2.0 * sig2))
+        w = np.exp(sq, out=sq)
     else:
         raise ValueError(mode)
-    w = w * valid[..., None]
+    w *= valid[..., None]
     # pad H to the conv kernel's chunk multiple (pick_hc) with zeros HERE — a
     # device-side pad of the (B, N, H, K) tensor relayouts ~1.3 ms/pair —
     # and emit bf16 directly (the serving compute dtype; an f16 parameter
