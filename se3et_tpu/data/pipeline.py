@@ -261,28 +261,38 @@ def build_window_maps(
     nblk_q = (cap_q + qseg - 1) // qseg
     nblk_s = (cap_s + sseg - 1) // sseg
     w = max_segs * sseg
-    seg_idx = np.zeros((nblk_q, max_segs), np.int32)
-    local = np.full((cap_q, h), w, np.int32)
-    dropped = total = 0
-    for b in range(nblk_q):
-        blk = neighbors[b * qseg:(b + 1) * qseg]
-        valid = blk < cap_s
-        total += int(valid.sum())
-        if not valid.any():
-            continue
-        segs_of = blk[valid] // sseg
-        uniq, counts = np.unique(segs_of, return_counts=True)
-        if len(uniq) > max_segs:
-            keep = uniq[np.argsort(-counts)[:max_segs]]
-            dropped += int(counts[~np.isin(uniq, keep)].sum())
-            uniq = np.sort(keep)
-        slot_of = np.full(nblk_s, -1, np.int64)
-        slot_of[uniq] = np.arange(len(uniq))
-        seg_idx[b, : len(uniq)] = uniq
-        src_seg = np.where(valid, blk // sseg, 0)
-        slot = np.where(valid, slot_of[src_seg], -1)
-        loc = np.where(slot >= 0, slot * sseg + blk % sseg, w)
-        local[b * qseg:(b + 1) * qseg] = loc
+    pad_q = nblk_q * qseg - cap_q
+    nb = neighbors
+    if pad_q:
+        nb = np.pad(nb, ((0, pad_q), (0, 0)), constant_values=cap_s)
+    valid = nb < cap_s  # (nblk_q*qseg, h)
+    total = int(valid.sum())
+    blk_id = np.repeat(np.arange(nblk_q), qseg)[:, None]
+    seg_of = np.where(valid, nb // sseg, 0)
+    # per-(block, segment) neighbor counts in one bincount
+    codes = (blk_id * nblk_s + seg_of)[valid]
+    counts2d = np.bincount(codes, minlength=nblk_q * nblk_s).reshape(
+        nblk_q, nblk_s
+    )
+    # top-max_segs segments per block, count-descending, then ascending ids
+    top = np.argsort(-counts2d, axis=1, kind="stable")[:, :max_segs]
+    top_counts = np.take_along_axis(counts2d, top, axis=1)
+    kept = top_counts > 0
+    # ascending segment order within the kept slots (empty slots -> 0)
+    key = np.where(kept, top, nblk_s)
+    order = np.argsort(key, axis=1, kind="stable")
+    uniq = np.take_along_axis(top, order, axis=1)
+    kept = np.take_along_axis(kept, order, axis=1)
+    seg_idx = np.where(kept, uniq, 0).astype(np.int32)
+    dropped = total - int(top_counts.sum())
+
+    slot_of = np.full((nblk_q, nblk_s), -1, np.int64)
+    rows = np.repeat(np.arange(nblk_q), max_segs)[kept.reshape(-1)]
+    slots = np.tile(np.arange(max_segs), nblk_q)[kept.reshape(-1)]
+    slot_of[rows, uniq.reshape(-1)[kept.reshape(-1)]] = slots
+    slot = np.where(valid, slot_of[blk_id, seg_of], -1)
+    local = np.where(slot >= 0, slot * sseg + nb % sseg, w).astype(np.int32)
+    local = local[:cap_q]
     if stats_key is not None:
         agg = WINDOW_DROP_STATS.setdefault(stats_key, [0, 0])
         agg[0] += dropped
