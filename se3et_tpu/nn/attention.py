@@ -151,13 +151,14 @@ class RPEMultiHeadAttention(nn.Module):
               else jnp.ones((b, n), bool))
         # block_m=128 keeps the double-buffered (bn, bm, C) embedding tile
         # within the ~16 MB VMEM budget at C=256 (256-wide tiles alone need
-        # 16.8 MB)
-        block_m = 128
-        hidden = flash.rpe_self_attention(
+        # 16.8 MB).  The trainable wrapper == the forward kernel when no
+        # gradient is taken (serving); under jax.grad its custom VJP runs the
+        # two-pass flash backward (scores never materialize either way).
+        hidden = flash.rpe_self_attention_trainable(
             qf.astype(embed_qk.dtype), kf.astype(embed_qk.dtype),
             vf.astype(embed_qk.dtype), qp.astype(embed_qk.dtype), embed_qk,
-            km, qw, pts4, scale=1.0 / float(np.sqrt(dh)), block_m=block_m,
-            interpret=jax.default_backend() != "tpu",
+            km, qw, pts4, 1.0 / float(np.sqrt(dh)), 64, 128,
+            jax.default_backend() != "tpu",
         ).astype(v.dtype)
         return _merge_heads(hidden.reshape(q.shape)), {}
 

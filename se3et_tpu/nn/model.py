@@ -74,6 +74,11 @@ class ModelConfig:
     # the row-chunked XLA sinusoids.  Numerics: bf16 embedding + <1e-5
     # Chebyshev fit error (same as the serving path) vs the XLA f32 path.
     train_fused_embedding: bool = True
+    # training route for the RPE self-attention layers: the flash kernel with
+    # its two-pass flash backward (ops/pallas/rpe_attention.py) instead of
+    # materialized (B, A, H, N, M) scores.  Cross attention stays XLA in
+    # training (the EQ-cross flash kernels are forward-only).
+    train_fused_attention: bool = True
     epn: EPNConfig = EPNConfig()
     # transformer
     gt_input_dim: int = 1024
@@ -285,10 +290,12 @@ class SE3ETModel(nn.Module):
             ref_masks=masks_c[0][None], src_masks=masks_c[1][None],
             ref_normal=None if normals_c is None else normals_c[0][None],
             src_normal=None if normals_c is None else normals_c[1][None],
-            # tile-fused Pallas embedding + flash EQ-cross attention on the
-            # inference path (no VJP; training keeps the XLA formulations)
+            # tile-fused Pallas embedding + flash attention; the embedding
+            # and RPE self layers carry custom VJPs so training uses them
+            # too (knobs below); the EQ-cross flash is forward-only
             fused_embedding=(not train) or c.train_fused_embedding,
-            fused_attention=not train,
+            fused_attention=(not train) or c.train_fused_attention,
+            fused_attention_cross=not train,
         )
         out["attn_matrix0"] = am0
         out["attn_matrix1"] = am1

@@ -188,7 +188,8 @@ class RPEConditionalTransformer(nn.Module):
     def __call__(self, feats0, feats1, embeddings0, embeddings1, masks0=None,
                  masks1=None, equiv_embed0=None, equiv_embed1=None,
                  ref_normal=None, src_normal=None, use_flash=False,
-                 points0=None, points1=None, stacked=None):
+                 points0=None, points1=None, stacked=None,
+                 use_flash_cross=None):
         """feats: (B, A, N, C) equivariant or (B, N, C) invariant coarse feats.
 
         ``stacked``: optional (emb, masks, points) with both clouds on the
@@ -251,14 +252,18 @@ class RPEConditionalTransformer(nn.Module):
                     ref_feat_m, src_feat_m = feats0_eq, feats1_eq
                 continue
 
+            # EQ cross flash kernels are forward-only; training (which sets
+            # use_flash for the differentiable self layers) keeps XLA here
+            flash_cross = (use_flash if use_flash_cross is None
+                           else use_flash_cross)
             aux0 = aux1 = None
             feats0_new, aux0 = layer(
                 feats0, feats1, memory_masks=masks1, q_masks=masks0,
-                use_flash=use_flash,
+                use_flash=flash_cross,
             )
             feats1_new, aux1 = layer(
                 feats1, feats0, memory_masks=masks0, q_masks=masks1,
-                use_flash=use_flash,
+                use_flash=flash_cross,
             )
             feats0, feats1 = feats0_new, feats1_new
 
@@ -324,7 +329,7 @@ class GeometricTransformer(nn.Module):
     def __call__(self, ref_points, src_points, ref_feats, src_feats,
                  ref_masks=None, src_masks=None, ref_normal=None,
                  src_normal=None, fused_embedding=False,
-                 fused_attention=False):
+                 fused_attention=False, fused_attention_cross=None):
         """points: (B, N, 3); feats: (B, N, C_in) or (B, N, A, C_in).
 
         Returns (ref_out, src_out, ref_feat_m, src_feat_m, attn_matrix0,
@@ -408,5 +413,6 @@ class GeometricTransformer(nn.Module):
             points0=ref_points if flash_self else None,
             points1=src_points if flash_self else None,
             stacked=stacked,
+            use_flash_cross=fused_attention_cross,
         )
         return out_proj(f0), out_proj(f1), ref_feat_m, src_feat_m, am0, am1

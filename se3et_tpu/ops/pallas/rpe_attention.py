@@ -40,17 +40,10 @@ _NEG = -1e9
 _SH1_C = float(np.sqrt(3.0 / (4.0 * np.pi)))
 
 
-def _kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref,
-            pm_ref, out_ref, acc, rowmax, rowsum, *, ah, bn, bm, c, scale,
-            with_eq):
-    j = pl.program_id(2)
-
-    @pl.when(j == 0)
-    def _init():
-        acc[...] = jnp.zeros_like(acc)
-        rowmax[...] = jnp.full_like(rowmax, -jnp.inf)
-        rowsum[...] = jnp.zeros_like(rowsum)
-
+def _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref, pm_ref,
+            *, scale, with_eq):
+    """Masked scaled score tile (AH, bn, bm) + the (rinv*d{y,z,x}) SH factors
+    (shared by forward, backward recompute, and the dqw reduction)."""
     kmask = km_ref[0]  # (bm,) f32 0/1
 
     # content scores, batched over anchor-heads: (AH, bn, bm)
@@ -65,6 +58,7 @@ def _kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref,
     )
     s = s + jnp.transpose(sp, (1, 0, 2))
 
+    sh = None
     if with_eq:
         # degree-1 SH term from raw coordinates (degree-0 is row-constant ->
         # softmax no-op, dropped).  diff = p_n - p_m; sh1 = c1*(dy,dz,dx)/r.
@@ -76,13 +70,31 @@ def _kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref,
         qy = qw_ref[0, 0]  # (AH, bn)
         qz = qw_ref[0, 1]
         qx = qw_ref[0, 2]
-        s = s + rinv[None] * (
-            qy[:, :, None] * dy[None] + qz[:, :, None] * dz[None]
-            + qx[:, :, None] * dx[None]
+        sh = (rinv * dy, rinv * dz, rinv * dx)
+        s = s + (
+            qy[:, :, None] * sh[0][None] + qz[:, :, None] * sh[1][None]
+            + qx[:, :, None] * sh[2][None]
         )
 
     s = s * scale
     s = jnp.where(kmask[None, None, :] > 0, s, _NEG)
+    return s, sh
+
+
+def _kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref,
+            pm_ref, out_ref, mx_ref, sm_ref, acc, rowmax, rowsum,
+            *, ah, bn, bm, c, scale, with_eq):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+        rowmax[...] = jnp.full_like(rowmax, -jnp.inf)
+        rowsum[...] = jnp.zeros_like(rowsum)
+
+    kmask = km_ref[0]  # (bm,) f32 0/1
+    s, _ = _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref,
+                   pm_ref, scale=scale, with_eq=with_eq)
 
     tmax = jnp.max(s, axis=2)  # (AH, bn)
     new_max = jnp.maximum(rowmax[...], tmax)
@@ -100,14 +112,16 @@ def _kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref,
     @pl.when(j == pl.num_programs(2) - 1)
     def _flush():
         out_ref[0] = acc[...] / jnp.maximum(rowsum[...], 1e-30)[:, :, None]
+        mx_ref[0] = rowmax[...]
+        sm_ref[0] = rowsum[...]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "block_n", "block_m", "interpret"),
 )
-def rpe_self_attention(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
-                       scale, block_n=64, block_m=256, interpret=False):
+def _rpe_fwd(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
+             scale, block_n=64, block_m=256, interpret=False):
     """Flash RPE self-attention: one fused softmax(QK + RPE [+ SH]) @ V.
 
     q, k, v:  (B, AH, N, c) — anchor-heads flattened
@@ -137,7 +151,7 @@ def rpe_self_attention(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
     km = k_masks.astype(jnp.float32)
     nb, mb = n // block_n, n // block_m
 
-    out = pl.pallas_call(
+    out, mx, sm = pl.pallas_call(
         functools.partial(
             _kernel, ah=ah, bn=block_n, bm=block_m, c=c, scale=scale,
             with_eq=with_eq,
@@ -155,9 +169,16 @@ def rpe_self_attention(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
             pl.BlockSpec((1, 4, block_n), lambda bi, i, j: (bi, 0, i)),
             pl.BlockSpec((1, 4, block_m), lambda bi, i, j: (bi, 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, ah, block_n, c),
-                               lambda bi, i, j: (bi, 0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, ah, n, c), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, ah, block_n, c), lambda bi, i, j: (bi, 0, i, 0)),
+            pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi, 0, i)),
+            pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, ah, n, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, ah, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, ah, n), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((ah, block_n, c), jnp.float32),
             pltpu.VMEM((ah, block_n), jnp.float32),
@@ -165,7 +186,224 @@ def rpe_self_attention(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
         ],
         interpret=interpret,
     )(q, k, v, qp, emb, km, qw, points, points)
-    return out
+    return out, mx, sm
+
+
+def rpe_self_attention(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
+                       scale, block_n=64, block_m=256, interpret=False):
+    """Forward-only entry (serving): see :func:`_rpe_fwd`."""
+    return _rpe_fwd(q, k, v, qp, emb, k_masks, qw, points, scale=scale,
+                    block_n=block_n, block_m=block_m, interpret=interpret)[0]
+
+
+def _bwd_kv_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
+                   pn_ref, pm_ref, do_ref, mx_ref, sm_ref, dd_ref,
+                   dk_ref, dv_ref, *, ah, bn, bm, c, scale, with_eq):
+    """dK/dV pass (n innermost): recompute the score tile, then
+    dv[m] += P^T dO and dk[m] += scale * dS^T q."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    s, _ = _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref,
+                   pm_ref, scale=scale, with_eq=with_eq)
+    inv = 1.0 / jnp.maximum(sm_ref[0], 1e-30)  # (AH, bn)
+    p = jnp.exp(s - mx_ref[0][:, :, None]) * inv[:, :, None]
+    p = p * km_ref[0][None, None, :]
+    do = do_ref[0].astype(jnp.float32)  # (AH, bn, c)
+    # dv[ah, m, c] += sum_n P[ah, n, m] dO[ah, n, c]
+    dv_ref[0] += jax.lax.dot_general(
+        p, do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    # dS = P * (dO @ v^T - D)
+    dpv = jax.lax.dot_general(
+        do, v_ref[0].astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (AH, bn, bm)
+    ds = p * (dpv - dd_ref[0][:, :, None])
+    # dk[ah, m, c] += scale * sum_n dS[ah, n, m] q[ah, n, c]
+    dk_ref[0] += scale * jax.lax.dot_general(
+        ds, q_ref[0].astype(jnp.float32), (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _bwd_q_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
+                  pn_ref, pm_ref, do_ref, mx_ref, sm_ref, dd_ref,
+                  dq_ref, dqp_ref, demb_ref, dqw_ref,
+                  *, ah, bn, bm, c, scale, with_eq):
+    """dQ-side pass (m innermost): dq, dqp, d_emb (written per tile), dqw."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+        dqp_ref[...] = jnp.zeros_like(dqp_ref)
+        if with_eq:
+            dqw_ref[...] = jnp.zeros_like(dqw_ref)
+
+    s, sh = _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref,
+                    pm_ref, scale=scale, with_eq=with_eq)
+    inv = 1.0 / jnp.maximum(sm_ref[0], 1e-30)
+    p = jnp.exp(s - mx_ref[0][:, :, None]) * inv[:, :, None]
+    p = p * km_ref[0][None, None, :]
+    do = do_ref[0].astype(jnp.float32)
+    dpv = jax.lax.dot_general(
+        do, v_ref[0].astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dpv - dd_ref[0][:, :, None])  # (AH, bn, bm)
+
+    # dq[ah, n, c] += scale * sum_m dS k[ah, m, c]
+    dq_ref[0] += scale * jax.lax.dot_general(
+        ds, k_ref[0].astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    ds_n = jnp.transpose(ds, (1, 0, 2))  # (bn, AH, bm) — leading transpose
+    # dqp[n, ah, C] += scale * sum_m dS emb[n, m, C]   (batched over n)
+    dqp_ref[0] += scale * jax.lax.dot_general(
+        ds_n, emb_ref[0].astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    # d_emb[n, m, C] = scale * sum_ah dS qp[n, ah, C]  (batched over n;
+    # written once per (i, j) tile — no accumulation)
+    demb_ref[0] = (scale * jax.lax.dot_general(
+        ds_n, qp_ref[0].astype(jnp.float32), (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )).astype(demb_ref.dtype)
+    if with_eq:
+        # dqw[d, ah, n] += scale * sum_m dS * (rinv * d{y,z,x})[n, m]
+        for d in range(3):
+            dqw_ref[0, d] += scale * jnp.sum(ds * sh[d][None], axis=2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_n", "block_m", "interpret", "with_eq"),
+)
+def _rpe_bwd(q, k, v, qp, emb, km, qw, points, d_out, out, mx, sm, *,
+             scale, block_n, block_m, interpret, with_eq):
+    b, ah, n, c = q.shape
+    cc = emb.shape[3]
+    nb, mb = n // block_n, n // block_m
+    dd = jnp.einsum("banc,banc->ban", d_out.astype(jnp.float32), out)
+
+    common_in = [
+        pl.BlockSpec((1, ah, block_n, c), lambda bi, i, j: (bi, 0, i, 0)),
+        pl.BlockSpec((1, ah, block_m, c), lambda bi, i, j: (bi, 0, j, 0)),
+        pl.BlockSpec((1, ah, block_m, c), lambda bi, i, j: (bi, 0, j, 0)),
+        pl.BlockSpec((1, block_n, ah, cc), lambda bi, i, j: (bi, i, 0, 0)),
+        pl.BlockSpec((1, block_n, block_m, cc),
+                     lambda bi, i, j: (bi, i, j, 0)),
+        pl.BlockSpec((1, block_m), lambda bi, i, j: (bi, j)),
+        pl.BlockSpec((1, 3, ah, block_n), lambda bi, i, j: (bi, 0, 0, i)),
+        pl.BlockSpec((1, 4, block_n), lambda bi, i, j: (bi, 0, i)),
+        pl.BlockSpec((1, 4, block_m), lambda bi, i, j: (bi, 0, j)),
+        pl.BlockSpec((1, ah, block_n, c), lambda bi, i, j: (bi, 0, i, 0)),
+        pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi, 0, i)),
+        pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi, 0, i)),
+        pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi, 0, i)),
+    ]
+    args = (q, k, v, qp, emb, km, qw, points, points, d_out, mx, sm, dd)
+
+    # pass 1 (n innermost): dK, dV — the (b, MB) output blocks accumulate
+    kv_specs = [
+        pl.BlockSpec(bs.block_shape,
+                     (lambda f: (lambda bi, j, i: f(bi, i, j)))(bs.index_map))
+        for bs in common_in
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_kv_kernel, ah=ah, bn=block_n, bm=block_m, c=c, scale=scale,
+            with_eq=with_eq,
+        ),
+        grid=(b, mb, nb),
+        in_specs=kv_specs,
+        out_specs=[
+            pl.BlockSpec((1, ah, block_m, c), lambda bi, j, i: (bi, 0, j, 0)),
+            pl.BlockSpec((1, ah, block_m, c), lambda bi, j, i: (bi, 0, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, ah, n, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, ah, n, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+
+    # pass 2 (m innermost): dQ, dQp, d_emb, dQw
+    dq, dqp, demb, dqw = pl.pallas_call(
+        functools.partial(
+            _bwd_q_kernel, ah=ah, bn=block_n, bm=block_m, c=c, scale=scale,
+            with_eq=with_eq,
+        ),
+        grid=(b, nb, mb),
+        in_specs=common_in,
+        out_specs=[
+            pl.BlockSpec((1, ah, block_n, c), lambda bi, i, j: (bi, 0, i, 0)),
+            pl.BlockSpec((1, block_n, ah, cc), lambda bi, i, j: (bi, i, 0, 0)),
+            pl.BlockSpec((1, block_n, block_m, cc),
+                         lambda bi, i, j: (bi, i, j, 0)),
+            pl.BlockSpec((1, 3, ah, block_n), lambda bi, i, j: (bi, 0, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, ah, n, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, ah, cc), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, n, cc), emb.dtype),
+            jax.ShapeDtypeStruct((b, 3, ah, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return dq, dk, dv, dqp, demb, dqw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def rpe_self_attention_trainable(q, k, v, qp, emb, k_masks, qw, points,
+                                 scale, block_n, block_m, interpret):
+    """:func:`rpe_self_attention` with a flash backward (training path).
+
+    Two recompute passes (dK/dV with queries innermost, dQ-side with keys
+    innermost) — scores never materialize in either direction.  Gradients
+    flow to q/k/v, the folded positional query ``qp``, the embedding, and
+    the folded SH query ``qw``; masks and coordinates get zeros.
+    """
+    return _rpe_fwd(q, k, v, qp, emb, k_masks, qw, points, scale=scale,
+                    block_n=block_n, block_m=block_m, interpret=interpret)[0]
+
+
+def _rpe_trainable_fwd(q, k, v, qp, emb, k_masks, qw, points, scale, block_n,
+                       block_m, interpret):
+    out, mx, sm = _rpe_fwd(q, k, v, qp, emb, k_masks, qw, points, scale=scale,
+                           block_n=block_n, block_m=block_m,
+                           interpret=interpret)
+    return out, (q, k, v, qp, emb, k_masks, qw, points, out, mx, sm)
+
+
+def _rpe_trainable_bwd(scale, block_n, block_m, interpret, res, d_out):
+    q, k, v, qp, emb, k_masks, qw, points, out, mx, sm = res
+    b, ah, n, _ = q.shape
+    with_eq = qw is not None
+    if not with_eq:
+        qw = jnp.zeros((b, 3, ah, n), jnp.float32)
+        points = jnp.zeros((b, 4, n), jnp.float32)
+    km = k_masks.astype(jnp.float32)
+    dq, dk, dv, dqp, demb, dqw = _rpe_bwd(
+        q, k, v, qp, emb, km, qw, points, d_out, out, mx, sm, scale=scale,
+        block_n=block_n, block_m=block_m, interpret=interpret,
+        with_eq=with_eq,
+    )
+    return (
+        dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+        dqp.astype(qp.dtype), demb.astype(emb.dtype), None,
+        dqw.astype(qw.dtype) if with_eq else None,
+        jnp.zeros_like(points) if with_eq else None,
+    )
+
+
+rpe_self_attention_trainable.defvjp(_rpe_trainable_fwd, _rpe_trainable_bwd)
 
 
 def fold_equivariant_query(qe, wigner_d1):

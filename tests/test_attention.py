@@ -298,3 +298,46 @@ def test_transformer_flash_self_matches_xla():
             g[:, valid], r[:, valid], atol=5e-3 * scale,
             err_msg=f"output {i}",
         )
+
+
+def test_transformer_flash_self_grads_match_xla():
+    """Param grads through the flash RPE self layers (custom VJP) == the XLA
+    path — the training route (train_fused_attention)."""
+    from jax.flatten_util import ravel_pytree
+
+    from se3et_tpu.nn.transformer import GeometricTransformer
+
+    rng = np.random.RandomState(13)
+    b, n, cin, c, a = 1, 128, 24, 16, 6
+    model = GeometricTransformer(
+        input_dim=cin, output_dim=c, hidden_dim=c, num_heads=2,
+        blocks=("self_eq", "cross_a_soft", "self_eq", "cross_r_soft",
+                "self", "cross"),
+        sigma_d=0.2, sigma_a=15.0, angle_k=3, na=a, n_level_equiv=2,
+    )
+    ref_points = jnp.asarray(rng.uniform(0, 1, (b, n, 3)).astype(np.float32))
+    src_points = jnp.asarray(rng.uniform(0, 1, (b, n, 3)).astype(np.float32))
+    ref_feats = jnp.asarray(rng.randn(b, n, a, cin).astype(np.float32))
+    src_feats = jnp.asarray(rng.randn(b, n, a, cin).astype(np.float32))
+    ref_masks = jnp.asarray(np.arange(n) < n - 5)[None]
+    src_masks = jnp.asarray(np.arange(n) < n - 9)[None]
+    params = model.init(
+        jax.random.PRNGKey(0), ref_points, src_points, ref_feats, src_feats,
+        ref_masks, src_masks,
+    )
+
+    def loss(p, **kw):
+        o0, o1, *_ = model.apply(p, ref_points, src_points, ref_feats,
+                                 src_feats, ref_masks, src_masks, **kw)
+        vm0 = ref_masks[..., None]
+        vm1 = src_masks[..., None]
+        return jnp.sum((o0 * vm0) ** 2) + jnp.sum((o1 * vm1) ** 2)
+
+    g_ref = jax.grad(loss)(params)
+    g_new = jax.grad(lambda p: loss(p, fused_attention=True,
+                                    fused_attention_cross=False))(params)
+    flat_r, _ = ravel_pytree(g_ref)
+    flat_n, _ = ravel_pytree(g_new)
+    scale = float(jnp.max(jnp.abs(flat_r))) + 1e-9
+    np.testing.assert_allclose(np.asarray(flat_n), np.asarray(flat_r),
+                               rtol=5e-3, atol=2e-3 * scale)
