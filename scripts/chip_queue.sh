@@ -51,3 +51,9 @@ echo "[queue] 6/6 KITTI 5-stage bench entry"
 timeout 3500 env BENCH_EXP=se3eti.kitti python bench.py > /tmp/bench_kitti.log 2>&1
 echo "exit=$?" >> /tmp/bench_kitti.log
 echo "[queue] fully done"
+
+echo "[queue] 7: fused-training quality re-validation (se3eti.3dmatch, 1500 steps)"
+timeout 3500 python scripts/train_synthetic_demo.py --exp se3eti.3dmatch \
+  --steps 1500 --train_pairs 96 --val_pairs 12 > /tmp/train_fused_val.log 2>&1
+echo "exit=$?" >> /tmp/train_fused_val.log
+echo "[queue] queue complete"

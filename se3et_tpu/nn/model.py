@@ -79,6 +79,9 @@ class ModelConfig:
     # materialized (B, A, H, N, M) scores.  Cross attention stays XLA in
     # training (the EQ-cross flash kernels are forward-only).
     train_fused_attention: bool = True
+    # escape hatch: disable the flash RPE self-attention on the SERVING path
+    # (falls back to the XLA formulation + materialized embedding SH term)
+    serve_fused_attention: bool = True
     epn: EPNConfig = EPNConfig()
     # transformer
     gt_input_dim: int = 1024
@@ -294,7 +297,8 @@ class SE3ETModel(nn.Module):
             # and RPE self layers carry custom VJPs so training uses them
             # too (knobs below); the EQ-cross flash is forward-only
             fused_embedding=(not train) or c.train_fused_embedding,
-            fused_attention=(not train) or c.train_fused_attention,
+            fused_attention=((not train) or c.train_fused_attention)
+            and c.serve_fused_attention,
             fused_attention_cross=not train,
         )
         out["attn_matrix0"] = am0
