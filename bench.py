@@ -120,6 +120,7 @@ def main():
         model = SE3ETModel(
             dataclasses.replace(model_cfg, serve_fused_attention=False)
         )
+        batch_size = 0  # the batched closure still holds the flash model
 
         @jax.jit
         def forward(params, data):

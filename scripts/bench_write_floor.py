@@ -33,12 +33,15 @@ def main():
     nbytes = b * n * n * c * 2
 
     def bench(name, fn):
-        red = jax.jit(lambda: fn()[0, 0, 0, :4].astype(jnp.float32))
-        np.asarray(red())
+        # the jit must RETURN the full array (an in-jit slice lets XLA
+        # constant-fold the write away); sync by fetching 4 elements of the
+        # materialized output
+        red = jax.jit(fn)
+        np.asarray(red()[0, 0, 0, :4].astype(jnp.float32))
         t0 = time.time()
         for _ in range(args.reps):
             out = red()
-        np.asarray(out)
+        np.asarray(out[0, 0, 0, :4].astype(jnp.float32))
         ms = (time.time() - t0) / args.reps * 1000.0
         print(f"{name:44s} {ms:8.2f} ms  {nbytes / ms / 1e6:7.1f} GB/s",
               flush=True)

@@ -26,7 +26,9 @@ def main():
         t0 = time.time()
         try:
             out = fn()
-            np.asarray(jax.tree_util.tree_leaves(out)[0])[..., :1]
+            # slice on DEVICE before fetching (some outputs are ~0.5 GB and
+            # the relay fetch crawls at ~100 MB/s)
+            np.asarray(jax.tree_util.tree_leaves(out)[0][..., :1])
             print(f"OK   {name} ({time.time() - t0:.1f}s)", flush=True)
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}",
@@ -63,11 +65,23 @@ def main():
     d_out = jnp.asarray(rng.randn(1, nq, k * ac), jnp.bfloat16)
     run("wf bwd d_win",
         lambda: wc._wf_bwd_win(local, infl, d_out, nblk_q=nblk_q, w=w, k=k))
-    out = wc.windowed_max_pool(local, win, nq)
-    run("maxpool bwd",
-        lambda: wc._max_bwd_win(local, win, out.astype(jnp.float32),
-                                jnp.ones((1, nq, ac), jnp.float32),
-                                nblk_q=nblk_q, h=h))
+    run("maxpool fwd", lambda: wc.windowed_max_pool(local, win, nq))
+    try:
+        out = wc.windowed_max_pool(local, win, nq)
+        run("maxpool bwd",
+            lambda: wc._max_bwd_win(local, win, out.astype(jnp.float32),
+                                    jnp.ones((1, nq, ac), jnp.float32),
+                                    nblk_q=nblk_q, h=h))
+    except Exception as e:
+        print(f"FAIL maxpool bwd (fwd failed): {str(e)[:200]}", flush=True)
+    # deep-stage shapes: the widest training conv backward (w=512, ac=1536)
+    ac2 = 1536
+    win2 = jnp.asarray(rng.randn(1, nblk_q, 512, ac2), jnp.float32)
+    loc2 = jnp.asarray(rng.randint(0, 513, (1, nq, h)), jnp.int32)
+    d2 = jnp.asarray(rng.randn(1, nq, k * ac2), jnp.float32)
+    i2 = jnp.asarray(rng.rand(1, nq, h, k), jnp.float32)
+    run("wf bwd d_win deep (w=512, ac=1536, f32)",
+        lambda: wc._wf_bwd_win(loc2, i2, d2, nblk_q=nblk_q, w=512, k=k))
 
     # embedding backward at production coarse shape
     from se3et_tpu.ops.pallas import embedding as pe

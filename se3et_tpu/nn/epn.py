@@ -508,6 +508,8 @@ class ResnetBottleneckBlockEPN(nn.Module):
                 window is not None
                 and pool_mode in ("fused", "grad")
                 and wc.windowed_max_pool_fits(w_width, a_dim * ch)
+                and (pool_mode != "grad"
+                     or wc.windowed_max_pool_bwd_fits(w_width, a_dim * ch))
             ):
                 seg_idx, local = window
                 b, ns = skip.shape[0], skip.shape[1]

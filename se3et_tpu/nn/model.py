@@ -64,10 +64,12 @@ class ModelConfig:
     # 1035 vs 1205 ms/step, BENCH.md round 3), so the default is off; flip on
     # for larger-than-registered shapes.  Training only; inference untouched.
     backbone_remat: bool = False
-    # training route for the backbone convs: fused windowed kernels with the
-    # custom-VJP backward (K-first scatter-transpose matmul) instead of the
-    # XLA gather forward + serialized scatter-add backward.  Max-pool skips
-    # stay on the XLA gather (forward-only kernel).
+    # training route for the backbone convs AND max-pool skips: fused
+    # windowed kernels with custom-VJP backwards (K-first scatter-transpose
+    # matmul for the conv; one-hot-transpose tie-split for the max-pool)
+    # instead of the XLA gather forward + serialized scatter-add backward.
+    # Skips whose backward footprint exceeds VMEM fall back to XLA
+    # (windowed_max_pool_bwd_fits).
     train_fused_conv: bool = True
     # training route for the geometric embedding: the fused Chebyshev kernel
     # with the basis-space custom VJP (ops/pallas/embedding.py) instead of
@@ -297,8 +299,10 @@ class SE3ETModel(nn.Module):
             # and RPE self layers carry custom VJPs so training uses them
             # too (knobs below); the EQ-cross flash is forward-only
             fused_embedding=(not train) or c.train_fused_embedding,
-            fused_attention=((not train) or c.train_fused_attention)
-            and c.serve_fused_attention,
+            fused_attention=(
+                (not train and c.serve_fused_attention)
+                or (train and c.train_fused_attention)
+            ),
             fused_attention_cross=not train,
         )
         out["attn_matrix0"] = am0

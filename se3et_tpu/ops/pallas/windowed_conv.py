@@ -337,7 +337,16 @@ def _wf_bwd_win(local, infl, d_out, *, nblk_q, w, k, hc=None,
     if hc is None:
         hc = pick_hc(h)
     ac = d_out.shape[2] // k
+    # shrink the row sub-block until the backward footprint fits the same
+    # undercount-adjusted budget the forward enforces (deep-stage convs:
+    # w=512, ac=1536 needs mp=16)
+    kpad = ((k + 7) // 8) * 8
     mp = 32
+    while mp > 8 and (
+        mp * kpad * w * 4 + 2 * w * ac * 4 + 2 * mp * k * ac * 4
+        + mp * hc * w * 4
+    ) > 12.5e6:
+        mp //= 2
     spb = QSEG // mp
     q_pad = nblk_q * QSEG - nq
     if q_pad:
@@ -444,6 +453,23 @@ def windowed_max_pool_fits(w: int, ac: int, hc: int = 8) -> bool:
     return 32 * ac * 8 + 2 * w * ac * 2 + 32 * hc * w * 6 <= 14e6
 
 
+def windowed_max_pool_bwd_fits(w: int, ac: int, hc: int = 8) -> bool:
+    """Whether the max-pool BACKWARD kernel also fits VMEM.
+
+    The training route ('grad') needs both directions; the backward holds
+    f32 window + dwin + out/dout blocks plus the per-chunk recompute temps.
+    f32 throughout (training dtype) and the out accumulation block is
+    counted double-buffered.
+    """
+    mp = 32
+    return (
+        3 * w * ac * 4          # win (f32) + dwin out block x2
+        + 4 * mp * ac * 4       # out, dout, ties, scale
+        + mp * hc * w * 4       # one-hot chunk
+        + 2 * mp * hc * ac * 4  # gathered g + eq mask
+    ) <= 12.5e6
+
+
 def _max_kernel(local_ref, win_ref, out_ref, acc, *, mp, hc, n_hc, w, ac, h):
     """Per (b, sub-block): out[p, ac] = max_h (win[local[p,h], ac] if valid else 0).
 
@@ -490,11 +516,10 @@ def _max_bwd_kernel(local_ref, win_ref, out_ref, dout_ref, dwin_ref, *, mp,
     dout = dout_ref[0, 0]  # (MP, AC)
     dt = win.dtype
 
-    # ties = # of valid matches + # of shadow zeros matching (out == 0)
-    ties = jnp.zeros((mp, ac), jnp.float32)
-    n_shadow = jnp.zeros((mp, 1), jnp.float32)
-    eqs = []
-    for c in range(n_hc):
+    def chunk_eq(c):
+        """Recomputed gathered values + tie mask for chunk c (nothing kept
+        across chunks: keeping n_hc (MP, HC, AC) eq tensors live blows VMEM
+        at deep-stage channel widths)."""
         loc = local_ref[0, 0, :, c * hc:(c + 1) * hc]  # (MP, HC)
         iw = jax.lax.broadcasted_iota(jnp.int32, (mp, hc, w), 2)
         oh = (loc[:, :, None] == iw).astype(dt).reshape(mp * hc, w)
@@ -507,18 +532,22 @@ def _max_bwd_kernel(local_ref, win_ref, out_ref, dout_ref, dwin_ref, *, mp,
         # the tie comparison is exact in f32 and max-preserving in bf16
         gc = g.astype(dt).astype(jnp.float32)
         eq = (gc == out[:, None, :]) & valid[:, :, None]
-        eqs.append(eq)
+        shadow = jnp.sum(((loc >= w) & (col < h)).astype(jnp.float32), axis=1)
+        return oh, eq, shadow
+
+    # pass 1: tie counts (+ shadow-zero ties when the max is 0)
+    ties = jnp.zeros((mp, ac), jnp.float32)
+    n_shadow = jnp.zeros((mp, 1), jnp.float32)
+    for c in range(n_hc):
+        _, eq, shadow = chunk_eq(c)
         ties += jnp.sum(eq.astype(jnp.float32), axis=1)
-        n_shadow += jnp.sum(
-            ((loc >= w) & (col < h)).astype(jnp.float32), axis=1
-        )[:, None]
+        n_shadow += shadow[:, None]
     ties += jnp.where(out == 0.0, n_shadow, 0.0)
     scale = dout.astype(jnp.float32) / jnp.maximum(ties, 1.0)
+    # pass 2: recompute per chunk and scatter
     for c in range(n_hc):
-        loc = local_ref[0, 0, :, c * hc:(c + 1) * hc]
-        iw = jax.lax.broadcasted_iota(jnp.int32, (mp, hc, w), 2)
-        oh = (loc[:, :, None] == iw).astype(dt).reshape(mp * hc, w)
-        md = (eqs[c].astype(jnp.float32) * scale[:, None, :]).astype(dt)
+        oh, eq, _ = chunk_eq(c)
+        md = (eq.astype(jnp.float32) * scale[:, None, :]).astype(dt)
         dwin_ref[0, 0] += jax.lax.dot_general(
             oh, md.reshape(mp * hc, ac), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

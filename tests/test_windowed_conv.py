@@ -544,7 +544,6 @@ def test_windowed_max_pool_custom_vjp_matches_xla_grads():
     )
 
     def xla_ref(w_):
-        idx = local.reshape(b, nblk_q, (nblk_q and nq // nblk_q or nq) * h)
         idx = local.reshape(b, nblk_q, -1)
         g = jnp.take_along_axis(
             w_, jnp.clip(idx, 0, w - 1)[..., None], axis=2
