@@ -104,10 +104,71 @@ def _influence_np(q_points, s_points, neighbor_indices, kernel_points, sigma,
     return w.astype(ml_dtypes.bfloat16)
 
 
+def influence_signature(model_cfg) -> np.ndarray:
+    """8-byte uint8 signature of every config facet influence values depend
+    on: backbone family, stage count, radius/sigma schedule, influence mode,
+    and the kernel-point disposition parameters.  Stamped on pyramid dicts by
+    :func:`precompute_influence` and checked by :func:`verify_influence`
+    before a model consumes host-precomputed tensors — shape coincidence
+    alone (advisor r3) must not be enough to accept foreign influence data.
+    """
+    import hashlib
+
+    if model_cfg.backbone == "e2pn":
+        epn = model_cfg.epn
+        kp_desc = (
+            epn.num_kernel_points, epn.kanchor, epn.quotient_factor,
+            epn.fixed_kernel_points, epn.kp_influence,
+        )
+    else:
+        kp_desc = (model_cfg.kernel_size, "linear")
+    desc = repr((
+        model_cfg.backbone, model_cfg.num_stages,
+        round(float(model_cfg.init_radius), 9),
+        round(float(model_cfg.init_sigma), 9), kp_desc,
+    ))
+    dig = hashlib.sha1(desc.encode()).digest()[:8]
+    return np.frombuffer(dig, np.uint8).copy()
+
+
+def verify_influence(data: dict, model_cfg, logger=None) -> dict:
+    """Host-side guard: strip precomputed influence tensors whose config
+    signature does not match ``model_cfg``.
+
+    Runs OUTSIDE jit (signatures are array values, invisible at trace time);
+    engine entry points call it on the numpy pyramid before feeding the
+    model.  A stripped dict is still valid — the backbone recomputes
+    influence in-graph, just slower.  Returns ``data`` (mutated).
+    """
+    keys = [k for k in data if k.startswith("influence_") and k != "influence_sig"]
+    if not keys:
+        return data
+    sig = np.asarray(data.get("influence_sig", np.zeros(0, np.uint8)))
+    expect = influence_signature(model_cfg)
+    if sig.shape == expect.shape and np.array_equal(sig, expect):
+        return data
+    msg = (
+        "precomputed influence tensors carry a different config signature "
+        "than this model (sigma schedule / kernel disposition / influence "
+        "mode mismatch); dropping them — the backbone will recompute "
+        "influence in-graph"
+    )
+    if logger is not None:
+        logger.warning(msg)
+    else:
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
+    for k in keys + (["influence_sig"] if "influence_sig" in data else []):
+        del data[k]
+    return data
+
+
 def precompute_influence(data: dict, model_cfg) -> dict:
     """Add ``influence_same_{st}`` / ``influence_sub_{st}`` (B, Nq, H, K)
     bf16 arrays to a pyramid dict for every conv neighbor set of
-    ``model_cfg``'s backbone.  Returns ``data`` (mutated)."""
+    ``model_cfg``'s backbone, plus the ``influence_sig`` config stamp
+    checked by :func:`verify_influence`.  Returns ``data`` (mutated)."""
     if model_cfg.backbone not in ("e2pn", "kpconv"):
         return data
     r0, s0 = model_cfg.init_radius, model_cfg.init_sigma
@@ -133,4 +194,5 @@ def precompute_influence(data: dict, model_cfg) -> dict:
             r0 * mult * 2, s0 * mult * 2, pts[st], pts[st],
             data[f"neighbors_{st}"],
         )
+    data["influence_sig"] = influence_signature(model_cfg)
     return data

@@ -31,6 +31,67 @@ from se3et_tpu.nn.model import ModelConfig, SE3ETModel
 from se3et_tpu.utils.summary import SummaryBoard, get_logger
 
 
+def serving_config_ladder(model_cfg: ModelConfig):
+    """Yield (tag, cfg) serving configs from fully-fused down to pure XLA.
+
+    Escape-hatch ladder for Pallas/Mosaic lowering failures on hardware or
+    compiler versions the kernels have not been built against.  The bench
+    carries the same failsafe inline (``bench.py``); this makes it available
+    to the serving engine (``test.py``/``eval.py``/``demo.py``) so a kernel
+    that fails to lower degrades to the equivalent XLA path instead of
+    killing the run (reference serving never dies this way because it ships
+    no custom kernels — parity demands the same robustness).
+    """
+    import dataclasses
+
+    yield "fused", model_cfg
+    if model_cfg.serve_fused_attention:
+        model_cfg = dataclasses.replace(model_cfg, serve_fused_attention=False)
+        yield "xla-attention", model_cfg
+    if model_cfg.serve_fused_conv or model_cfg.serve_fused_embedding:
+        yield "xla-all", dataclasses.replace(
+            model_cfg,
+            serve_fused_conv=False,
+            serve_fused_embedding=False,
+        )
+
+
+def make_failsafe_forward(model_cfg: ModelConfig, build, logger=None):
+    """Wrap a forward builder with the serving-config fallback ladder.
+
+    ``build(cfg) -> fn`` constructs a jitted forward for one model config.
+    The returned callable tries the ladder's rungs in order on the FIRST
+    invocation (XLA compile errors — including Mosaic lowering failures —
+    surface at the first call of a jitted function) and commits to the first
+    rung that executes; later invocations dispatch straight to it.
+    """
+    state = {"fn": None}
+    rungs = list(serving_config_ladder(model_cfg))
+
+    def call(*args):
+        if state["fn"] is not None:
+            return state["fn"](*args)
+        last_err = None
+        for i, (tag, cfg) in enumerate(rungs):
+            fn = build(cfg)
+            try:
+                out = fn(*args)
+            except Exception as e:  # noqa: BLE001 — lowering/compile failure
+                last_err = e
+                if i + 1 < len(rungs) and logger is not None:
+                    logger.warning(
+                        f"serving config '{tag}' failed to compile/run "
+                        f"({type(e).__name__}: {str(e)[:200]}); falling back "
+                        f"to '{rungs[i + 1][0]}'"
+                    )
+                continue
+            state["fn"] = fn
+            return out
+        raise last_err
+
+    return call
+
+
 class Tester:
     def __init__(self, model_cfg: ModelConfig, eval_cfg: loss_lib.EvalConfig,
                  output_dir: str):
@@ -44,22 +105,35 @@ class Tester:
         self._forward = None
 
     def build(self, params):
-        model, eval_cfg = self.model, self.eval_cfg
+        eval_cfg = self.eval_cfg
 
-        def forward(p, data):
-            out = model.apply(p, data, train=False, with_registration=True)
-            metrics = loss_lib.evaluate(out, data, eval_cfg)
-            return out, metrics
+        def build_forward(model_cfg):
+            model = SE3ETModel(model_cfg)
 
-        self._forward = jax.jit(forward)
+            def forward(p, data):
+                out = model.apply(p, data, train=False, with_registration=True)
+                metrics = loss_lib.evaluate(out, data, eval_cfg)
+                return out, metrics
+
+            return jax.jit(forward)
+
+        self._forward = make_failsafe_forward(
+            self.model_cfg, build_forward, logger=self.logger
+        )
         self.params = params
 
     def run(self, loader, save_features: bool = True, benchmark: str = "test"):
         """loader yields (pyramid_data, meta) tuples; returns summary dict."""
+        from se3et_tpu.data.influence import verify_influence
+
         board = SummaryBoard()
         times = []
         for i, (data, meta) in enumerate(loader):
             t0 = time.time()
+            # drop precomputed influence tensors stamped under a different
+            # config (sigma schedule / disposition / mode) — shape
+            # coincidence must not be enough to accept them (advisor r3)
+            verify_influence(data, self.model_cfg, logger=self.logger)
             jdata = {k: jnp.asarray(v) for k, v in data.items()}
             out, metrics = self._forward(self.params, jdata)
             jax.block_until_ready(out["estimated_transform"])

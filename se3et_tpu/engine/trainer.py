@@ -327,7 +327,15 @@ class Trainer:
                     board.summary(), self.iteration, prefix="train/"
                 )
         if pending:
-            rng = run_batch(pending, rng)
+            run_batch(pending, rng)
+            steps += 1
+            if steps % self.log_steps == 0:
+                self.logger.info(
+                    f"epoch {self.epoch} step {steps} (x{bs} pairs): {board.format()}"
+                )
+                self.metrics_writer.add_dict(
+                    board.summary(), self.iteration, prefix="train/"
+                )
         self.metrics_writer.flush()
         return board.summary()
 
@@ -378,7 +386,15 @@ class Trainer:
                     board.summary(), self.iteration, prefix="train/"
                 )
         if pending:
-            rng = run_batch(pending, rng)
+            run_batch(pending, rng)
+            steps += 1
+            if steps % self.log_steps == 0:
+                self.logger.info(
+                    f"epoch {self.epoch} step {steps} (x{nd} pairs): {board.format()}"
+                )
+                self.metrics_writer.add_dict(
+                    board.summary(), self.iteration, prefix="train/"
+                )
         self.metrics_writer.flush()
         return board.summary()
 

@@ -376,12 +376,19 @@ def run_demo(cfg: ExperimentConfig, argv=None):
         ref, src, gt = item["ref_points"], item["src_points"], item["transform"]
 
     params = _load_params(cfg, args.snapshot)
-    model = SE3ETModel(cfg.model)
     logger = get_logger()
 
-    @jax.jit
-    def forward(p, data):
-        return model.apply(p, data, train=False, with_registration=True)
+    from se3et_tpu.engine.tester import make_failsafe_forward
+
+    def build_forward(model_cfg):
+        model = SE3ETModel(model_cfg)
+        return jax.jit(
+            lambda p, data: model.apply(
+                p, data, train=False, with_registration=True
+            )
+        )
+
+    forward = make_failsafe_forward(cfg.model, build_forward, logger=logger)
 
     from se3et_tpu.utils import pointcloud_io as pc_io
 

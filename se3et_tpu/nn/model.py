@@ -84,6 +84,14 @@ class ModelConfig:
     # escape hatch: disable the flash RPE self-attention on the SERVING path
     # (falls back to the XLA formulation + materialized embedding SH term)
     serve_fused_attention: bool = True
+    # escape hatches for the remaining serving Pallas kernels: the windowed
+    # conv/max-pool/influence kernels and the Chebyshev geometric-embedding
+    # kernel.  engine.tester.make_failsafe_forward walks these knobs if the
+    # first compile fails to lower on an unseen Mosaic version, so
+    # test.py/eval.py degrade to the XLA paths instead of dying
+    # (VERDICT r3 #5).
+    serve_fused_conv: bool = True
+    serve_fused_embedding: bool = True
     epn: EPNConfig = EPNConfig()
     # transformer
     gt_input_dim: int = 1024
@@ -275,7 +283,8 @@ class SE3ETModel(nn.Module):
             # training differentiates through the conv kernels when
             # train_fused_conv (custom VJP, windowed_conv.py)
             feats_f, feats_c = self.backbone_net(
-                data["features"], data, fused=not train,
+                data["features"], data,
+                fused=(not train) and c.serve_fused_conv,
                 fused_conv_grad=train and c.train_fused_conv,
             )
         else:
@@ -298,12 +307,15 @@ class SE3ETModel(nn.Module):
             # tile-fused Pallas embedding + flash attention; the embedding
             # and RPE self layers carry custom VJPs so training uses them
             # too (knobs below); the EQ-cross flash is forward-only
-            fused_embedding=(not train) or c.train_fused_embedding,
+            fused_embedding=(
+                (not train and c.serve_fused_embedding)
+                or (train and c.train_fused_embedding)
+            ),
             fused_attention=(
                 (not train and c.serve_fused_attention)
                 or (train and c.train_fused_attention)
             ),
-            fused_attention_cross=not train,
+            fused_attention_cross=(not train) and c.serve_fused_attention,
         )
         out["attn_matrix0"] = am0
         out["attn_matrix1"] = am1

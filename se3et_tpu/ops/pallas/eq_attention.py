@@ -120,6 +120,10 @@ def _apply_kernel(q_ref, k_ref, v_ref, w_ref, rowmax_ref, rowsum_ref, km_ref,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (bn, M)
+        # mask BEFORE the exp (mirrors _stats_kernel): rowmax covers valid
+        # keys only, so a masked key whose raw score exceeds it by >~88
+        # would overflow exp to inf and inf*0 = NaN
+        s = jnp.where(kmask[None, :] > 0, s, _NEG)
         p = jnp.exp(s - rowmax_ref[0, 0, h][:, None]) * kmask[None, :]
         # match the XLA path's softmax.astype(v.dtype) before the value einsum
         p = p.astype(v_ref.dtype)

@@ -62,14 +62,18 @@ def _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref, pm_ref,
     if with_eq:
         # degree-1 SH term from raw coordinates (degree-0 is row-constant ->
         # softmax no-op, dropped).  diff = p_n - p_m; sh1 = c1*(dy,dz,dx)/r.
-        dx = pn_ref[0, 0][:, None] - pm_ref[0, 0][None, :]  # (bn, bm)
-        dy = pn_ref[0, 1][:, None] - pm_ref[0, 1][None, :]
-        dz = pn_ref[0, 2][:, None] - pm_ref[0, 2][None, :]
+        # pn/qw arrive n-blocked — (b, nb, 4, bn) / (b, nb, 3, ah, bn) — so
+        # their block's last dim equals the full array dim (Mosaic's block
+        # rule: last dim divisible by 128 OR equal to the array dim; a
+        # 64-wide slice of a 1024 dim fails to lower).
+        dx = pn_ref[0, 0, 0][:, None] - pm_ref[0, 0][None, :]  # (bn, bm)
+        dy = pn_ref[0, 0, 1][:, None] - pm_ref[0, 1][None, :]
+        dz = pn_ref[0, 0, 2][:, None] - pm_ref[0, 2][None, :]
         r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
         rinv = _SH1_C / (r + 1e-12)
-        qy = qw_ref[0, 0]  # (AH, bn)
-        qz = qw_ref[0, 1]
-        qx = qw_ref[0, 2]
+        qy = qw_ref[0, 0, 0]  # (AH, bn)
+        qz = qw_ref[0, 0, 1]
+        qx = qw_ref[0, 0, 2]
         sh = (rinv * dy, rinv * dz, rinv * dx)
         s = s + (
             qy[:, :, None] * sh[0][None] + qz[:, :, None] * sh[1][None]
@@ -112,8 +116,8 @@ def _kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref,
     @pl.when(j == pl.num_programs(2) - 1)
     def _flush():
         out_ref[0] = acc[...] / jnp.maximum(rowsum[...], 1e-30)[:, :, None]
-        mx_ref[0] = rowmax[...]
-        sm_ref[0] = rowsum[...]
+        mx_ref[0, 0] = rowmax[...]
+        sm_ref[0, 0] = rowsum[...]
 
 
 @functools.partial(
@@ -150,6 +154,12 @@ def _rpe_fwd(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
 
     km = k_masks.astype(jnp.float32)
     nb, mb = n // block_n, n // block_m
+    # n-block the small per-query tensors so their block's last dim EQUALS
+    # the array dim (Mosaic block rule; a block_n-wide slice of the n axis
+    # only lowers when block_n % 128 == 0).  The key-side (b, 4, n) layout
+    # stays as-is: block_m tiles of n are 128-aligned by construction.
+    qw_b = qw.reshape(b, 3, ah, nb, block_n).transpose(0, 3, 1, 2, 4)
+    pn_b = points.reshape(b, 4, nb, block_n).transpose(0, 2, 1, 3)
 
     out, mx, sm = pl.pallas_call(
         functools.partial(
@@ -165,19 +175,20 @@ def _rpe_fwd(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
             pl.BlockSpec((1, block_n, block_m, cc),
                          lambda bi, i, j: (bi, i, j, 0)),
             pl.BlockSpec((1, block_m), lambda bi, i, j: (bi, j)),
-            pl.BlockSpec((1, 3, ah, block_n), lambda bi, i, j: (bi, 0, 0, i)),
-            pl.BlockSpec((1, 4, block_n), lambda bi, i, j: (bi, 0, i)),
+            pl.BlockSpec((1, 1, 3, ah, block_n),
+                         lambda bi, i, j: (bi, i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 4, block_n), lambda bi, i, j: (bi, i, 0, 0)),
             pl.BlockSpec((1, 4, block_m), lambda bi, i, j: (bi, 0, j)),
         ],
         out_specs=[
             pl.BlockSpec((1, ah, block_n, c), lambda bi, i, j: (bi, 0, i, 0)),
-            pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi, 0, i)),
-            pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi, 0, i)),
+            pl.BlockSpec((1, 1, ah, block_n), lambda bi, i, j: (bi, i, 0, 0)),
+            pl.BlockSpec((1, 1, ah, block_n), lambda bi, i, j: (bi, i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, ah, n, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, ah, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, ah, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, ah, block_n), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, ah, block_n), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((ah, block_n, c), jnp.float32),
@@ -185,7 +196,9 @@ def _rpe_fwd(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
             pltpu.VMEM((ah, block_n), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, qp, emb, km, qw, points, points)
+    )(q, k, v, qp, emb, km, qw_b, pn_b, points)
+    mx = mx.transpose(0, 2, 1, 3).reshape(b, ah, n)
+    sm = sm.transpose(0, 2, 1, 3).reshape(b, ah, n)
     return out, mx, sm
 
 
@@ -210,8 +223,8 @@ def _bwd_kv_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
 
     s, _ = _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref,
                    pm_ref, scale=scale, with_eq=with_eq)
-    inv = 1.0 / jnp.maximum(sm_ref[0], 1e-30)  # (AH, bn)
-    p = jnp.exp(s - mx_ref[0][:, :, None]) * inv[:, :, None]
+    inv = 1.0 / jnp.maximum(sm_ref[0, 0], 1e-30)  # (AH, bn)
+    p = jnp.exp(s - mx_ref[0, 0][:, :, None]) * inv[:, :, None]
     p = p * km_ref[0][None, None, :]
     do = do_ref[0].astype(jnp.float32)  # (AH, bn, c)
     # dv[ah, m, c] += sum_n P[ah, n, m] dO[ah, n, c]
@@ -224,7 +237,7 @@ def _bwd_kv_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
         do, v_ref[0].astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (AH, bn, bm)
-    ds = p * (dpv - dd_ref[0][:, :, None])
+    ds = p * (dpv - dd_ref[0, 0][:, :, None])
     # dk[ah, m, c] += scale * sum_n dS[ah, n, m] q[ah, n, c]
     dk_ref[0] += scale * jax.lax.dot_general(
         ds, q_ref[0].astype(jnp.float32), (((1,), (1,)), ((0,), (0,))),
@@ -248,15 +261,15 @@ def _bwd_q_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
 
     s, sh = _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref,
                     pm_ref, scale=scale, with_eq=with_eq)
-    inv = 1.0 / jnp.maximum(sm_ref[0], 1e-30)
-    p = jnp.exp(s - mx_ref[0][:, :, None]) * inv[:, :, None]
+    inv = 1.0 / jnp.maximum(sm_ref[0, 0], 1e-30)
+    p = jnp.exp(s - mx_ref[0, 0][:, :, None]) * inv[:, :, None]
     p = p * km_ref[0][None, None, :]
     do = do_ref[0].astype(jnp.float32)
     dpv = jax.lax.dot_general(
         do, v_ref[0].astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dpv - dd_ref[0][:, :, None])  # (AH, bn, bm)
+    ds = p * (dpv - dd_ref[0, 0][:, :, None])  # (AH, bn, bm)
 
     # dq[ah, n, c] += scale * sum_m dS k[ah, m, c]
     dq_ref[0] += scale * jax.lax.dot_general(
@@ -278,7 +291,7 @@ def _bwd_q_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
     if with_eq:
         # dqw[d, ah, n] += scale * sum_m dS * (rinv * d{y,z,x})[n, m]
         for d in range(3):
-            dqw_ref[0, d] += scale * jnp.sum(ds * sh[d][None], axis=2)
+            dqw_ref[0, 0, d] += scale * jnp.sum(ds * sh[d][None], axis=2)
 
 
 @functools.partial(
@@ -292,6 +305,15 @@ def _rpe_bwd(q, k, v, qp, emb, km, qw, points, d_out, out, mx, sm, *,
     nb, mb = n // block_n, n // block_m
     dd = jnp.einsum("banc,banc->ban", d_out.astype(jnp.float32), out)
 
+    # same n-blocked layouts as the forward (see _rpe_fwd): block last dim
+    # must equal the array dim for the small per-query tensors
+    def _nblock(x):  # (b, ah, n) -> (b, nb, ah, block_n)
+        return x.reshape(b, ah, nb, block_n).transpose(0, 2, 1, 3)
+
+    qw_b = qw.reshape(b, 3, ah, nb, block_n).transpose(0, 3, 1, 2, 4)
+    pn_b = points.reshape(b, 4, nb, block_n).transpose(0, 2, 1, 3)
+    mx_b, sm_b, dd_b = _nblock(mx), _nblock(sm), _nblock(dd)
+
     common_in = [
         pl.BlockSpec((1, ah, block_n, c), lambda bi, i, j: (bi, 0, i, 0)),
         pl.BlockSpec((1, ah, block_m, c), lambda bi, i, j: (bi, 0, j, 0)),
@@ -300,15 +322,17 @@ def _rpe_bwd(q, k, v, qp, emb, km, qw, points, d_out, out, mx, sm, *,
         pl.BlockSpec((1, block_n, block_m, cc),
                      lambda bi, i, j: (bi, i, j, 0)),
         pl.BlockSpec((1, block_m), lambda bi, i, j: (bi, j)),
-        pl.BlockSpec((1, 3, ah, block_n), lambda bi, i, j: (bi, 0, 0, i)),
-        pl.BlockSpec((1, 4, block_n), lambda bi, i, j: (bi, 0, i)),
+        pl.BlockSpec((1, 1, 3, ah, block_n),
+                     lambda bi, i, j: (bi, i, 0, 0, 0)),
+        pl.BlockSpec((1, 1, 4, block_n), lambda bi, i, j: (bi, i, 0, 0)),
         pl.BlockSpec((1, 4, block_m), lambda bi, i, j: (bi, 0, j)),
         pl.BlockSpec((1, ah, block_n, c), lambda bi, i, j: (bi, 0, i, 0)),
-        pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi, 0, i)),
-        pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi, 0, i)),
-        pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi, 0, i)),
+        pl.BlockSpec((1, 1, ah, block_n), lambda bi, i, j: (bi, i, 0, 0)),
+        pl.BlockSpec((1, 1, ah, block_n), lambda bi, i, j: (bi, i, 0, 0)),
+        pl.BlockSpec((1, 1, ah, block_n), lambda bi, i, j: (bi, i, 0, 0)),
     ]
-    args = (q, k, v, qp, emb, km, qw, points, points, d_out, mx, sm, dd)
+    args = (q, k, v, qp, emb, km, qw_b, pn_b, points, d_out, mx_b, sm_b,
+            dd_b)
 
     # pass 1 (n innermost): dK, dV — the (b, MB) output blocks accumulate
     kv_specs = [
@@ -347,16 +371,18 @@ def _rpe_bwd(q, k, v, qp, emb, km, qw, points, d_out, out, mx, sm, *,
             pl.BlockSpec((1, block_n, ah, cc), lambda bi, i, j: (bi, i, 0, 0)),
             pl.BlockSpec((1, block_n, block_m, cc),
                          lambda bi, i, j: (bi, i, j, 0)),
-            pl.BlockSpec((1, 3, ah, block_n), lambda bi, i, j: (bi, 0, 0, i)),
+            pl.BlockSpec((1, 1, 3, ah, block_n),
+                         lambda bi, i, j: (bi, i, 0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, ah, n, c), jnp.float32),
             jax.ShapeDtypeStruct((b, n, ah, cc), jnp.float32),
             jax.ShapeDtypeStruct((b, n, n, cc), emb.dtype),
-            jax.ShapeDtypeStruct((b, 3, ah, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, 3, ah, block_n), jnp.float32),
         ],
         interpret=interpret,
     )(*args)
+    dqw = dqw.transpose(0, 2, 3, 1, 4).reshape(b, 3, ah, n)
     return dq, dk, dv, dqp, demb, dqw
 
 

@@ -527,11 +527,14 @@ def _max_bwd_kernel(local_ref, win_ref, out_ref, dout_ref, dwin_ref, *, mp,
             mp, hc, ac
         )
         col = jax.lax.broadcasted_iota(jnp.int32, (mp, hc), 1) + c * hc
-        valid = (loc < w) & (col < h)  # (MP, HC)
+        # i32 validity mask: inserting a minor dim on an i1 tensor crashes
+        # the Mosaic compile helper (see CLAUDE.md kernel rules) — insert on
+        # the i32 and compare instead
+        valid_i = ((loc < w) & (col < h)).astype(jnp.int32)  # (MP, HC)
         # the forward emitted out = dtype(max_f32); round g identically so
         # the tie comparison is exact in f32 and max-preserving in bf16
         gc = g.astype(dt).astype(jnp.float32)
-        eq = (gc == out[:, None, :]) & valid[:, :, None]
+        eq = (gc == out[:, None, :]) & (valid_i[:, :, None] > 0)
         shadow = jnp.sum(((loc >= w) & (col < h)).astype(jnp.float32), axis=1)
         return oh, eq, shadow
 

@@ -1,0 +1,143 @@
+"""Serving Mosaic-failure failsafe: the config ladder in engine.tester.
+
+If a Pallas kernel fails to lower/compile on hardware the kernels have not
+been built against, ``test.py``/``eval.py``/``demo.py`` must degrade to the
+equivalent XLA path instead of dying (the reference serving engine ships no
+custom kernels and so can never fail this way — parity demands the same
+robustness).  Forced-failure tests: monkeypatch kernel entry points to raise
+and check the ladder lands on a working rung with valid output.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from se3et_tpu.engine.tester import (
+    make_failsafe_forward,
+    serving_config_ladder,
+)
+from se3et_tpu.nn.model import SE3ETModel
+
+from tests.test_model import _make_pair, _toy_model_cfg, _toy_pipeline_cfg
+from se3et_tpu.data import pipeline
+
+
+def _toy_pair_data(seed=0):
+    # coarse cap 128: the flash RPE self-attention gates on n % 128 == 0, and
+    # the forced-failure tests need the fused rung to actually reach the
+    # kernel entry points being patched
+    rng = np.random.RandomState(seed)
+    ref, src, tf = _make_pair(rng, rotate=False)
+    pcfg = dataclasses.replace(
+        _toy_pipeline_cfg(), stage_caps=(384, 192, 128), coarse_point_cap=128
+    )
+    data = pipeline.build_pair_pyramid(ref, src, tf, pcfg)
+    return {k: jnp.asarray(v) for k, v in data.items()}
+
+
+def test_ladder_rungs():
+    cfg = _toy_model_cfg()
+    tags = [t for t, _ in serving_config_ladder(cfg)]
+    assert tags == ["fused", "xla-attention", "xla-all"]
+    cfgs = dict(serving_config_ladder(cfg))
+    assert cfgs["xla-attention"].serve_fused_attention is False
+    assert cfgs["xla-attention"].serve_fused_conv is True
+    assert cfgs["xla-all"].serve_fused_conv is False
+    assert cfgs["xla-all"].serve_fused_embedding is False
+    # a config already running pure XLA yields a single rung
+    bare = dataclasses.replace(
+        cfg,
+        serve_fused_attention=False,
+        serve_fused_conv=False,
+        serve_fused_embedding=False,
+    )
+    assert [t for t, _ in serving_config_ladder(bare)] == ["fused"]
+
+
+def _build_forward_factory(data):
+    model_holder = {}
+
+    def build(model_cfg):
+        model = SE3ETModel(model_cfg)
+        model_holder["cfg"] = model_cfg
+        return jax.jit(
+            lambda p, d: model.apply(p, d, train=False, with_registration=True)
+        )
+
+    return build, model_holder
+
+
+def _init_params(cfg, data):
+    model = SE3ETModel(cfg)
+    rngs = {"params": jax.random.PRNGKey(1), "targets": jax.random.PRNGKey(1)}
+    return model.init(rngs, data, train=False)
+
+
+def test_failsafe_survives_attention_kernel_failure(monkeypatch):
+    """Flash RPE kernel raising at trace time -> falls back to XLA attention."""
+    from se3et_tpu.ops.pallas import rpe_attention
+
+    cfg = _toy_model_cfg()
+    data = _toy_pair_data()
+    params = _init_params(cfg, data)  # init BEFORE the forced failure
+
+    def boom(*a, **k):
+        raise RuntimeError("forced Mosaic lowering failure (test)")
+
+    monkeypatch.setattr(rpe_attention, "rpe_self_attention_trainable", boom)
+    build, holder = _build_forward_factory(data)
+    forward = make_failsafe_forward(cfg, build)
+    out = forward(params, data)
+    assert np.all(np.isfinite(np.asarray(out["estimated_transform"])))
+    # committed rung disabled flash attention but kept the conv kernels
+    assert holder["cfg"].serve_fused_attention is False
+    assert holder["cfg"].serve_fused_conv is True
+    # second call dispatches straight to the committed fn (no rebuild)
+    holder["cfg"] = None
+    out2 = forward(params, data)
+    assert holder["cfg"] is None
+    np.testing.assert_allclose(
+        np.asarray(out["estimated_transform"]),
+        np.asarray(out2["estimated_transform"]),
+    )
+
+
+def test_failsafe_survives_embedding_kernel_failure(monkeypatch):
+    """Attention AND embedding kernels raising -> lands on the xla-all rung."""
+    from se3et_tpu.ops.pallas import embedding as emb_mod
+    from se3et_tpu.ops.pallas import rpe_attention
+
+    cfg = _toy_model_cfg()
+    data = _toy_pair_data()
+    params = _init_params(cfg, data)  # init BEFORE the forced failure
+
+    def boom(*a, **k):
+        raise RuntimeError("forced Mosaic lowering failure (test)")
+
+    # the nn layers import these symbols fresh at call time from the module,
+    # so patching the module attrs is sufficient
+    monkeypatch.setattr(rpe_attention, "rpe_self_attention_trainable", boom)
+    monkeypatch.setattr(emb_mod, "geometric_embedding_trainable", boom)
+    build, holder = _build_forward_factory(data)
+    forward = make_failsafe_forward(cfg, build)
+    out = forward(params, data)
+    assert np.all(np.isfinite(np.asarray(out["estimated_transform"])))
+    assert holder["cfg"].serve_fused_conv is False
+    assert holder["cfg"].serve_fused_embedding is False
+
+
+def test_failsafe_reraises_when_all_rungs_fail():
+    cfg = _toy_model_cfg()
+
+    def build(model_cfg):
+        def fn(*a):
+            raise RuntimeError("all rungs broken")
+
+        return fn
+
+    forward = make_failsafe_forward(cfg, build)
+    with pytest.raises(RuntimeError, match="all rungs broken"):
+        forward(None, None)

@@ -388,6 +388,59 @@ def test_model_with_host_influence_matches_without():
         assert diff.max() < 1e-1, diff.max()
 
 
+def test_influence_signature_guard():
+    """verify_influence strips tensors stamped under a different config
+    (and accepts a matching stamp / leaves unstamped-but-absent dicts alone)."""
+    import warnings
+
+    from se3et_tpu.data.influence import (
+        influence_signature,
+        verify_influence,
+    )
+    from se3et_tpu.nn.epn import EPNConfig
+    from se3et_tpu.nn.model import ModelConfig
+
+    cfg_a = ModelConfig(init_sigma=0.05)
+    cfg_b = ModelConfig(init_sigma=0.06)  # different sigma schedule
+    cfg_c = ModelConfig(
+        init_sigma=0.05, epn=EPNConfig(kp_influence="gaussian")
+    )
+    assert not np.array_equal(
+        influence_signature(cfg_a), influence_signature(cfg_b)
+    )
+    assert not np.array_equal(
+        influence_signature(cfg_a), influence_signature(cfg_c)
+    )
+
+    data = {
+        "influence_same_0": np.ones((2, 4, 8, 15), np.float32),
+        "influence_sig": influence_signature(cfg_a),
+        "points_0": np.zeros((2, 4, 3), np.float32),
+    }
+    # matching stamp: accepted untouched
+    verify_influence(dict(data), cfg_a)
+    kept = dict(data)
+    verify_influence(kept, cfg_a)
+    assert "influence_same_0" in kept
+
+    # mismatched stamp (or a legacy dict with no stamp): stripped with warning
+    for bad in (dict(data), {k: v for k, v in data.items() if k != "influence_sig"}):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            verify_influence(bad, cfg_b)
+        assert "influence_same_0" not in bad
+        assert "influence_sig" not in bad
+        assert "points_0" in bad
+        assert len(w) == 1
+
+    # no influence keys at all: no-op, no warning
+    clean = {"points_0": data["points_0"]}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        verify_influence(clean, cfg_b)
+    assert not w
+
+
 def test_conv_kfirst_config_matches_default():
     """KPConvInterSO3 with EPNConfig.wf_kfirst == the default kernel order."""
     from se3et_tpu.data.datasets import SyntheticPairDataset
