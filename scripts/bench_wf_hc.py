@@ -137,7 +137,7 @@ def main():
           flush=True)
     for hc in hcs:
         for mp in mps:
-            def max_fn(local, win, hc=hc, mp=mp):
+            def max_fn(local, win, hc=hc or 8, mp=mp):
                 return wc.windowed_max_pool(local, win, nq1, hc=hc, mp=mp)
             tag = f"  maxpool hc={hc} mp={mp or 'auto'}"
             try:

@@ -23,7 +23,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=300)
     parser.add_argument("--train_pairs", type=int, default=64)
-    parser.add_argument("--val_pairs", type=int, default=12)
+    parser.add_argument("--val_pairs", type=int, default=48)
+    parser.add_argument("--ambiguity_threshold", type=float, default=0.55,
+                        help="symmetry-chamfer ratio below which a val pair "
+                        "is tagged rotation-ambiguous (generator scores run "
+                        "0.46-1.0; the low cluster ~0.5 is planes/blobs)")
     parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--num_points", type=int, default=2500)
     parser.add_argument("--seed", type=int, default=0)
@@ -109,6 +113,54 @@ def main():
     _build_and_run(args, pcfg, mcfg, lcfg, ecfg)
 
 
+def _wilson_ci(successes: int, n: int, z: float = 1.96):
+    """Wilson score interval for a binomial proportion (the right small-n
+    interval: 0.42 on 12 pairs reads as [0.19, 0.68] — i.e. says nothing,
+    which is the point of reporting it)."""
+    if n == 0:
+        return 0.0, 0.0, 1.0
+    p = successes / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    return p, max(0.0, center - half), min(1.0, center + half)
+
+
+def _rotation_ambiguity(points: np.ndarray, n_sub: int = 768) -> float:
+    """Near-symmetry score of a cloud: min over candidate symmetry rotations
+    (180 deg about each principal axis, +-90 deg about the dominant axis) of
+    the symmetric chamfer distance, normalized by the chamfer under a fixed
+    generic rotation.  ~0 = the scene looks the same after a flip (LGR can
+    converge to a wrong-but-consistent pose); ~1 = no such symmetry.
+
+    The synthetic generator produces planes/blobs with near-symmetries; RR on
+    those pairs measures pose-disambiguation luck, not matching quality
+    (BENCH.md round-3 production run: bimodal RRE, aligned ~5-15 deg vs
+    flipped ~90-180).  Tagging lets RR be reported on both subsets.
+    """
+    rng = np.random.RandomState(0)
+    pts = points - points.mean(axis=0, keepdims=True)
+    if len(pts) > n_sub:
+        pts = pts[rng.choice(len(pts), n_sub, replace=False)]
+
+    def rot(axis, ang):
+        axis = axis / (np.linalg.norm(axis) + 1e-12)
+        kx, ky, kz = axis
+        km = np.array([[0, -kz, ky], [kz, 0, -kx], [-ky, kx, 0]])
+        return np.eye(3) + np.sin(ang) * km + (1 - np.cos(ang)) * km @ km
+
+    def chamfer(a, b):
+        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        return 0.5 * (np.sqrt(d2.min(1)).mean() + np.sqrt(d2.min(0)).mean())
+
+    evals, evecs = np.linalg.eigh(pts.T @ pts)
+    cands = [rot(evecs[:, i], np.pi) for i in range(3)]
+    cands += [rot(evecs[:, 2], np.pi / 2), rot(evecs[:, 2], -np.pi / 2)]
+    sym = min(chamfer(pts @ r.T, pts) for r in cands)
+    generic = chamfer(pts @ rot(np.array([1.0, 0.7, 0.3]), 2.0).T, pts)
+    return float(sym / (generic + 1e-12))
+
+
 def _build_and_run(args, pcfg, mcfg, lcfg, ecfg):
     import jax
     import jax.numpy as jnp
@@ -156,10 +208,44 @@ def _build_and_run(args, pcfg, mcfg, lcfg, ecfg):
         out = model.apply(p, d, train=False, with_registration=True)
         return loss_lib.evaluate(out, d, ecfg)
 
+    # symmetry-ambiguity tags (geometry-only, computed once per val pair)
+    ambiguity = np.array([
+        _rotation_ambiguity(val_ds[i]["ref_points"])
+        for i in range(len(val_ds))
+    ])
+    amb_mask = ambiguity < args.ambiguity_threshold
+    print(
+        f"val ambiguity: {int(amb_mask.sum())}/{len(amb_mask)} pairs tagged "
+        f"near-symmetric (scores {np.round(ambiguity, 2).tolist()})",
+        flush=True,
+    )
+
     def validate(p):
         ms = [val_step(p, d) for d in val_data]
         keys = ms[0].keys()
-        return {k: float(np.mean([float(m[k]) for m in ms])) for k in keys}
+        out = {k: float(np.mean([float(m[k]) for m in ms])) for k in keys}
+        rr = np.array([float(m["RR"]) for m in ms])
+        n = len(rr)
+        p_all, lo, hi = _wilson_ci(int(rr.sum()), n)
+        out["RR_ci_lo"], out["RR_ci_hi"] = lo, hi
+        clear = ~amb_mask
+        if clear.any():
+            p_c, lo_c, hi_c = _wilson_ci(int(rr[clear].sum()), int(clear.sum()))
+            out["RR_unambiguous"] = p_c
+            out["RR_unambiguous_ci_lo"], out["RR_unambiguous_ci_hi"] = lo_c, hi_c
+        if amb_mask.any():
+            out["RR_ambiguous"] = float(rr[amb_mask].mean())
+        print(
+            f"  RR {p_all:.3f} [{lo:.3f}, {hi:.3f}] (n={n})"
+            + (
+                f"; unambiguous {out['RR_unambiguous']:.3f} "
+                f"[{out['RR_unambiguous_ci_lo']:.3f}, "
+                f"{out['RR_unambiguous_ci_hi']:.3f}] (n={int(clear.sum())})"
+                if clear.any() else ""
+            ),
+            flush=True,
+        )
+        return out
 
     before = validate(params)
     print("before training:", {k: round(v, 4) for k, v in before.items()}, flush=True)

@@ -71,6 +71,56 @@ def _repulsion_optimize(
     return (pts * scale).astype(np.float32)
 
 
+def _spherical_lloyd(
+    num_cells: int,
+    dimension: int = 3,
+    fixed: str = "center",
+    approx_n: int = 20000,
+    max_iter: int = 120,
+    momentum: float = 0.9,
+    seed: int = 42,
+) -> np.ndarray:
+    """Monte-Carlo Lloyd relaxation of kernel points in the unit ball.
+
+    Deterministic mirror of the reference's ``spherical_Lloyd``
+    (``kernel_points.py:62-180``), which the loader switches to for
+    ``num_kpoints > 30`` (``kernel_points.py:397-398``): sample the ball
+    uniformly, assign samples to the nearest kernel point, move each point to
+    its Voronoi cell's centroid with momentum smoothing.  Output at unit
+    scale — the loader multiplies by ``radius`` directly (the 0.66 ratio
+    applies only to the repulsion family).
+    """
+    rng = np.random.RandomState(seed)
+
+    def ball_samples(n):
+        pts = rng.randn(n, dimension)
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        return pts * rng.rand(n, 1) ** (1.0 / dimension)
+
+    pts = ball_samples(num_cells)
+    if fixed in ("center", "verticals"):
+        pts[0] = 0.0
+    if fixed == "verticals":
+        pts[:3, :-1] = 0.0
+        pts[1, -1] = 0.5
+        pts[2, -1] = -0.5
+    vel = np.zeros_like(pts)
+    n_fixed = {"none": 0, "center": 1, "verticals": 3}[fixed]
+    for _ in range(max_iter):
+        samples = ball_samples(approx_n)
+        d2 = ((samples[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(axis=1)
+        counts = np.bincount(assign, minlength=num_cells)[:, None]
+        sums = np.zeros_like(pts)
+        np.add.at(sums, assign, samples)
+        centroids = np.where(counts > 0, sums / np.maximum(counts, 1), pts)
+        vel = momentum * vel + (1.0 - momentum) * (centroids - pts)
+        if n_fixed:
+            vel[:n_fixed] = 0.0
+        pts = pts + vel
+    return pts.astype(np.float32)
+
+
 def load_kernels(
     radius: float,
     num_kpoints: int,
@@ -78,19 +128,30 @@ def load_kernels(
     fixed: str = "center",
     equiv_mode: bool = False,
     seed: int | None = None,
+    lloyd: bool = False,
 ) -> np.ndarray:
     """Kernel disposition scaled to ``radius`` (invariant KPConv path).
 
     With ``equiv_mode=False`` a small random rotation + jitter is applied, as in
     the reference loader (``kernel_points.py:426-455``) — pass a ``seed`` for
-    determinism (the engine threads the experiment seed through).
+    determinism (the engine threads the experiment seed through).  Kernels
+    with more than 30 points switch to the Lloyd generator, mirroring the
+    reference (``kernel_points.py:397-398``).
     """
+    if num_kpoints > 30:
+        lloyd = True
     os.makedirs(_CACHE_DIR, exist_ok=True)
-    cache = os.path.join(_CACHE_DIR, f"k_{num_kpoints:03d}_{fixed}_{dimension}D.npy")
+    tag = "lloyd_" if lloyd else ""
+    cache = os.path.join(
+        _CACHE_DIR, f"k_{tag}{num_kpoints:03d}_{fixed}_{dimension}D.npy"
+    )
     if os.path.exists(cache):
         pts = np.load(cache)
     else:
-        pts = _repulsion_optimize(num_kpoints, dimension, fixed)
+        if lloyd:
+            pts = _spherical_lloyd(num_kpoints, dimension, fixed)
+        else:
+            pts = _repulsion_optimize(num_kpoints, dimension, fixed)
         np.save(cache, pts)
 
     if not equiv_mode:

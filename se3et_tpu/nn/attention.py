@@ -655,6 +655,140 @@ class TransformerLayer(nn.Module):
         return AttentionOutput(self.d_model, self.activation_fn)(hidden), aux
 
 
+class PEMultiHeadAttention(nn.Module):
+    """Additive-positional-embedding attention (``pe_transformer.py:15-76``):
+    a shared projection ``proj_p`` adds the embedding into both query and key
+    before the standard scaled dot-product.  ``key_masks``: True = valid."""
+
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, input_q, input_k, input_v, embed_q, embed_k,
+                 key_masks=None):
+        h = self.num_heads
+        proj_p = TorchLinear(self.d_model, name="proj_p")
+        q = _split_heads(TorchLinear(self.d_model)(input_q) + proj_p(embed_q), h)
+        k = _split_heads(TorchLinear(self.d_model)(input_k) + proj_p(embed_k), h)
+        v = _split_heads(TorchLinear(self.d_model)(input_v), h)
+        dh = self.d_model // h
+        scores = jnp.einsum(
+            "bhnc,bhmc->bhnm", q, k, precision=prec.feature()
+        ) / np.sqrt(dh)
+        if key_masks is not None:
+            scores = jnp.where(key_masks[:, None, None, :], scores, _NEG)
+        scores = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+        hidden = jnp.einsum("bhnm,bhmc->bhnc", scores, v, precision=prec.feature())
+        return _merge_heads(hidden), {"scores": scores}
+
+
+class PEAttentionLayer(nn.Module):
+    """PE attention + linear + LN residual (``pe_transformer.py:79-107``)."""
+
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, input_states, memory_states, input_embeddings,
+                 memory_embeddings, memory_masks=None):
+        hidden, aux = PEMultiHeadAttention(self.d_model, self.num_heads)(
+            input_states, memory_states, memory_states, input_embeddings,
+            memory_embeddings, key_masks=memory_masks,
+        )
+        hidden = TorchLinear(self.d_model)(hidden)
+        return LayerNorm()(hidden + input_states), aux
+
+
+class PETransformerLayer(nn.Module):
+    """PE attention layer + FFN (``pe_transformer.py:108-132``)."""
+
+    d_model: int
+    num_heads: int
+    activation_fn: str = "ReLU"
+
+    @nn.compact
+    def __call__(self, input_states, memory_states, input_embeddings,
+                 memory_embeddings, memory_masks=None):
+        hidden, aux = PEAttentionLayer(self.d_model, self.num_heads)(
+            input_states, memory_states, input_embeddings, memory_embeddings,
+            memory_masks,
+        )
+        return AttentionOutput(self.d_model, self.activation_fn)(hidden), aux
+
+
+class LRPEMultiHeadAttention(nn.Module):
+    """Learnable relative positional embedding attention
+    (``lrpe_transformer.py:20-105``): a learned bank of ``num_embeddings``
+    position vectors scores against the query, gathered per pair by integer
+    relative-position indices.  ``key_masks``: True = valid."""
+
+    d_model: int
+    num_heads: int
+    num_embeddings: int
+
+    @nn.compact
+    def __call__(self, input_q, input_k, input_v, emb_indices_qk,
+                 key_masks=None):
+        h = self.num_heads
+        dh = self.d_model // h
+        q = _split_heads(TorchLinear(self.d_model)(input_q), h)  # (B, H, N, c)
+        k = _split_heads(TorchLinear(self.d_model)(input_k), h)
+        v = _split_heads(TorchLinear(self.d_model)(input_v), h)
+        bank = self.param(
+            "embedding", nn.initializers.normal(1.0),
+            (self.num_embeddings, self.d_model),
+        ).reshape(self.num_embeddings, h, dh)
+        # (B, H, N, P) scores against the whole bank, then gather per (n, m)
+        sp_all = jnp.einsum("bhnc,phc->bhnp", q, bank, precision=prec.feature())
+        idx = jnp.broadcast_to(
+            emb_indices_qk[:, None],
+            (q.shape[0], h) + emb_indices_qk.shape[1:],
+        )
+        sp = jnp.take_along_axis(sp_all, idx, axis=-1)  # (B, H, N, M)
+        se = jnp.einsum("bhnc,bhmc->bhnm", q, k, precision=prec.feature())
+        scores = (se + sp) / np.sqrt(dh)
+        if key_masks is not None:
+            scores = jnp.where(key_masks[:, None, None, :], scores, _NEG)
+        scores = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+        hidden = jnp.einsum("bhnm,bhmc->bhnc", scores, v, precision=prec.feature())
+        return _merge_heads(hidden), {"scores": scores}
+
+
+class LRPEAttentionLayer(nn.Module):
+    """LRPE attention + linear + LN residual (``lrpe_transformer.py:108-124``)."""
+
+    d_model: int
+    num_heads: int
+    num_embeddings: int
+
+    @nn.compact
+    def __call__(self, input_states, memory_states, position_states,
+                 memory_masks=None):
+        hidden, aux = LRPEMultiHeadAttention(
+            self.d_model, self.num_heads, self.num_embeddings
+        )(input_states, memory_states, memory_states, position_states,
+          key_masks=memory_masks)
+        hidden = TorchLinear(self.d_model)(hidden)
+        return LayerNorm()(hidden + input_states), aux
+
+
+class LRPETransformerLayer(nn.Module):
+    """LRPE attention layer + FFN (``lrpe_transformer.py:126-148``)."""
+
+    d_model: int
+    num_heads: int
+    num_embeddings: int
+    activation_fn: str = "ReLU"
+
+    @nn.compact
+    def __call__(self, input_states, memory_states, position_states,
+                 memory_masks=None):
+        hidden, aux = LRPEAttentionLayer(
+            self.d_model, self.num_heads, self.num_embeddings
+        )(input_states, memory_states, position_states, memory_masks)
+        return AttentionOutput(self.d_model, self.activation_fn)(hidden), aux
+
+
 class RPEAttentionLayer(nn.Module):
     """RPE attention + linear + LN residual (``rpe_transformer.py:134-165``)."""
 

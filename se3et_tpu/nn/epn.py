@@ -69,8 +69,14 @@ class EPNConfig:
     aggregation_mode: str = "sum"
     # windowed-conv contraction order: K-first scatters influence into the
     # window axis before the gather matmul — MP*K rows instead of MP*HC on
-    # the dominant matmul (ops/pallas/windowed_conv._wf_kernel_kfirst)
+    # the dominant matmul (ops/pallas/windowed_conv._wf_kernel_kfirst).
+    # ``wf_kfirst`` forces it everywhere; ``wf_kfirst_min_ac`` auto-enables
+    # it per conv when the gathered channel width A*Cin reaches the
+    # threshold — the round-4 chip A/B (scripts/bench_wf_hc.py) showed
+    # kfirst wins only on wide sets (AC=384: 4.80->4.65 ms, AC=768:
+    # 3.15->2.64) and loses on narrow ones (AC=192: 5.81->6.22); 0 = never.
     wf_kfirst: bool = False
+    wf_kfirst_min_ac: int = 384
 
     @property
     def space(self) -> anchor_lib.AnchorSpace:
@@ -249,8 +255,11 @@ class KPConvInterSO3(nn.Module):
             win = wc.segment_window_gather(
                 x.reshape(x.shape[0], num_s, a_dim * cin), seg_idx
             )
+            kfirst = cfg.wf_kfirst or (
+                0 < cfg.wf_kfirst_min_ac <= a_dim * cin
+            )
             wf_flat = wc.windowed_gather_wf_trainable(
-                local, w, win, cfg.wf_kfirst,
+                local, w, win, kfirst,
                 jax.default_backend() != "tpu",
             )  # (B, Nq, K*A*Cin), already weight-matmul-ready
             # (custom VJP: training differentiates through the fused kernel —

@@ -36,6 +36,8 @@ import numpy as np
 
 from se3et_tpu.core import anchors as anchor_lib
 from se3et_tpu.nn.attention import (
+    LRPETransformerLayer,
+    PETransformerLayer,
     RotCompressOutput,
     RPETransformerLayer,
     TransformerLayer,
@@ -297,6 +299,117 @@ class RPEConditionalTransformer(nn.Module):
             feats0 = jnp.max(feats0, axis=1)
             feats1 = jnp.max(feats1, axis=1)
         return feats0, feats1, ref_feat_m, src_feat_m, attn_matrix0, attn_matrix1
+
+
+class VanillaConditionalTransformer(nn.Module):
+    """Plain self/cross block scheduler with no positional information
+    (``conditional_transformer.py:33-58``).  Unused by the 18 shipped
+    experiments (all use RPE) — provided for reference-surface parity.
+    Masks: True = valid."""
+
+    blocks: Sequence[str]
+    d_model: int
+    num_heads: int
+    activation_fn: str = "ReLU"
+    return_attention_scores: bool = False
+
+    @nn.compact
+    def __call__(self, feats0, feats1, masks0=None, masks1=None):
+        scores = []
+        for block in self.blocks:
+            layer = TransformerLayer(
+                self.d_model, self.num_heads, activation_fn=self.activation_fn
+            )
+            if block == "self":
+                feats0, aux0 = layer(feats0, feats0, memory_masks=masks0)
+                feats1, aux1 = layer(feats1, feats1, memory_masks=masks1)
+            else:
+                feats0, aux0 = layer(feats0, feats1, memory_masks=masks1)
+                feats1, aux1 = layer(feats1, feats0, memory_masks=masks0)
+            if self.return_attention_scores:
+                scores.append([aux0["scores"], aux1["scores"]])
+        if self.return_attention_scores:
+            return feats0, feats1, scores
+        return feats0, feats1
+
+
+class PEConditionalTransformer(nn.Module):
+    """Additive-positional-embedding scheduler: PE layers for ``self``
+    blocks, vanilla layers for ``cross`` (``conditional_transformer.py:
+    61-95``).  Masks: True = valid."""
+
+    blocks: Sequence[str]
+    d_model: int
+    num_heads: int
+    activation_fn: str = "ReLU"
+    return_attention_scores: bool = False
+
+    @nn.compact
+    def __call__(self, feats0, feats1, embeddings0, embeddings1, masks0=None,
+                 masks1=None):
+        scores = []
+        for block in self.blocks:
+            if block == "self":
+                layer = PETransformerLayer(
+                    self.d_model, self.num_heads,
+                    activation_fn=self.activation_fn,
+                )
+                feats0, aux0 = layer(
+                    feats0, feats0, embeddings0, embeddings0, masks0
+                )
+                feats1, aux1 = layer(
+                    feats1, feats1, embeddings1, embeddings1, masks1
+                )
+            else:
+                layer = TransformerLayer(
+                    self.d_model, self.num_heads,
+                    activation_fn=self.activation_fn,
+                )
+                feats0, aux0 = layer(feats0, feats1, memory_masks=masks1)
+                feats1, aux1 = layer(feats1, feats0, memory_masks=masks0)
+            if self.return_attention_scores:
+                scores.append([aux0["scores"], aux1["scores"]])
+        if self.return_attention_scores:
+            return feats0, feats1, scores
+        return feats0, feats1
+
+
+class LRPEConditionalTransformer(nn.Module):
+    """Learnable-relative-positional-embedding scheduler: LRPE layers for
+    ``self`` blocks over integer relative-position indices
+    (``conditional_transformer.py:393-441``).  Masks: True = valid."""
+
+    blocks: Sequence[str]
+    d_model: int
+    num_heads: int
+    num_embeddings: int
+    activation_fn: str = "ReLU"
+    return_attention_scores: bool = False
+
+    @nn.compact
+    def __call__(self, feats0, feats1, emb_indices0, emb_indices1,
+                 masks0=None, masks1=None):
+        scores = []
+        for block in self.blocks:
+            if block == "self":
+                layer = LRPETransformerLayer(
+                    self.d_model, self.num_heads, self.num_embeddings,
+                    activation_fn=self.activation_fn,
+                )
+                feats0, aux0 = layer(feats0, feats0, emb_indices0, masks0)
+                feats1, aux1 = layer(feats1, feats1, emb_indices1, masks1)
+            else:
+                layer = TransformerLayer(
+                    self.d_model, self.num_heads,
+                    activation_fn=self.activation_fn,
+                )
+                feats0, aux0 = layer(feats0, feats1, memory_masks=masks1)
+                feats1, aux1 = layer(feats1, feats0, memory_masks=masks0)
+            if self.return_attention_scores:
+                scores.append([aux0["scores"], aux1["scores"]])
+        if self.return_attention_scores:
+            return feats0, feats1, scores
+        return feats0, feats1
 
 
 class GeometricTransformer(nn.Module):

@@ -113,6 +113,23 @@ def test_invariant_kernel_disposition():
     assert d.min() > 0.3
 
 
+def test_lloyd_kernel_disposition():
+    """>30 kernel points switch to the Lloyd generator (reference
+    ``kernel_points.py:397-398``): centroidal cells in the unit ball."""
+    kp = KP.load_kernels(1.0, 45, fixed="center", equiv_mode=True)
+    assert kp.shape == (45, 3)
+    assert np.linalg.norm(kp[0]) < 1e-5
+    r = np.linalg.norm(kp[1:], axis=1)
+    # Lloyd cells fill the ball (no 0.66 ratio — the reference scales Lloyd
+    # output by radius directly)
+    assert r.max() < 1.0 and r.mean() > 0.5
+    d = np.linalg.norm(kp[:, None] - kp[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    assert d.min() > 0.25  # well-separated Voronoi centers
+    kpv = KP.load_kernels(1.0, 45, fixed="verticals", equiv_mode=True)
+    assert np.abs(kpv[:3, :2]).max() < 1e-6  # fixed vertical rows held
+
+
 def test_label_relative_rotation():
     sp = A.get_anchor_space(6, 4)
     rots = sp.rotations.astype(np.float64)

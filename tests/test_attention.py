@@ -341,3 +341,50 @@ def test_transformer_flash_self_grads_match_xla():
     scale = float(jnp.max(jnp.abs(flat_r))) + 1e-9
     np.testing.assert_allclose(np.asarray(flat_n), np.asarray(flat_r),
                                rtol=5e-3, atol=2e-3 * scale)
+
+
+def test_conditional_transformer_alternates():
+    """Vanilla/PE/LRPE conditional transformers (reference
+    ``conditional_transformer.py:33-95,393-441``): shapes, finiteness,
+    mask handling, and cross-block weight sharing between clouds."""
+    from se3et_tpu.nn.transformer import (
+        LRPEConditionalTransformer,
+        PEConditionalTransformer,
+        VanillaConditionalTransformer,
+    )
+
+    rng = np.random.RandomState(0)
+    b, n, m, c = 2, 24, 20, 32
+    f0 = jnp.asarray(rng.randn(b, n, c), jnp.float32)
+    f1 = jnp.asarray(rng.randn(b, m, c), jnp.float32)
+    m0 = jnp.asarray(np.arange(n)[None, :] < np.array([[n], [n - 4]]))
+    m1 = jnp.asarray(np.arange(m)[None, :] < np.array([[m - 2], [m]]))
+    blocks = ("self", "cross", "self", "cross")
+
+    v = VanillaConditionalTransformer(blocks, c, 4, return_attention_scores=True)
+    params = v.init(jax.random.PRNGKey(0), f0, f1, m0, m1)
+    o0, o1, scores = v.apply(params, f0, f1, m0, m1)
+    assert o0.shape == (b, n, c) and o1.shape == (b, m, c)
+    assert len(scores) == len(blocks)
+    assert np.isfinite(np.asarray(o0)).all() and np.isfinite(np.asarray(o1)).all()
+    # masked keys receive zero attention
+    s_cross0 = np.asarray(scores[1][0])  # feats0 attending feats1 keys
+    assert s_cross0[0, :, :, m - 2:].max() < 1e-6
+
+    e0 = jnp.asarray(rng.randn(b, n, c), jnp.float32)
+    e1 = jnp.asarray(rng.randn(b, m, c), jnp.float32)
+    pe = PEConditionalTransformer(blocks, c, 4)
+    params = pe.init(jax.random.PRNGKey(1), f0, f1, e0, e1, m0, m1)
+    o0, o1 = pe.apply(params, f0, f1, e0, e1, m0, m1)
+    assert o0.shape == (b, n, c) and np.isfinite(np.asarray(o0)).all()
+    # the PE projection is shared between q and k within a self layer
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    pp = [p for p, _ in flat if any("proj_p" in str(k) for k in p)]
+    assert pp, "shared proj_p parameter missing"
+
+    idx0 = jnp.asarray(rng.randint(0, 10, (b, n, n)), jnp.int32)
+    idx1 = jnp.asarray(rng.randint(0, 10, (b, m, m)), jnp.int32)
+    lr = LRPEConditionalTransformer(blocks, c, 4, num_embeddings=10)
+    params = lr.init(jax.random.PRNGKey(2), f0, f1, idx0, idx1, m0, m1)
+    o0, o1 = lr.apply(params, f0, f1, idx0, idx1, m0, m1)
+    assert o0.shape == (b, n, c) and np.isfinite(np.asarray(o0)).all()
