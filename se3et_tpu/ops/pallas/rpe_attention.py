@@ -51,36 +51,39 @@ def _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref, pm_ref,
         q_ref[0], k_ref[0], (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    # positional scores, batched over query rows: (bn, AH, bm) -> transpose
+    # positional scores, batched over query rows: (bn, AH, bm)
     sp = jax.lax.dot_general(
         qp_ref[0], emb_ref[0], (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    s = s + jnp.transpose(sp, (1, 0, 2))
 
     sh = None
     if with_eq:
         # degree-1 SH term from raw coordinates (degree-0 is row-constant ->
         # softmax no-op, dropped).  diff = p_n - p_m; sh1 = c1*(dy,dz,dx)/r.
-        # pn/qw arrive n-blocked — (b, nb, 4, bn) / (b, nb, 3, ah, bn) — so
-        # their block's last dim equals the full array dim (Mosaic's block
-        # rule: last dim divisible by 128 OR equal to the array dim; a
-        # 64-wide slice of a 1024 dim fails to lower).
+        # pn/qw arrive n-blocked — (b, nb, 4, bn) / (b, nb, bn, 3, ah) — so
+        # their block's last dims equal the full array dims (Mosaic's block
+        # rule).  The qw contraction is ONE 3-wide batched dot_general over
+        # the component axis: the per-component (AH, bn, 1) broadcast
+        # formulation crashed the Mosaic compile helper (lane-dim-1 inserts
+        # with double broadcasts).
         dx = pn_ref[0, 0, 0][:, None] - pm_ref[0, 0][None, :]  # (bn, bm)
         dy = pn_ref[0, 0, 1][:, None] - pm_ref[0, 1][None, :]
         dz = pn_ref[0, 0, 2][:, None] - pm_ref[0, 2][None, :]
         r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
         rinv = _SH1_C / (r + 1e-12)
-        qy = qw_ref[0, 0, 0]  # (AH, bn)
-        qz = qw_ref[0, 0, 1]
-        qx = qw_ref[0, 0, 2]
-        sh = (rinv * dy, rinv * dz, rinv * dx)
-        s = s + (
-            qy[:, :, None] * sh[0][None] + qz[:, :, None] * sh[1][None]
-            + qx[:, :, None] * sh[2][None]
+        # component order (y, z, x) matches fold_equivariant_query rows
+        sh = jnp.concatenate(
+            [(rinv * dy)[:, None, :], (rinv * dz)[:, None, :],
+             (rinv * dx)[:, None, :]], axis=1,
+        )  # (bn, 3, bm)
+        # (bn, 3, ah) x (bn, 3, bm) -> (bn, ah, bm), batched over n
+        sp = sp + jax.lax.dot_general(
+            qw_ref[0, 0], sh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
 
-    s = s * scale
+    s = (s + jnp.transpose(sp, (1, 0, 2))) * scale
     s = jnp.where(kmask[None, None, :] > 0, s, _NEG)
     return s, sh
 
@@ -158,7 +161,7 @@ def _rpe_fwd(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
     # the array dim (Mosaic block rule; a block_n-wide slice of the n axis
     # only lowers when block_n % 128 == 0).  The key-side (b, 4, n) layout
     # stays as-is: block_m tiles of n are 128-aligned by construction.
-    qw_b = qw.reshape(b, 3, ah, nb, block_n).transpose(0, 3, 1, 2, 4)
+    qw_b = qw.reshape(b, 3, ah, nb, block_n).transpose(0, 3, 4, 1, 2)
     pn_b = points.reshape(b, 4, nb, block_n).transpose(0, 2, 1, 3)
 
     out, mx, sm = pl.pallas_call(
@@ -175,7 +178,7 @@ def _rpe_fwd(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
             pl.BlockSpec((1, block_n, block_m, cc),
                          lambda bi, i, j: (bi, i, j, 0)),
             pl.BlockSpec((1, block_m), lambda bi, i, j: (bi, j)),
-            pl.BlockSpec((1, 1, 3, ah, block_n),
+            pl.BlockSpec((1, 1, block_n, 3, ah),
                          lambda bi, i, j: (bi, i, 0, 0, 0)),
             pl.BlockSpec((1, 1, 4, block_n), lambda bi, i, j: (bi, i, 0, 0)),
             pl.BlockSpec((1, 4, block_m), lambda bi, i, j: (bi, 0, j)),
@@ -289,9 +292,13 @@ def _bwd_q_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
         preferred_element_type=jnp.float32,
     )).astype(demb_ref.dtype)
     if with_eq:
-        # dqw[d, ah, n] += scale * sum_m dS * (rinv * d{y,z,x})[n, m]
-        for d in range(3):
-            dqw_ref[0, 0, d] += scale * jnp.sum(ds * sh[d][None], axis=2)
+        # dqw[n, d, ah] += scale * sum_m sh[n, d, m] dS[n, ah, m] — one
+        # batched dot_general in the blocked (bn, 3, ah) layout (ds_n is
+        # already (bn, AH, bm) for the dqp/demb terms)
+        dqw_ref[0, 0] += scale * jax.lax.dot_general(
+            sh, ds_n, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
 
 
 @functools.partial(
@@ -310,7 +317,7 @@ def _rpe_bwd(q, k, v, qp, emb, km, qw, points, d_out, out, mx, sm, *,
     def _nblock(x):  # (b, ah, n) -> (b, nb, ah, block_n)
         return x.reshape(b, ah, nb, block_n).transpose(0, 2, 1, 3)
 
-    qw_b = qw.reshape(b, 3, ah, nb, block_n).transpose(0, 3, 1, 2, 4)
+    qw_b = qw.reshape(b, 3, ah, nb, block_n).transpose(0, 3, 4, 1, 2)
     pn_b = points.reshape(b, 4, nb, block_n).transpose(0, 2, 1, 3)
     mx_b, sm_b, dd_b = _nblock(mx), _nblock(sm), _nblock(dd)
 
@@ -322,7 +329,7 @@ def _rpe_bwd(q, k, v, qp, emb, km, qw, points, d_out, out, mx, sm, *,
         pl.BlockSpec((1, block_n, block_m, cc),
                      lambda bi, i, j: (bi, i, j, 0)),
         pl.BlockSpec((1, block_m), lambda bi, i, j: (bi, j)),
-        pl.BlockSpec((1, 1, 3, ah, block_n),
+        pl.BlockSpec((1, 1, block_n, 3, ah),
                      lambda bi, i, j: (bi, i, 0, 0, 0)),
         pl.BlockSpec((1, 1, 4, block_n), lambda bi, i, j: (bi, i, 0, 0)),
         pl.BlockSpec((1, 4, block_m), lambda bi, i, j: (bi, 0, j)),
@@ -371,18 +378,18 @@ def _rpe_bwd(q, k, v, qp, emb, km, qw, points, d_out, out, mx, sm, *,
             pl.BlockSpec((1, block_n, ah, cc), lambda bi, i, j: (bi, i, 0, 0)),
             pl.BlockSpec((1, block_n, block_m, cc),
                          lambda bi, i, j: (bi, i, j, 0)),
-            pl.BlockSpec((1, 1, 3, ah, block_n),
+            pl.BlockSpec((1, 1, block_n, 3, ah),
                          lambda bi, i, j: (bi, i, 0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, ah, n, c), jnp.float32),
             jax.ShapeDtypeStruct((b, n, ah, cc), jnp.float32),
             jax.ShapeDtypeStruct((b, n, n, cc), emb.dtype),
-            jax.ShapeDtypeStruct((b, nb, 3, ah, block_n), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, block_n, 3, ah), jnp.float32),
         ],
         interpret=interpret,
     )(*args)
-    dqw = dqw.transpose(0, 2, 3, 1, 4).reshape(b, 3, ah, n)
+    dqw = dqw.transpose(0, 3, 4, 1, 2).reshape(b, 3, ah, n)
     return dq, dk, dv, dqp, demb, dqw
 
 
