@@ -52,6 +52,17 @@ def main():
                                       qp[:, :, :4], emb, km,
                                       scale=0.125, block_m=128))
 
+    def _rpe_bwd_eq():
+        out, mx, sm = fr._rpe_fwd(q, q, q, qp, emb, km, qw, pts, scale=0.125,
+                                  block_m=128)
+        return fr._rpe_bwd(q, q, q, qp, emb,
+                           km.astype(jnp.float32), qw, pts,
+                           jnp.ones_like(out), out, mx, sm, scale=0.125,
+                           block_n=64, block_m=128, interpret=False,
+                           with_eq=True)
+
+    run("flash RPE eq bwd", _rpe_bwd_eq)
+
     # kfirst conv + backward kernels at a stage-1-like shape
     from se3et_tpu.ops.pallas import windowed_conv as wc
 

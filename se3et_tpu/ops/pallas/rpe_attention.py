@@ -40,10 +40,28 @@ _NEG = -1e9
 _SH1_C = float(np.sqrt(3.0 / (4.0 * np.pi)))
 
 
-def _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref, pm_ref,
+def _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, gn_ref, gm_ref,
             *, scale, with_eq):
-    """Masked scaled score tile (AH, bn, bm) + the (rinv*d{y,z,x}) SH factors
-    (shared by forward, backward recompute, and the dqw reduction)."""
+    """Masked scaled score tile (AH, bn, bm) + the diag-zeroed ``rinv``
+    factor (shared by forward, backward recompute, and the dqw reduction).
+
+    The degree-1 SH term is evaluated as two plain MXU matmuls against
+    precomputed geometry-row tensors (see :func:`_fold_geom`):
+
+    * ``r^2 = gn^T @ gm[8:16]`` — the ``|pn|^2 + |pm|^2 - 2 pn.pm``
+      expansion; no pairwise-difference broadcasts.
+    * ``qw.(pn - pm) = qw8 @ gm[0:8]`` — the per-query ``qw.pn`` constant is
+      folded into ``qw8`` column 0 outside the kernel, so the pairwise
+      numerator is one ``(AH*bn, 8) @ (8, bm)`` contraction.
+
+    The earlier per-component broadcast AND n-batched 3-wide dot_general
+    formulations both crashed the Mosaic compile helper on real TPU
+    (opaque subprocess exit 1); every pattern used here is probe-validated
+    by ``scripts/mosaic_probe.py``.  The diagonal is zeroed explicitly via
+    the index rows (``gn[5]`` / ``gm[5]``): the expansion cannot reproduce
+    the XLA path's exact 0/eps = 0 at r=0 (``core/harmonics.real_sh``), and
+    a catastrophically cancelled r^2 ~ 0 there would blow up ``rinv``.
+    """
     kmask = km_ref[0]  # (bm,) f32 0/1
 
     # content scores, batched over anchor-heads: (AH, bn, bm)
@@ -56,40 +74,73 @@ def _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref, pm_ref,
         qp_ref[0], emb_ref[0], (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
+    s = s + jnp.transpose(sp, (1, 0, 2))
 
-    sh = None
+    rinvk = None
     if with_eq:
-        # degree-1 SH term from raw coordinates (degree-0 is row-constant ->
-        # softmax no-op, dropped).  diff = p_n - p_m; sh1 = c1*(dy,dz,dx)/r.
-        # pn/qw arrive n-blocked — (b, nb, 4, bn) / (b, nb, bn, 3, ah) — so
-        # their block's last dims equal the full array dims (Mosaic's block
-        # rule).  The qw contraction is ONE 3-wide batched dot_general over
-        # the component axis: the per-component (AH, bn, 1) broadcast
-        # formulation crashed the Mosaic compile helper (lane-dim-1 inserts
-        # with double broadcasts).
-        dx = pn_ref[0, 0, 0][:, None] - pm_ref[0, 0][None, :]  # (bn, bm)
-        dy = pn_ref[0, 0, 1][:, None] - pm_ref[0, 1][None, :]
-        dz = pn_ref[0, 0, 2][:, None] - pm_ref[0, 2][None, :]
-        r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-        rinv = _SH1_C / (r + 1e-12)
-        # component order (y, z, x) matches fold_equivariant_query rows
-        sh = jnp.concatenate(
-            [(rinv * dy)[:, None, :], (rinv * dz)[:, None, :],
-             (rinv * dx)[:, None, :]], axis=1,
-        )  # (bn, 3, bm)
-        # (bn, 3, ah) x (bn, 3, bm) -> (bn, ah, bm), batched over n
-        sp = sp + jax.lax.dot_general(
-            qw_ref[0, 0], sh, (((1,), (1,)), ((0,), (0,))),
+        gn = gn_ref[0, 0]  # (8, bn)  rows (x, y, z, |p|^2, 1, idx, 0, 0)
+        gm = gm_ref[0]  # (16, bm)  see _fold_geom
+        r2 = jax.lax.dot_general(
+            gn, gm[8:16], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # (bn, bm)
+        rinv = _SH1_C / (jnp.sqrt(jnp.maximum(r2, 0.0)) + 1e-12)
+        didx = gn[5][:, None] - gm[5][None, :]
+        rinvk = jnp.where(didx * didx > 0.25, rinv, 0.0)
+        ah, bn = qw_ref.shape[2], qw_ref.shape[3]
+        pre = jax.lax.dot_general(
+            qw_ref[0, 0].reshape(ah * bn, 8), gm[0:8],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ).reshape(ah, bn, gm.shape[1])
+        s = s + rinvk[None] * pre
 
-    s = (s + jnp.transpose(sp, (1, 0, 2))) * scale
+    s = s * scale
     s = jnp.where(kmask[None, None, :] > 0, s, _NEG)
-    return s, sh
+    return s, rinvk
 
 
-def _kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref,
-            pm_ref, out_ref, mx_ref, sm_ref, acc, rowmax, rowsum,
+def _fold_geom(qw, points, nb, block_n):
+    """Geometry-row tensors for the in-kernel degree-1 SH matmuls.
+
+    qw:     (B, 3, AH, N) — component rows (y, z, x), see
+            :func:`fold_equivariant_query`.
+    points: (B, 4, N) f32 — coordinate rows x, y, z (+ pad).
+    Returns
+      qw8_b: (B, nb, AH, block_n, 8) — cols (qw.p_yzx, qw_y, qw_z, qw_x, 0..)
+      gn_b:  (B, nb, 8, block_n)     — rows (x, y, z, |p|^2, 1, idx, 0, 0)
+      gm:    (B, 16, N)              — rows 0-7 the numerator side
+             (1, -y, -z, -x, 0, idx, 0, 0), rows 8-15 the r^2 side
+             (-2x, -2y, -2z, 1, |p|^2, 0, 0, 0).  The index rows pair with
+             zeros in the contractions (qw8 col 5 / gn row 5 x gm row 13)
+             and exist only for the in-kernel diagonal test.
+    """
+    b, _, ah, n = qw.shape
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]  # (B, N)
+    sq = x * x + y * y + z * z
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    idx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.float32)[None], (b, n)
+    )
+    gn = jnp.stack([x, y, z, sq, one, idx, zero, zero], axis=1)
+    gn_b = gn.reshape(b, 8, nb, block_n).transpose(0, 2, 1, 3)
+    gm = jnp.stack(
+        [one, -y, -z, -x, zero, idx, zero, zero,
+         -2.0 * x, -2.0 * y, -2.0 * z, one, sq, zero, zero, zero],
+        axis=1,
+    )
+    qdot = (qw[:, 0] * y[:, None] + qw[:, 1] * z[:, None]
+            + qw[:, 2] * x[:, None])  # (B, AH, N)
+    zq = jnp.zeros_like(qdot)
+    qw8 = jnp.stack(
+        [qdot, qw[:, 0], qw[:, 1], qw[:, 2], zq, zq, zq, zq], axis=-1
+    )  # (B, AH, N, 8)
+    qw8_b = qw8.reshape(b, ah, nb, block_n, 8).transpose(0, 2, 1, 3, 4)
+    return qw8_b, gn_b, gm
+
+
+def _kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref, gn_ref,
+            gm_ref, out_ref, mx_ref, sm_ref, acc, rowmax, rowsum,
             *, ah, bn, bm, c, scale, with_eq):
     j = pl.program_id(2)
 
@@ -100,8 +151,8 @@ def _kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref,
         rowsum[...] = jnp.zeros_like(rowsum)
 
     kmask = km_ref[0]  # (bm,) f32 0/1
-    s, _ = _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref,
-                   pm_ref, scale=scale, with_eq=with_eq)
+    s, _ = _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, gn_ref,
+                   gm_ref, scale=scale, with_eq=with_eq)
 
     tmax = jnp.max(s, axis=2)  # (AH, bn)
     new_max = jnp.maximum(rowmax[...], tmax)
@@ -157,12 +208,11 @@ def _rpe_fwd(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
 
     km = k_masks.astype(jnp.float32)
     nb, mb = n // block_n, n // block_m
-    # n-block the small per-query tensors so their block's last dim EQUALS
-    # the array dim (Mosaic block rule; a block_n-wide slice of the n axis
-    # only lowers when block_n % 128 == 0).  The key-side (b, 4, n) layout
+    # n-block the small per-query tensors so their block's last dims EQUAL
+    # the array dims (Mosaic block rule; a block_n-wide slice of the n axis
+    # only lowers when block_n % 128 == 0).  The key-side (b, 16, n) layout
     # stays as-is: block_m tiles of n are 128-aligned by construction.
-    qw_b = qw.reshape(b, 3, ah, nb, block_n).transpose(0, 3, 4, 1, 2)
-    pn_b = points.reshape(b, 4, nb, block_n).transpose(0, 2, 1, 3)
+    qw8_b, gn_b, gm = _fold_geom(qw, points, nb, block_n)
 
     out, mx, sm = pl.pallas_call(
         functools.partial(
@@ -178,10 +228,10 @@ def _rpe_fwd(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
             pl.BlockSpec((1, block_n, block_m, cc),
                          lambda bi, i, j: (bi, i, j, 0)),
             pl.BlockSpec((1, block_m), lambda bi, i, j: (bi, j)),
-            pl.BlockSpec((1, 1, block_n, 3, ah),
+            pl.BlockSpec((1, 1, ah, block_n, 8),
                          lambda bi, i, j: (bi, i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 4, block_n), lambda bi, i, j: (bi, i, 0, 0)),
-            pl.BlockSpec((1, 4, block_m), lambda bi, i, j: (bi, 0, j)),
+            pl.BlockSpec((1, 1, 8, block_n), lambda bi, i, j: (bi, i, 0, 0)),
+            pl.BlockSpec((1, 16, block_m), lambda bi, i, j: (bi, 0, j)),
         ],
         out_specs=[
             pl.BlockSpec((1, ah, block_n, c), lambda bi, i, j: (bi, 0, i, 0)),
@@ -199,7 +249,7 @@ def _rpe_fwd(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
             pltpu.VMEM((ah, block_n), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, qp, emb, km, qw_b, pn_b, points)
+    )(q, k, v, qp, emb, km, qw8_b, gn_b, gm)
     mx = mx.transpose(0, 2, 1, 3).reshape(b, ah, n)
     sm = sm.transpose(0, 2, 1, 3).reshape(b, ah, n)
     return out, mx, sm
@@ -213,7 +263,7 @@ def rpe_self_attention(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
 
 
 def _bwd_kv_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
-                   pn_ref, pm_ref, do_ref, mx_ref, sm_ref, dd_ref,
+                   gn_ref, gm_ref, do_ref, mx_ref, sm_ref, dd_ref,
                    dk_ref, dv_ref, *, ah, bn, bm, c, scale, with_eq):
     """dK/dV pass (n innermost): recompute the score tile, then
     dv[m] += P^T dO and dk[m] += scale * dS^T q."""
@@ -224,8 +274,8 @@ def _bwd_kv_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
         dk_ref[...] = jnp.zeros_like(dk_ref)
         dv_ref[...] = jnp.zeros_like(dv_ref)
 
-    s, _ = _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref,
-                   pm_ref, scale=scale, with_eq=with_eq)
+    s, _ = _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, gn_ref,
+                   gm_ref, scale=scale, with_eq=with_eq)
     inv = 1.0 / jnp.maximum(sm_ref[0, 0], 1e-30)  # (AH, bn)
     p = jnp.exp(s - mx_ref[0, 0][:, :, None]) * inv[:, :, None]
     p = p * km_ref[0][None, None, :]
@@ -249,10 +299,10 @@ def _bwd_kv_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
 
 
 def _bwd_q_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
-                  pn_ref, pm_ref, do_ref, mx_ref, sm_ref, dd_ref,
+                  gn_ref, gm_ref, do_ref, mx_ref, sm_ref, dd_ref,
                   dq_ref, dqp_ref, demb_ref, dqw_ref,
                   *, ah, bn, bm, c, scale, with_eq):
-    """dQ-side pass (m innermost): dq, dqp, d_emb (written per tile), dqw."""
+    """dQ-side pass (m innermost): dq, dqp, d_emb (written per tile), dqw8."""
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -262,8 +312,8 @@ def _bwd_q_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
         if with_eq:
             dqw_ref[...] = jnp.zeros_like(dqw_ref)
 
-    s, sh = _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, pn_ref,
-                    pm_ref, scale=scale, with_eq=with_eq)
+    s, rinvk = _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, gn_ref,
+                       gm_ref, scale=scale, with_eq=with_eq)
     inv = 1.0 / jnp.maximum(sm_ref[0, 0], 1e-30)
     p = jnp.exp(s - mx_ref[0, 0][:, :, None]) * inv[:, :, None]
     p = p * km_ref[0][None, None, :]
@@ -292,13 +342,13 @@ def _bwd_q_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
         preferred_element_type=jnp.float32,
     )).astype(demb_ref.dtype)
     if with_eq:
-        # dqw[n, d, ah] += scale * sum_m sh[n, d, m] dS[n, ah, m] — one
-        # batched dot_general in the blocked (bn, 3, ah) layout (ds_n is
-        # already (bn, AH, bm) for the dqp/demb terms)
+        # dqw8[ah, n, 8] += scale * sum_m (dS * rinvk)[ah, n, m] gm[0:8, m]
+        # — one (ah*bn, bm) @ (8, bm)^T contraction (probe-validated)
+        dsr = ds * rinvk[None]
         dqw_ref[0, 0] += scale * jax.lax.dot_general(
-            sh, ds_n, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+            dsr.reshape(ah * bn, bm), gm_ref[0][0:8],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ).reshape(ah, bn, 8)
 
 
 @functools.partial(
@@ -312,13 +362,12 @@ def _rpe_bwd(q, k, v, qp, emb, km, qw, points, d_out, out, mx, sm, *,
     nb, mb = n // block_n, n // block_m
     dd = jnp.einsum("banc,banc->ban", d_out.astype(jnp.float32), out)
 
-    # same n-blocked layouts as the forward (see _rpe_fwd): block last dim
-    # must equal the array dim for the small per-query tensors
+    # same n-blocked layouts as the forward (see _rpe_fwd): block last dims
+    # must equal the array dims for the small per-query tensors
     def _nblock(x):  # (b, ah, n) -> (b, nb, ah, block_n)
         return x.reshape(b, ah, nb, block_n).transpose(0, 2, 1, 3)
 
-    qw_b = qw.reshape(b, 3, ah, nb, block_n).transpose(0, 3, 4, 1, 2)
-    pn_b = points.reshape(b, 4, nb, block_n).transpose(0, 2, 1, 3)
+    qw8_b, gn_b, gm = _fold_geom(qw, points, nb, block_n)
     mx_b, sm_b, dd_b = _nblock(mx), _nblock(sm), _nblock(dd)
 
     common_in = [
@@ -329,16 +378,16 @@ def _rpe_bwd(q, k, v, qp, emb, km, qw, points, d_out, out, mx, sm, *,
         pl.BlockSpec((1, block_n, block_m, cc),
                      lambda bi, i, j: (bi, i, j, 0)),
         pl.BlockSpec((1, block_m), lambda bi, i, j: (bi, j)),
-        pl.BlockSpec((1, 1, block_n, 3, ah),
+        pl.BlockSpec((1, 1, ah, block_n, 8),
                      lambda bi, i, j: (bi, i, 0, 0, 0)),
-        pl.BlockSpec((1, 1, 4, block_n), lambda bi, i, j: (bi, i, 0, 0)),
-        pl.BlockSpec((1, 4, block_m), lambda bi, i, j: (bi, 0, j)),
+        pl.BlockSpec((1, 1, 8, block_n), lambda bi, i, j: (bi, i, 0, 0)),
+        pl.BlockSpec((1, 16, block_m), lambda bi, i, j: (bi, 0, j)),
         pl.BlockSpec((1, ah, block_n, c), lambda bi, i, j: (bi, 0, i, 0)),
         pl.BlockSpec((1, 1, ah, block_n), lambda bi, i, j: (bi, i, 0, 0)),
         pl.BlockSpec((1, 1, ah, block_n), lambda bi, i, j: (bi, i, 0, 0)),
         pl.BlockSpec((1, 1, ah, block_n), lambda bi, i, j: (bi, i, 0, 0)),
     ]
-    args = (q, k, v, qp, emb, km, qw_b, pn_b, points, d_out, mx_b, sm_b,
+    args = (q, k, v, qp, emb, km, qw8_b, gn_b, gm, d_out, mx_b, sm_b,
             dd_b)
 
     # pass 1 (n innermost): dK, dV — the (b, MB) output blocks accumulate
@@ -378,18 +427,23 @@ def _rpe_bwd(q, k, v, qp, emb, km, qw, points, d_out, out, mx, sm, *,
             pl.BlockSpec((1, block_n, ah, cc), lambda bi, i, j: (bi, i, 0, 0)),
             pl.BlockSpec((1, block_n, block_m, cc),
                          lambda bi, i, j: (bi, i, j, 0)),
-            pl.BlockSpec((1, 1, block_n, 3, ah),
+            pl.BlockSpec((1, 1, ah, block_n, 8),
                          lambda bi, i, j: (bi, i, 0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, ah, n, c), jnp.float32),
             jax.ShapeDtypeStruct((b, n, ah, cc), jnp.float32),
             jax.ShapeDtypeStruct((b, n, n, cc), emb.dtype),
-            jax.ShapeDtypeStruct((b, nb, block_n, 3, ah), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, ah, block_n, 8), jnp.float32),
         ],
         interpret=interpret,
     )(*args)
-    dqw = dqw.transpose(0, 3, 4, 1, 2).reshape(b, 3, ah, n)
+    # map dqw8 (cols: qw.p_yzx, qw_y, qw_z, qw_x, 0..) back to qw (b,3,ah,n):
+    # dqw_d = dqw8[d+1] + dqw8[0] * p_yzx_d (the col-0 fold, see _fold_geom)
+    dqw8 = dqw.transpose(0, 2, 1, 3, 4).reshape(b, ah, n, 8)
+    p_yzx = jnp.stack([points[:, 1], points[:, 2], points[:, 0]], axis=1)
+    dqw = (jnp.moveaxis(dqw8[..., 1:4], -1, 1)
+           + dqw8[..., 0][:, None] * p_yzx[:, :, None])
     return dq, dk, dv, dqp, demb, dqw
 
 

@@ -76,6 +76,7 @@ def _init_params(cfg, data):
     return model.init(rngs, data, train=False)
 
 
+@pytest.mark.slow
 def test_failsafe_survives_attention_kernel_failure(monkeypatch):
     """Flash RPE kernel raising at trace time -> falls back to XLA attention."""
     from se3et_tpu.ops.pallas import rpe_attention

@@ -107,10 +107,11 @@ def _run_model(model_cfg, seed=0, train=False, rotate=False):
             dict(blocks=("self_eq", "cross", "self_eq", "cross", "self_eq", "cross"),
                  attn_r_positive="softplus"),
         ),
-        (
+        pytest.param(
             "geotransformer",
             dict(backbone="kpconv", epn=EPNConfig(kanchor=1),
                  blocks=("self", "cross", "self", "cross", "self", "cross")),
+            marks=pytest.mark.slow,
         ),
     ],
 )
@@ -132,6 +133,7 @@ def test_forward_shapes_and_registration(name, kw):
         assert np.all(np.isfinite(np.asarray(out[key]))), key
 
 
+@pytest.mark.slow
 def test_training_mode_and_losses():
     cfg = _toy_model_cfg()
     out, data, params, model = _run_model(cfg, train=True)
@@ -142,6 +144,7 @@ def test_training_mode_and_losses():
     assert np.isfinite(float(losses["f_loss"]))
 
 
+@pytest.mark.slow
 def test_gradients_flow():
     cfg = _toy_model_cfg()
     rng = np.random.RandomState(3)
@@ -176,6 +179,7 @@ def test_evaluator():
     assert float(metrics["RR"]) == 1.0  # easy pair must register
 
 
+@pytest.mark.slow
 def test_five_stage_backbone_kitti_style():
     """The 5-stage E2PN backbone (KITTI config shape) builds and runs."""
     rng = np.random.RandomState(11)

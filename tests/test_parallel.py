@@ -117,6 +117,7 @@ def micro_setup():
     return SE3ETModel(mc), stack_pairs(pairs)
 
 
+@pytest.mark.slow
 def test_batched_train_step_on_mesh(micro_setup):
     """Full micro SE3ET train step, 8 pairs sharded over 8 devices."""
     from se3et_tpu.engine.steps import make_batched_train_step
@@ -159,6 +160,7 @@ def test_batched_train_step_on_mesh(micro_setup):
     assert not np.allclose(np.asarray(vals[0]), np.asarray(old_leaf))
 
 
+@pytest.mark.slow
 def test_padded_leftover_batch_matches_unpadded(micro_setup):
     """A trailing partial batch padded to the device count with weight-0
     repeats (trainer._train_epoch_dp) produces EXACTLY the update of the

@@ -65,6 +65,7 @@ def test_loss_decreases_under_training():
     assert np.isfinite(last)
     assert last < first * 0.8, (first, last)
 
+@pytest.mark.slow
 def test_trainer_single_device_pair_batching(tmp_path):
     """Trainer(batch_size=2): epoch groups pairs into vmapped batches, pads
     the trailing leftover at weight 0, and serves the whole epoch with one

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from se3et_tpu.data import pipeline as pipe
 
@@ -145,6 +146,7 @@ def test_influence_windowed_matches_xla():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_backbone_fused_matches_unfused():
     """Full E2PN backbone: fused windowed path == gather path (fp32 CPU)."""
     from se3et_tpu.data.datasets import SyntheticPairDataset
@@ -523,6 +525,7 @@ def test_windowed_conv_custom_vjp_matches_xla_grads():
                                atol=1e-5 * scale)
 
 
+@pytest.mark.slow
 def test_backbone_train_fused_conv_grads_match():
     """Backbone param grads: fused_conv_grad (windowed kernels + custom VJP)
     == the XLA gather train path, at a window budget with zero drops."""
@@ -621,6 +624,7 @@ def test_windowed_max_pool_custom_vjp_matches_xla_grads():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_backbone_remat_with_fused_conv_grad():
     """Per-stage remat composes with the fused-conv training route (pool_mode
     is a module field, not a call arg — nn.remat rejects non-array args)."""
