@@ -37,14 +37,15 @@ def main():
     # flash RPE self-attention, equivariant production shape
     from se3et_tpu.ops.pallas import rpe_attention as fr
 
-    b, ah, n, c, cc = 1, 24, 1024, 64, 256
+    # b=2: the serving path stacks both clouds' self layers into one batch
+    b, ah, n, c, cc = 2, 24, 1024, 64, 256
     q = jnp.asarray(rng.randn(b, ah, n, c), jnp.bfloat16)
     qp = jnp.asarray(rng.randn(b, n, ah, cc), jnp.bfloat16)
     emb = jnp.asarray(rng.randn(b, n, n, cc), jnp.bfloat16)
-    km = jnp.asarray(np.arange(n) < 1000)[None]
+    km = jnp.asarray(np.arange(n) < 1000)[None] & jnp.ones((b, 1), bool)
     qw = jnp.asarray(rng.randn(b, 3, ah, n), jnp.float32)
     pts = jnp.asarray(rng.randn(b, 4, n), jnp.float32)
-    run("flash RPE eq (AH=24, N=1024, C=256)",
+    run("flash RPE eq (B=2, AH=24, N=1024, C=256)",
         lambda: fr.rpe_self_attention(q, q, q, qp, emb, km, qw, pts,
                                       scale=0.125, block_m=128))
     run("flash RPE inv (AH=4)",

@@ -62,7 +62,7 @@ def _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, gn_ref, gm_ref,
     the XLA path's exact 0/eps = 0 at r=0 (``core/harmonics.real_sh``), and
     a catastrophically cancelled r^2 ~ 0 there would blow up ``rinv``.
     """
-    kmask = km_ref[0]  # (bm,) f32 0/1
+    kmask = km_ref[0, 0]  # (bm,) f32 0/1
 
     # content scores, batched over anchor-heads: (AH, bn, bm)
     s = jax.lax.dot_general(
@@ -150,7 +150,7 @@ def _kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref, gn_ref,
         rowmax[...] = jnp.full_like(rowmax, -jnp.inf)
         rowsum[...] = jnp.zeros_like(rowsum)
 
-    kmask = km_ref[0]  # (bm,) f32 0/1
+    kmask = km_ref[0, 0]  # (bm,) f32 0/1
     s, _ = _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, gn_ref,
                    gm_ref, scale=scale, with_eq=with_eq)
 
@@ -206,7 +206,8 @@ def _rpe_fwd(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
         qw = jnp.zeros((b, 3, ah, n), jnp.float32)
         points = jnp.zeros((b, 4, n), jnp.float32)
 
-    km = k_masks.astype(jnp.float32)
+    km = k_masks.astype(jnp.float32)[:, None]  # (b, 1, n): a 2-D
+    # (1, block_m) mask block violates Mosaic's last-two-dims rule for b > 1
     nb, mb = n // block_n, n // block_m
     # n-block the small per-query tensors so their block's last dims EQUAL
     # the array dims (Mosaic block rule; a block_n-wide slice of the n axis
@@ -227,7 +228,7 @@ def _rpe_fwd(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
             pl.BlockSpec((1, block_n, ah, cc), lambda bi, i, j: (bi, i, 0, 0)),
             pl.BlockSpec((1, block_n, block_m, cc),
                          lambda bi, i, j: (bi, i, j, 0)),
-            pl.BlockSpec((1, block_m), lambda bi, i, j: (bi, j)),
+            pl.BlockSpec((1, 1, block_m), lambda bi, i, j: (bi, 0, j)),
             pl.BlockSpec((1, 1, ah, block_n, 8),
                          lambda bi, i, j: (bi, i, 0, 0, 0)),
             pl.BlockSpec((1, 1, 8, block_n), lambda bi, i, j: (bi, i, 0, 0)),
@@ -278,7 +279,7 @@ def _bwd_kv_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
                    gm_ref, scale=scale, with_eq=with_eq)
     inv = 1.0 / jnp.maximum(sm_ref[0, 0], 1e-30)  # (AH, bn)
     p = jnp.exp(s - mx_ref[0, 0][:, :, None]) * inv[:, :, None]
-    p = p * km_ref[0][None, None, :]
+    p = p * km_ref[0, 0][None, None, :]
     do = do_ref[0].astype(jnp.float32)  # (AH, bn, c)
     # dv[ah, m, c] += sum_n P[ah, n, m] dO[ah, n, c]
     dv_ref[0] += jax.lax.dot_general(
@@ -316,7 +317,7 @@ def _bwd_q_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
                        gm_ref, scale=scale, with_eq=with_eq)
     inv = 1.0 / jnp.maximum(sm_ref[0, 0], 1e-30)
     p = jnp.exp(s - mx_ref[0, 0][:, :, None]) * inv[:, :, None]
-    p = p * km_ref[0][None, None, :]
+    p = p * km_ref[0, 0][None, None, :]
     do = do_ref[0].astype(jnp.float32)
     dpv = jax.lax.dot_general(
         do, v_ref[0].astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
@@ -368,6 +369,7 @@ def _rpe_bwd(q, k, v, qp, emb, km, qw, points, d_out, out, mx, sm, *,
         return x.reshape(b, ah, nb, block_n).transpose(0, 2, 1, 3)
 
     qw8_b, gn_b, gm = _fold_geom(qw, points, nb, block_n)
+    km = km[:, None]  # (b, 1, n) — see _rpe_fwd
     mx_b, sm_b, dd_b = _nblock(mx), _nblock(sm), _nblock(dd)
 
     common_in = [
@@ -377,7 +379,7 @@ def _rpe_bwd(q, k, v, qp, emb, km, qw, points, d_out, out, mx, sm, *,
         pl.BlockSpec((1, block_n, ah, cc), lambda bi, i, j: (bi, i, 0, 0)),
         pl.BlockSpec((1, block_n, block_m, cc),
                      lambda bi, i, j: (bi, i, j, 0)),
-        pl.BlockSpec((1, block_m), lambda bi, i, j: (bi, j)),
+        pl.BlockSpec((1, 1, block_m), lambda bi, i, j: (bi, 0, j)),
         pl.BlockSpec((1, 1, ah, block_n, 8),
                      lambda bi, i, j: (bi, i, 0, 0, 0)),
         pl.BlockSpec((1, 1, 8, block_n), lambda bi, i, j: (bi, i, 0, 0)),
