@@ -16,10 +16,18 @@
 //   trivially parallel.
 // - se3et_knn: k-nearest-neighbors via the same grid with ring expansion
 //   (used for normal estimation).
+// - se3et_cpuid_signature: LIVE host CPU identity (CPUID leaves 1, 7.0, 7.1,
+//   brand string).  /proc/cpuinfo is populated at BOOT, so after a VM live
+//   migration it describes the OLD host while CPUID describes the new one —
+//   exactly the divergence that poisons XLA:CPU AOT persistent caches
+//   (entries carry LLVM getHostCPUFeatures-derived target features; loading
+//   one compiled on a different microarch SIGABRTs).  Cache dirs are keyed
+//   by this signature (tests/conftest.py, __graft_entry__.py).
 
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <unordered_map>
 #include <vector>
@@ -228,6 +236,44 @@ void se3et_knn(const float* q_points, int nq, const float* s_points, int ns,
     for (int j = 0; j < kk; ++j) out[static_cast<int64_t>(qi) * k + j] = found[j].second;
     for (int j = kk; j < k; ++j) out[static_cast<int64_t>(qi) * k + j] = ns;
   }
+}
+
+int se3et_cpuid_signature(char* out, int cap) {
+  // hex dump of CPUID leaf 1 EAX (family/model/stepping), leaf 7 subleaf 0
+  // EBX/ECX/EDX + subleaf 1 EAX (AVX512*, AMX, avx512bf16), and the brand
+  // string.  Returns the number of bytes written (excluding NUL), or -1.
+#if defined(__x86_64__) || defined(__i386__)
+  unsigned a, b, c, d;
+  char buf[160];
+  int off = 0;
+  __asm__ volatile("cpuid" : "=a"(a), "=b"(b), "=c"(c), "=d"(d)
+                   : "a"(1u), "c"(0u));
+  off += std::snprintf(buf + off, sizeof(buf) - off, "%08x:", a);
+  __asm__ volatile("cpuid" : "=a"(a), "=b"(b), "=c"(c), "=d"(d)
+                   : "a"(7u), "c"(0u));
+  off += std::snprintf(buf + off, sizeof(buf) - off, "%08x%08x%08x:", b, c, d);
+  __asm__ volatile("cpuid" : "=a"(a), "=b"(b), "=c"(c), "=d"(d)
+                   : "a"(7u), "c"(1u));
+  off += std::snprintf(buf + off, sizeof(buf) - off, "%08x:", a);
+  unsigned brand[12];
+  for (unsigned i = 0; i < 3; ++i) {
+    __asm__ volatile("cpuid"
+                     : "=a"(brand[4 * i]), "=b"(brand[4 * i + 1]),
+                       "=c"(brand[4 * i + 2]), "=d"(brand[4 * i + 3])
+                     : "a"(0x80000002u + i), "c"(0u));
+  }
+  char name[49];
+  std::memcpy(name, brand, 48);
+  name[48] = '\0';
+  off += std::snprintf(buf + off, sizeof(buf) - off, "%s", name);
+  if (off >= cap) return -1;
+  std::memcpy(out, buf, off + 1);
+  return off;
+#else
+  (void)out;
+  (void)cap;
+  return -1;
+#endif
 }
 
 }  // extern "C"

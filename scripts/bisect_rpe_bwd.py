@@ -50,7 +50,8 @@ def main(names):
     qw8_b, gn_b, gm = fr._fold_geom(qw, pts, nb, block_n)
 
     def _nblock(x):
-        return x.reshape(b, ah, nb, block_n).transpose(0, 2, 1, 3)
+        return (x.reshape(b, ah, nb, block_n).transpose(0, 2, 1, 3)
+                .reshape(b * nb, ah, block_n))
 
     mx_b, sm_b, dd_b = _nblock(mx), _nblock(sm), _nblock(dd)
     args = (q, q, q, qp, emb, km, qw8_b, gn_b, gm, do, mx_b, sm_b, dd_b)
@@ -63,14 +64,14 @@ def main(names):
         pl.BlockSpec((1, block_n, block_m, cc),
                      lambda bi, i, j: (bi, i, j, 0)),
         pl.BlockSpec((1, 1, block_m), lambda bi, i, j: (bi, 0, j)),
-        pl.BlockSpec((1, 1, ah, block_n, 8),
-                     lambda bi, i, j: (bi, i, 0, 0, 0)),
-        pl.BlockSpec((1, 1, 8, block_n), lambda bi, i, j: (bi, i, 0, 0)),
+        pl.BlockSpec((1, ah, block_n, 8),
+                     lambda bi, i, j: (bi * nb + i, 0, 0, 0)),
+        pl.BlockSpec((1, 8, block_n), lambda bi, i, j: (bi * nb + i, 0, 0)),
         pl.BlockSpec((1, 16, block_m), lambda bi, i, j: (bi, 0, j)),
         pl.BlockSpec((1, ah, block_n, c), lambda bi, i, j: (bi, 0, i, 0)),
-        pl.BlockSpec((1, 1, ah, block_n), lambda bi, i, j: (bi, i, 0, 0)),
-        pl.BlockSpec((1, 1, ah, block_n), lambda bi, i, j: (bi, i, 0, 0)),
-        pl.BlockSpec((1, 1, ah, block_n), lambda bi, i, j: (bi, i, 0, 0)),
+        pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi * nb + i, 0, 0)),
+        pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi * nb + i, 0, 0)),
+        pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi * nb + i, 0, 0)),
     ]
 
     def run(name, fn):
@@ -126,10 +127,11 @@ def main(names):
             jax.ShapeDtypeStruct((b, n, n, cc), emb.dtype),
         ]
         if with_dqw:
-            out_specs.append(pl.BlockSpec((1, 1, ah, block_n, 8),
-                                          lambda bi, i, j: (bi, i, 0, 0, 0)))
+            out_specs.append(pl.BlockSpec(
+                (1, ah, block_n, 8),
+                lambda bi, i, j: (bi * nb + i, 0, 0, 0)))
             out_shape.append(
-                jax.ShapeDtypeStruct((b, nb, ah, block_n, 8), jnp.float32))
+                jax.ShapeDtypeStruct((b * nb, ah, block_n, 8), jnp.float32))
         return pl.pallas_call(
             functools.partial(kernel, ah=ah, bn=block_n, bm=block_m, c=c,
                               scale=scale, with_eq=True),
@@ -157,14 +159,14 @@ def main(names):
 
         s, rinvk = fr._scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref,
                               gn_ref, gm_ref, scale=scale, with_eq=True)
-        inv = 1.0 / jnp.maximum(sm_ref[0, 0], 1e-30)
-        p = jnp.exp(s - mx_ref[0, 0][:, :, None]) * inv[:, :, None]
+        inv = 1.0 / jnp.maximum(sm_ref[0], 1e-30)
+        p = jnp.exp(s - mx_ref[0][:, :, None]) * inv[:, :, None]
         p = p * km_ref[0, 0][None, None, :]
         do_ = do_ref[0].astype(jnp.float32)
         dpv = jax.lax.dot_general(
             do_, v_ref[0].astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        ds = p * (dpv - dd_ref[0, 0][:, :, None])
+        ds = p * (dpv - dd_ref[0][:, :, None])
         dq_ref[0] += scale * jax.lax.dot_general(
             ds, k_ref[0].astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)

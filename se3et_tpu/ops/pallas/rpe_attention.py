@@ -78,7 +78,7 @@ def _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, gn_ref, gm_ref,
 
     rinvk = None
     if with_eq:
-        gn = gn_ref[0, 0]  # (8, bn)  rows (x, y, z, |p|^2, 1, idx, 0, 0)
+        gn = gn_ref[0]  # (8, bn)  rows (x, y, z, |p|^2, 1, idx, 0, 0)
         gm = gm_ref[0]  # (16, bm)  see _fold_geom
         r2 = jax.lax.dot_general(
             gn, gm[8:16], (((0,), (0,)), ((), ())),
@@ -87,9 +87,9 @@ def _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, gn_ref, gm_ref,
         rinv = _SH1_C / (jnp.sqrt(jnp.maximum(r2, 0.0)) + 1e-12)
         didx = gn[5][:, None] - gm[5][None, :]
         rinvk = jnp.where(didx * didx > 0.25, rinv, 0.0)
-        ah, bn = qw_ref.shape[2], qw_ref.shape[3]
+        ah, bn = qw_ref.shape[1], qw_ref.shape[2]
         pre = jax.lax.dot_general(
-            qw_ref[0, 0].reshape(ah * bn, 8), gm[0:8],
+            qw_ref[0].reshape(ah * bn, 8), gm[0:8],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         ).reshape(ah, bn, gm.shape[1])
         s = s + rinvk[None] * pre
@@ -105,10 +105,12 @@ def _fold_geom(qw, points, nb, block_n):
     qw:     (B, 3, AH, N) — component rows (y, z, x), see
             :func:`fold_equivariant_query`.
     points: (B, 4, N) f32 — coordinate rows x, y, z (+ pad).
-    Returns
-      qw8_b: (B, nb, AH, block_n, 8) — cols (qw.p_yzx, qw_y, qw_z, qw_x, 0..)
-      gn_b:  (B, nb, 8, block_n)     — rows (x, y, z, |p|^2, 1, idx, 0, 0)
-      gm:    (B, 16, N)              — rows 0-7 the numerator side
+    Returns (with the (B, nb) axes FOLDED into one leading dim — 5-D operands
+    plus a dynamic batch grid index crash this Mosaic version; every operand
+    stays <= 4-D and the index map does ``bi * nb + i``)
+      qw8_b: (B*nb, AH, block_n, 8) — cols (qw.p_yzx, qw_y, qw_z, qw_x, 0..)
+      gn_b:  (B*nb, 8, block_n)     — rows (x, y, z, |p|^2, 1, idx, 0, 0)
+      gm:    (B, 16, N)             — rows 0-7 the numerator side
              (1, -y, -z, -x, 0, idx, 0, 0), rows 8-15 the r^2 side
              (-2x, -2y, -2z, 1, |p|^2, 0, 0, 0).  The index rows pair with
              zeros in the contractions (qw8 col 5 / gn row 5 x gm row 13)
@@ -124,6 +126,7 @@ def _fold_geom(qw, points, nb, block_n):
     )
     gn = jnp.stack([x, y, z, sq, one, idx, zero, zero], axis=1)
     gn_b = gn.reshape(b, 8, nb, block_n).transpose(0, 2, 1, 3)
+    gn_b = gn_b.reshape(b * nb, 8, block_n)
     gm = jnp.stack(
         [one, -y, -z, -x, zero, idx, zero, zero,
          -2.0 * x, -2.0 * y, -2.0 * z, one, sq, zero, zero, zero],
@@ -136,6 +139,7 @@ def _fold_geom(qw, points, nb, block_n):
         [qdot, qw[:, 0], qw[:, 1], qw[:, 2], zq, zq, zq, zq], axis=-1
     )  # (B, AH, N, 8)
     qw8_b = qw8.reshape(b, ah, nb, block_n, 8).transpose(0, 2, 1, 3, 4)
+    qw8_b = qw8_b.reshape(b * nb, ah, block_n, 8)
     return qw8_b, gn_b, gm
 
 
@@ -170,8 +174,8 @@ def _kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref, gn_ref,
     @pl.when(j == pl.num_programs(2) - 1)
     def _flush():
         out_ref[0] = acc[...] / jnp.maximum(rowsum[...], 1e-30)[:, :, None]
-        mx_ref[0, 0] = rowmax[...]
-        sm_ref[0, 0] = rowsum[...]
+        mx_ref[0] = rowmax[...]
+        sm_ref[0] = rowsum[...]
 
 
 @functools.partial(
@@ -229,20 +233,22 @@ def _rpe_fwd(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
             pl.BlockSpec((1, block_n, block_m, cc),
                          lambda bi, i, j: (bi, i, j, 0)),
             pl.BlockSpec((1, 1, block_m), lambda bi, i, j: (bi, 0, j)),
-            pl.BlockSpec((1, 1, ah, block_n, 8),
-                         lambda bi, i, j: (bi, i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 8, block_n), lambda bi, i, j: (bi, i, 0, 0)),
+            pl.BlockSpec((1, ah, block_n, 8),
+                         lambda bi, i, j: (bi * nb + i, 0, 0, 0)),
+            pl.BlockSpec((1, 8, block_n), lambda bi, i, j: (bi * nb + i, 0, 0)),
             pl.BlockSpec((1, 16, block_m), lambda bi, i, j: (bi, 0, j)),
         ],
         out_specs=[
             pl.BlockSpec((1, ah, block_n, c), lambda bi, i, j: (bi, 0, i, 0)),
-            pl.BlockSpec((1, 1, ah, block_n), lambda bi, i, j: (bi, i, 0, 0)),
-            pl.BlockSpec((1, 1, ah, block_n), lambda bi, i, j: (bi, i, 0, 0)),
+            pl.BlockSpec((1, ah, block_n),
+                         lambda bi, i, j: (bi * nb + i, 0, 0)),
+            pl.BlockSpec((1, ah, block_n),
+                         lambda bi, i, j: (bi * nb + i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, ah, n, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, nb, ah, block_n), jnp.float32),
-            jax.ShapeDtypeStruct((b, nb, ah, block_n), jnp.float32),
+            jax.ShapeDtypeStruct((b * nb, ah, block_n), jnp.float32),
+            jax.ShapeDtypeStruct((b * nb, ah, block_n), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((ah, block_n, c), jnp.float32),
@@ -251,8 +257,8 @@ def _rpe_fwd(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
         ],
         interpret=interpret,
     )(q, k, v, qp, emb, km, qw8_b, gn_b, gm)
-    mx = mx.transpose(0, 2, 1, 3).reshape(b, ah, n)
-    sm = sm.transpose(0, 2, 1, 3).reshape(b, ah, n)
+    mx = mx.reshape(b, nb, ah, block_n).transpose(0, 2, 1, 3).reshape(b, ah, n)
+    sm = sm.reshape(b, nb, ah, block_n).transpose(0, 2, 1, 3).reshape(b, ah, n)
     return out, mx, sm
 
 
@@ -277,8 +283,8 @@ def _bwd_kv_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
 
     s, _ = _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, gn_ref,
                    gm_ref, scale=scale, with_eq=with_eq)
-    inv = 1.0 / jnp.maximum(sm_ref[0, 0], 1e-30)  # (AH, bn)
-    p = jnp.exp(s - mx_ref[0, 0][:, :, None]) * inv[:, :, None]
+    inv = 1.0 / jnp.maximum(sm_ref[0], 1e-30)  # (AH, bn)
+    p = jnp.exp(s - mx_ref[0][:, :, None]) * inv[:, :, None]
     p = p * km_ref[0, 0][None, None, :]
     do = do_ref[0].astype(jnp.float32)  # (AH, bn, c)
     # dv[ah, m, c] += sum_n P[ah, n, m] dO[ah, n, c]
@@ -291,7 +297,7 @@ def _bwd_kv_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
         do, v_ref[0].astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (AH, bn, bm)
-    ds = p * (dpv - dd_ref[0, 0][:, :, None])
+    ds = p * (dpv - dd_ref[0][:, :, None])
     # dk[ah, m, c] += scale * sum_n dS[ah, n, m] q[ah, n, c]
     dk_ref[0] += scale * jax.lax.dot_general(
         ds, q_ref[0].astype(jnp.float32), (((1,), (1,)), ((0,), (0,))),
@@ -315,15 +321,15 @@ def _bwd_q_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
 
     s, rinvk = _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, gn_ref,
                        gm_ref, scale=scale, with_eq=with_eq)
-    inv = 1.0 / jnp.maximum(sm_ref[0, 0], 1e-30)
-    p = jnp.exp(s - mx_ref[0, 0][:, :, None]) * inv[:, :, None]
+    inv = 1.0 / jnp.maximum(sm_ref[0], 1e-30)
+    p = jnp.exp(s - mx_ref[0][:, :, None]) * inv[:, :, None]
     p = p * km_ref[0, 0][None, None, :]
     do = do_ref[0].astype(jnp.float32)
     dpv = jax.lax.dot_general(
         do, v_ref[0].astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dpv - dd_ref[0, 0][:, :, None])  # (AH, bn, bm)
+    ds = p * (dpv - dd_ref[0][:, :, None])  # (AH, bn, bm)
 
     # dq[ah, n, c] += scale * sum_m dS k[ah, m, c]
     dq_ref[0] += scale * jax.lax.dot_general(
@@ -346,7 +352,7 @@ def _bwd_q_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
         # dqw8[ah, n, 8] += scale * sum_m (dS * rinvk)[ah, n, m] gm[0:8, m]
         # — one (ah*bn, bm) @ (8, bm)^T contraction (probe-validated)
         dsr = ds * rinvk[None]
-        dqw_ref[0, 0] += scale * jax.lax.dot_general(
+        dqw_ref[0] += scale * jax.lax.dot_general(
             dsr.reshape(ah * bn, bm), gm_ref[0][0:8],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         ).reshape(ah, bn, 8)
@@ -363,10 +369,11 @@ def _rpe_bwd(q, k, v, qp, emb, km, qw, points, d_out, out, mx, sm, *,
     nb, mb = n // block_n, n // block_m
     dd = jnp.einsum("banc,banc->ban", d_out.astype(jnp.float32), out)
 
-    # same n-blocked layouts as the forward (see _rpe_fwd): block last dims
-    # must equal the array dims for the small per-query tensors
-    def _nblock(x):  # (b, ah, n) -> (b, nb, ah, block_n)
-        return x.reshape(b, ah, nb, block_n).transpose(0, 2, 1, 3)
+    # same n-blocked layouts as the forward (see _rpe_fwd / _fold_geom): the
+    # (b, nb) axes fold into one leading dim so every operand stays <= 4-D
+    def _nblock(x):  # (b, ah, n) -> (b*nb, ah, block_n)
+        return (x.reshape(b, ah, nb, block_n).transpose(0, 2, 1, 3)
+                .reshape(b * nb, ah, block_n))
 
     qw8_b, gn_b, gm = _fold_geom(qw, points, nb, block_n)
     km = km[:, None]  # (b, 1, n) — see _rpe_fwd
@@ -380,14 +387,14 @@ def _rpe_bwd(q, k, v, qp, emb, km, qw, points, d_out, out, mx, sm, *,
         pl.BlockSpec((1, block_n, block_m, cc),
                      lambda bi, i, j: (bi, i, j, 0)),
         pl.BlockSpec((1, 1, block_m), lambda bi, i, j: (bi, 0, j)),
-        pl.BlockSpec((1, 1, ah, block_n, 8),
-                     lambda bi, i, j: (bi, i, 0, 0, 0)),
-        pl.BlockSpec((1, 1, 8, block_n), lambda bi, i, j: (bi, i, 0, 0)),
+        pl.BlockSpec((1, ah, block_n, 8),
+                     lambda bi, i, j: (bi * nb + i, 0, 0, 0)),
+        pl.BlockSpec((1, 8, block_n), lambda bi, i, j: (bi * nb + i, 0, 0)),
         pl.BlockSpec((1, 16, block_m), lambda bi, i, j: (bi, 0, j)),
         pl.BlockSpec((1, ah, block_n, c), lambda bi, i, j: (bi, 0, i, 0)),
-        pl.BlockSpec((1, 1, ah, block_n), lambda bi, i, j: (bi, i, 0, 0)),
-        pl.BlockSpec((1, 1, ah, block_n), lambda bi, i, j: (bi, i, 0, 0)),
-        pl.BlockSpec((1, 1, ah, block_n), lambda bi, i, j: (bi, i, 0, 0)),
+        pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi * nb + i, 0, 0)),
+        pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi * nb + i, 0, 0)),
+        pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi * nb + i, 0, 0)),
     ]
     args = (q, k, v, qp, emb, km, qw8_b, gn_b, gm, d_out, mx_b, sm_b,
             dd_b)
@@ -429,20 +436,21 @@ def _rpe_bwd(q, k, v, qp, emb, km, qw, points, d_out, out, mx, sm, *,
             pl.BlockSpec((1, block_n, ah, cc), lambda bi, i, j: (bi, i, 0, 0)),
             pl.BlockSpec((1, block_n, block_m, cc),
                          lambda bi, i, j: (bi, i, j, 0)),
-            pl.BlockSpec((1, 1, ah, block_n, 8),
-                         lambda bi, i, j: (bi, i, 0, 0, 0)),
+            pl.BlockSpec((1, ah, block_n, 8),
+                         lambda bi, i, j: (bi * nb + i, 0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, ah, n, c), jnp.float32),
             jax.ShapeDtypeStruct((b, n, ah, cc), jnp.float32),
             jax.ShapeDtypeStruct((b, n, n, cc), emb.dtype),
-            jax.ShapeDtypeStruct((b, nb, ah, block_n, 8), jnp.float32),
+            jax.ShapeDtypeStruct((b * nb, ah, block_n, 8), jnp.float32),
         ],
         interpret=interpret,
     )(*args)
     # map dqw8 (cols: qw.p_yzx, qw_y, qw_z, qw_x, 0..) back to qw (b,3,ah,n):
     # dqw_d = dqw8[d+1] + dqw8[0] * p_yzx_d (the col-0 fold, see _fold_geom)
-    dqw8 = dqw.transpose(0, 2, 1, 3, 4).reshape(b, ah, n, 8)
+    dqw8 = (dqw.reshape(b, nb, ah, block_n, 8).transpose(0, 2, 1, 3, 4)
+            .reshape(b, ah, n, 8))
     p_yzx = jnp.stack([points[:, 1], points[:, 2], points[:, 0]], axis=1)
     dqw = (jnp.moveaxis(dqw8[..., 1:4], -1, 1)
            + dqw8[..., 0][:, None] * p_yzx[:, :, None])

@@ -22,30 +22,21 @@ jax.config.update("jax_enable_x64", False)
 
 # Persistent compile cache: the JIT-heavy model tests dominate the suite's
 # wall-clock on a 1-core box; warm reruns skip recompilation entirely.
-# The cache dir is keyed by the host signature (CPU flags + kernel boot id):
-# XLA:CPU AOT executables are machine-specific, and this VM's profile changes
-# across sessions — loading an entry compiled under a different profile
-# SIGILLs/aborts mid-test.  Round 3 proved the cpuinfo-flags line alone is
-# NOT a sufficient key (a poisoned cache matched the current flags hash), so
-# the boot id is included: entries never survive a reboot/migration, which is
-# the event that actually changes the machine.  Stale dirs are pruned.
-import hashlib  # noqa: E402
+# The cache dir is keyed by the LIVE host CPU identity (runtime CPUID via
+# the native lib — see se3et_tpu/utils/hostsig.py): XLA:CPU AOT executables
+# are machine-specific and this VM live-migrates across CPU SKUs without
+# rebooting, so /proc/cpuinfo (boot-time) and boot_id both stayed constant
+# while entries went stale (round-3 AND round-4 mid-suite SIGABRTs).
+# Stale dirs are pruned.
 import shutil  # noqa: E402
+import sys  # noqa: E402
 
 _here = os.path.dirname(os.path.abspath(__file__))
-_sig_parts = []
-try:
-    with open("/proc/cpuinfo") as f:
-        _sig_parts.append(next(ln for ln in f if ln.startswith("flags")))
-except (OSError, StopIteration):
-    _sig_parts.append("unknown-flags")
-try:
-    with open("/proc/sys/kernel/random/boot_id") as f:
-        _sig_parts.append(f.read().strip())
-except OSError:
-    _sig_parts.append("unknown-boot")
-_cpu_sig = hashlib.sha1("|".join(_sig_parts).encode()).hexdigest()[:10]
 _repo_root = os.path.abspath(os.path.join(_here, os.pardir))
+sys.path.insert(0, _repo_root)
+from se3et_tpu.utils.hostsig import host_signature  # noqa: E402
+
+_cpu_sig = host_signature()
 _cache_name = f".jax_cache_tests_{_cpu_sig}"
 for _name in os.listdir(_repo_root):
     if _name.startswith(".jax_cache_tests_") and _name != _cache_name:
