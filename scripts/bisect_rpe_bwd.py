@@ -87,7 +87,7 @@ def main(names):
                   flush=True)
 
     # --- pass 1: dK/dV ---
-    def kv_pass():
+    def kv_pass(*args):
         kv_specs = [
             pl.BlockSpec(
                 bs.block_shape,
@@ -111,10 +111,10 @@ def main(names):
             ],
         )(*args)
 
-    run("bwd kv eq", jax.jit(kv_pass))
+    run("bwd kv eq", lambda: jax.jit(kv_pass)(*args))
 
     # --- pass 2 variants: full and ablated q-side kernels ---
-    def q_pass(kernel, with_dqw):
+    def q_pass(kernel, with_dqw, *args):
         out_specs = [
             pl.BlockSpec((1, ah, block_n, c), lambda bi, i, j: (bi, 0, i, 0)),
             pl.BlockSpec((1, block_n, ah, cc), lambda bi, i, j: (bi, i, 0, 0)),
@@ -141,7 +141,9 @@ def main(names):
             out_shape=out_shape,
         )(*args)
 
-    run("bwd q eq full", jax.jit(lambda: q_pass(fr._bwd_q_kernel, True)))
+    run("bwd q eq full",
+        lambda: jax.jit(functools.partial(q_pass, fr._bwd_q_kernel, True))(
+            *args))
 
     # ablation: eq scores recomputed, but NO dqw output/accumulation
     def q_kernel_nodqw(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
@@ -178,7 +180,9 @@ def main(names):
             ds_n, qp_ref[0].astype(jnp.float32), (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)).astype(demb_ref.dtype)
 
-    run("bwd q eq nodqw", jax.jit(lambda: q_pass(q_kernel_nodqw, False)))
+    run("bwd q eq nodqw",
+        lambda: jax.jit(functools.partial(q_pass, q_kernel_nodqw, False))(
+            *args))
 
 
 if __name__ == "__main__":

@@ -269,93 +269,28 @@ def rpe_self_attention(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
                     block_n=block_n, block_m=block_m, interpret=interpret)[0]
 
 
-def _bwd_kv_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
-                   gn_ref, gm_ref, do_ref, mx_ref, sm_ref, dd_ref,
-                   dk_ref, dv_ref, *, ah, bn, bm, c, scale, with_eq):
-    """dK/dV pass (n innermost): recompute the score tile, then
-    dv[m] += P^T dO and dk[m] += scale * dS^T q."""
-    i = pl.program_id(2)
+def _bwd_p_kernel(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref,
+                  gn_ref, gm_ref, mx_ref, sm_ref, p_ref,
+                  *, scale, with_eq):
+    """Backward score recompute: write the softmax tile P to HBM.
 
-    @pl.when(i == 0)
-    def _init():
-        dk_ref[...] = jnp.zeros_like(dk_ref)
-        dv_ref[...] = jnp.zeros_like(dv_ref)
-
+    This is the ONLY Pallas piece of the backward.  Mosaic bisection
+    (``scripts/bisect_rpe_bwd{2..7}.py``, round 4) showed this compile
+    helper crashes on ANY dot_general consuming values derived from other
+    in-kernel dots — every gradient contraction (dv, dk, dq, dqp, demb,
+    bf16 variants, scratch round-trips) dies, while the score/softmax
+    recompute + a direct tile write lowers.  So the kernel materializes P
+    ((B, AH, N, M) f32, transient) and every gradient contraction runs as
+    an XLA einsum over it — identical f32 math, and XLA fuses
+    ``dS = P * (dO V^T - D)`` into the consumers.  The XLA attention
+    path's backward materializes strictly more (scores f32 pre- and
+    post-softmax, plus the (B, A, N, M, D) SH tensor the forward needs).
+    """
     s, _ = _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, gn_ref,
                    gm_ref, scale=scale, with_eq=with_eq)
-    inv = 1.0 / jnp.maximum(sm_ref[0], 1e-30)  # (AH, bn)
-    p = jnp.exp(s - mx_ref[0][:, :, None]) * inv[:, :, None]
-    p = p * km_ref[0, 0][None, None, :]
-    do = do_ref[0].astype(jnp.float32)  # (AH, bn, c)
-    # dv[ah, m, c] += sum_n P[ah, n, m] dO[ah, n, c]
-    dv_ref[0] += jax.lax.dot_general(
-        p, do, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    # dS = P * (dO @ v^T - D)
-    dpv = jax.lax.dot_general(
-        do, v_ref[0].astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (AH, bn, bm)
-    ds = p * (dpv - dd_ref[0][:, :, None])
-    # dk[ah, m, c] += scale * sum_n dS[ah, n, m] q[ah, n, c]
-    dk_ref[0] += scale * jax.lax.dot_general(
-        ds, q_ref[0].astype(jnp.float32), (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-
-
-def _bwd_q_kernel(q_ref, k_ref, v_ref, qp_ref, emb_ref, km_ref, qw_ref,
-                  gn_ref, gm_ref, do_ref, mx_ref, sm_ref, dd_ref,
-                  dq_ref, dqp_ref, demb_ref, dqw_ref,
-                  *, ah, bn, bm, c, scale, with_eq):
-    """dQ-side pass (m innermost): dq, dqp, d_emb (written per tile), dqw8."""
-    j = pl.program_id(2)
-
-    @pl.when(j == 0)
-    def _init():
-        dq_ref[...] = jnp.zeros_like(dq_ref)
-        dqp_ref[...] = jnp.zeros_like(dqp_ref)
-        if with_eq:
-            dqw_ref[...] = jnp.zeros_like(dqw_ref)
-
-    s, rinvk = _scores(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref, gn_ref,
-                       gm_ref, scale=scale, with_eq=with_eq)
     inv = 1.0 / jnp.maximum(sm_ref[0], 1e-30)
     p = jnp.exp(s - mx_ref[0][:, :, None]) * inv[:, :, None]
-    p = p * km_ref[0, 0][None, None, :]
-    do = do_ref[0].astype(jnp.float32)
-    dpv = jax.lax.dot_general(
-        do, v_ref[0].astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    ds = p * (dpv - dd_ref[0][:, :, None])  # (AH, bn, bm)
-
-    # dq[ah, n, c] += scale * sum_m dS k[ah, m, c]
-    dq_ref[0] += scale * jax.lax.dot_general(
-        ds, k_ref[0].astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    ds_n = jnp.transpose(ds, (1, 0, 2))  # (bn, AH, bm) — leading transpose
-    # dqp[n, ah, C] += scale * sum_m dS emb[n, m, C]   (batched over n)
-    dqp_ref[0] += scale * jax.lax.dot_general(
-        ds_n, emb_ref[0].astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    # d_emb[n, m, C] = scale * sum_ah dS qp[n, ah, C]  (batched over n;
-    # written once per (i, j) tile — no accumulation)
-    demb_ref[0] = (scale * jax.lax.dot_general(
-        ds_n, qp_ref[0].astype(jnp.float32), (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )).astype(demb_ref.dtype)
-    if with_eq:
-        # dqw8[ah, n, 8] += scale * sum_m (dS * rinvk)[ah, n, m] gm[0:8, m]
-        # — one (ah*bn, bm) @ (8, bm)^T contraction (probe-validated)
-        dsr = ds * rinvk[None]
-        dqw_ref[0] += scale * jax.lax.dot_general(
-            dsr.reshape(ah * bn, bm), gm_ref[0][0:8],
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        ).reshape(ah, bn, 8)
+    p_ref[0] = p * km_ref[0, 0][None, None, :]
 
 
 @functools.partial(
@@ -376,84 +311,77 @@ def _rpe_bwd(q, k, v, qp, emb, km, qw, points, d_out, out, mx, sm, *,
                 .reshape(b * nb, ah, block_n))
 
     qw8_b, gn_b, gm = _fold_geom(qw, points, nb, block_n)
-    km = km[:, None]  # (b, 1, n) — see _rpe_fwd
-    mx_b, sm_b, dd_b = _nblock(mx), _nblock(sm), _nblock(dd)
+    km3 = km[:, None]  # (b, 1, n) — see _rpe_fwd
+    mx_b, sm_b = _nblock(mx), _nblock(sm)
 
-    common_in = [
-        pl.BlockSpec((1, ah, block_n, c), lambda bi, i, j: (bi, 0, i, 0)),
-        pl.BlockSpec((1, ah, block_m, c), lambda bi, i, j: (bi, 0, j, 0)),
-        pl.BlockSpec((1, ah, block_m, c), lambda bi, i, j: (bi, 0, j, 0)),
-        pl.BlockSpec((1, block_n, ah, cc), lambda bi, i, j: (bi, i, 0, 0)),
-        pl.BlockSpec((1, block_n, block_m, cc),
-                     lambda bi, i, j: (bi, i, j, 0)),
-        pl.BlockSpec((1, 1, block_m), lambda bi, i, j: (bi, 0, j)),
-        pl.BlockSpec((1, ah, block_n, 8),
-                     lambda bi, i, j: (bi * nb + i, 0, 0, 0)),
-        pl.BlockSpec((1, 8, block_n), lambda bi, i, j: (bi * nb + i, 0, 0)),
-        pl.BlockSpec((1, 16, block_m), lambda bi, i, j: (bi, 0, j)),
-        pl.BlockSpec((1, ah, block_n, c), lambda bi, i, j: (bi, 0, i, 0)),
-        pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi * nb + i, 0, 0)),
-        pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi * nb + i, 0, 0)),
-        pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi * nb + i, 0, 0)),
-    ]
-    args = (q, k, v, qp, emb, km, qw8_b, gn_b, gm, d_out, mx_b, sm_b,
-            dd_b)
-
-    # pass 1 (n innermost): dK, dV — the (b, MB) output blocks accumulate
-    kv_specs = [
-        pl.BlockSpec(bs.block_shape,
-                     (lambda f: (lambda bi, j, i: f(bi, i, j)))(bs.index_map))
-        for bs in common_in
-    ]
-    dk, dv = pl.pallas_call(
-        functools.partial(
-            _bwd_kv_kernel, ah=ah, bn=block_n, bm=block_m, c=c, scale=scale,
-            with_eq=with_eq,
-        ),
-        grid=(b, mb, nb),
-        in_specs=kv_specs,
-        out_specs=[
-            pl.BlockSpec((1, ah, block_m, c), lambda bi, j, i: (bi, 0, j, 0)),
-            pl.BlockSpec((1, ah, block_m, c), lambda bi, j, i: (bi, 0, j, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, ah, n, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, ah, n, c), jnp.float32),
-        ],
-        interpret=interpret,
-    )(*args)
-
-    # pass 2 (m innermost): dQ, dQp, d_emb, dQw
-    dq, dqp, demb, dqw = pl.pallas_call(
-        functools.partial(
-            _bwd_q_kernel, ah=ah, bn=block_n, bm=block_m, c=c, scale=scale,
-            with_eq=with_eq,
-        ),
+    # Pallas piece: recompute the softmax tile P (see _bwd_p_kernel for why
+    # this is the ONLY in-kernel step of the backward on this Mosaic
+    # version).  (B, AH, N, M) f32 — transient, ~100 MB/cloud at production
+    # coarse shapes.
+    p_full = pl.pallas_call(
+        functools.partial(_bwd_p_kernel, scale=scale, with_eq=with_eq),
         grid=(b, nb, mb),
-        in_specs=common_in,
-        out_specs=[
+        in_specs=[
             pl.BlockSpec((1, ah, block_n, c), lambda bi, i, j: (bi, 0, i, 0)),
+            pl.BlockSpec((1, ah, block_m, c), lambda bi, i, j: (bi, 0, j, 0)),
             pl.BlockSpec((1, block_n, ah, cc), lambda bi, i, j: (bi, i, 0, 0)),
             pl.BlockSpec((1, block_n, block_m, cc),
                          lambda bi, i, j: (bi, i, j, 0)),
+            pl.BlockSpec((1, 1, block_m), lambda bi, i, j: (bi, 0, j)),
             pl.BlockSpec((1, ah, block_n, 8),
                          lambda bi, i, j: (bi * nb + i, 0, 0, 0)),
+            pl.BlockSpec((1, 8, block_n),
+                         lambda bi, i, j: (bi * nb + i, 0, 0)),
+            pl.BlockSpec((1, 16, block_m), lambda bi, i, j: (bi, 0, j)),
+            pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi * nb + i, 0, 0)),
+            pl.BlockSpec((1, ah, block_n), lambda bi, i, j: (bi * nb + i, 0, 0)),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, ah, n, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, ah, cc), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, n, cc), emb.dtype),
-            jax.ShapeDtypeStruct((b * nb, ah, block_n, 8), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, ah, block_n, block_m),
+                               lambda bi, i, j: (bi, 0, i, j)),
+        out_shape=jax.ShapeDtypeStruct((b, ah, n, n), jnp.float32),
         interpret=interpret,
-    )(*args)
-    # map dqw8 (cols: qw.p_yzx, qw_y, qw_z, qw_x, 0..) back to qw (b,3,ah,n):
-    # dqw_d = dqw8[d+1] + dqw8[0] * p_yzx_d (the col-0 fold, see _fold_geom)
-    dqw8 = (dqw.reshape(b, nb, ah, block_n, 8).transpose(0, 2, 1, 3, 4)
-            .reshape(b, ah, n, 8))
-    p_yzx = jnp.stack([points[:, 1], points[:, 2], points[:, 0]], axis=1)
-    dqw = (jnp.moveaxis(dqw8[..., 1:4], -1, 1)
-           + dqw8[..., 0][:, None] * p_yzx[:, :, None])
+    )(q, k, qp, emb, km3, qw8_b, gn_b, gm, mx_b, sm_b)
+
+    # every gradient contraction as an XLA einsum over P (f32, HIGHEST —
+    # the exact math the in-kernel f32 dots did); XLA fuses the dS
+    # elementwise chain into the consumers
+    hi = jax.lax.Precision.HIGHEST
+    do32 = d_out.astype(jnp.float32)
+    dpv = jnp.einsum("banc,bamc->banm", do32, v.astype(jnp.float32),
+                     precision=hi)
+    ds = p_full * (dpv - dd[..., None])  # (B, AH, N, M)
+    dv = jnp.einsum("banm,banc->bamc", p_full, do32, precision=hi)
+    dk = scale * jnp.einsum("banm,banc->bamc", ds,
+                            q.astype(jnp.float32), precision=hi)
+    dq = scale * jnp.einsum("banm,bamc->banc", ds,
+                            k.astype(jnp.float32), precision=hi)
+    dqp = scale * jnp.einsum("banm,bnmd->bnad", ds,
+                             emb.astype(jnp.float32), precision=hi)
+    demb = (scale * jnp.einsum("banm,bnad->bnmd", ds,
+                               qp.astype(jnp.float32), precision=hi)
+            ).astype(emb.dtype)
+
+    if with_eq:
+        # rinvk (diag-zeroed 1/r) recomputed from raw coordinates — the
+        # same expansion _scores uses in-kernel
+        x = points[:, :3]  # (B, 3, N)
+        sq = jnp.sum(x * x, axis=1)  # (B, N)
+        r2 = sq[:, :, None] + sq[:, None, :] - 2.0 * jnp.einsum(
+            "bdn,bdm->bnm", x, x, precision=hi)
+        rinv = _SH1_C / (jnp.sqrt(jnp.maximum(r2, 0.0)) + 1e-12)
+        eye = jnp.eye(n, dtype=bool)[None]
+        rinvk = jnp.where(eye, 0.0, rinv)  # (B, N, M)
+        # dqw8 cols: (qw.p_yzx fold, qw_y, qw_z, qw_x); gm rows 0:3 of the
+        # numerator side are (1, -y, -z, -x) — contract dS*rinvk with them
+        dsr = ds * rinvk[:, None]
+        gm8 = gm[:, 0:4]  # (B, 4, M) rows (1, -y, -z, -x)
+        dqw8 = scale * jnp.einsum("banm,bem->bane", dsr, gm8, precision=hi)
+        # dqw_d = dqw8[d+1] + dqw8[0] * p_yzx_d (the col-0 fold)
+        p_yzx = jnp.stack([points[:, 1], points[:, 2], points[:, 0]], axis=1)
+        dqw = (jnp.moveaxis(dqw8[..., 1:4], -1, 1)
+               + dqw8[..., 0][:, None] * p_yzx[:, :, None])
+    else:
+        dqw = jnp.zeros_like(qw)
     return dq, dk, dv, dqp, demb, dqw
 
 
