@@ -53,7 +53,7 @@ class PyramidConfig:
     coarse_point_cap: int = 2000  # hard cap on the coarsest stage (utils/data.py:35-43)
     input_dim: int = 1
     use_normals: bool = False
-    # segments (of WINDOW_SSEG=64 source rows) per query-block window for the
+    # segments (of WINDOW_SSEG=16 source rows) per query-block window for the
     # fused conv gather; 0 disables the window maps.  Window maps (segment
     # lists + window-local neighbor indices) are emitted for EVERY conv
     # neighbor set — same-level ``neighbors_{s}`` and strided
@@ -204,7 +204,7 @@ WINDOW_QSEG = 64
 # Morton-sorted source stage, so finer segments capture them with fewer
 # wasted rows.  Keep per-set budgets multiples of (128 // WINDOW_SSEG) so W
 # stays on a 128-lane boundary inside the kernels.
-WINDOW_SSEG = 32
+WINDOW_SSEG = 16
 
 # aggregate window-overflow accounting: {stage_key: [dropped, total]}
 WINDOW_DROP_STATS: dict[str, list[int]] = {}

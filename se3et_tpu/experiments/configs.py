@@ -85,17 +85,17 @@ def _threedmatch_pipeline(point_cap: int) -> PyramidConfig:
         # without ragged tails, and keeps 24 more real nodes
         coarse_point_cap=1024,
         input_dim=1,
-        # fused-conv window budgets per neighbor set (64-query blocks, 32-row segments): the
+        # fused-conv window budgets per neighbor set (64-query blocks, 16-row segments): the
         # kernel cost scales with window width while drops are set-dependent
         # (coarser stages fragment more across Morton segments).  Calibrated
         # by scripts/calibrate_window_budgets.py at production scale
-        # (<= 0.5% drops per set; cumulative W cuts: 128-row -> 64-row
-        # segments 20-42%, 64 -> 32 a further ~15% — see BENCH.md).
+        # (<= 0.5% drops per set; cumulative W cuts: 128 -> 64-row segments
+        # 20-42%, 64 -> 32 ~15%, 32 -> 16 a further 17-25% — see BENCH.md).
         window_segments_by_set=(
-            ("neighbors_0", 16), ("subsampling_0", 20),
-            ("neighbors_1", 20), ("subsampling_1", 32),
-            ("neighbors_2", 20), ("subsampling_2", 24),
-            ("neighbors_3", 16),
+            ("neighbors_0", 24), ("subsampling_0", 32),
+            ("neighbors_1", 32), ("subsampling_1", 48),
+            ("neighbors_2", 32), ("subsampling_2", 40),
+            ("neighbors_3", 24),
         ),
         patch_k=64,  # = num_points_in_patch (host-side p2n precompute)
         # per-set neighbor-H caps: conv/influence cost is linear in the padded
@@ -120,16 +120,16 @@ def _kitti_pipeline(point_cap: int) -> PyramidConfig:
         stage_caps=(point_cap, point_cap // 2, point_cap // 4, point_cap // 8, 1024),
         coarse_point_cap=1024,
         input_dim=1,
-        # fused-conv window budgets (64-query blocks, 32-row segments), calibrated by
+        # fused-conv window budgets (64-query blocks, 16-row segments), calibrated by
         # scripts/calibrate_window_budgets.py on the LiDAR-scale (extent 20)
         # synthetic generator at <= 0.5% drops per set; re-measure when real
         # KITTI appears (pipeline logs drop stats automatically).
         window_segments_by_set=(
-            ("neighbors_0", 16), ("subsampling_0", 20),
-            ("neighbors_1", 20), ("subsampling_1", 28),
-            ("neighbors_2", 20), ("subsampling_2", 28),
-            ("neighbors_3", 16), ("subsampling_3", 20),
-            ("neighbors_4", 8),
+            ("neighbors_0", 32), ("subsampling_0", 32),
+            ("neighbors_1", 32), ("subsampling_1", 48),
+            ("neighbors_2", 32), ("subsampling_2", 48),
+            ("neighbors_3", 24), ("subsampling_3", 32),
+            ("neighbors_4", 16),
         ),
         patch_k=128,  # = num_points_in_patch (host-side p2n precompute)
         # LiDAR rows run near-full (scripts/calibrate_h_caps.py: <= 0.5%

@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 QSEG = 64  # query rows per window block; must match pipeline.WINDOW_QSEG
-SSEG = 32  # source rows per window segment; must match pipeline.WINDOW_SSEG
+SSEG = 16  # source rows per window segment; must match pipeline.WINDOW_SSEG
 
 
 def pick_hc(h: int) -> int:

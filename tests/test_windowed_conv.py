@@ -156,7 +156,9 @@ def test_backbone_fused_matches_unfused():
     cfg = pipe.PyramidConfig(
         num_stages=3, voxel_size=0.12, search_radius=0.3,
         neighbor_limits=(10, 10, 10), stage_caps=(384, 160, 64),
-        coarse_point_cap=64, window_segments=16,
+        # all segments of the largest stage fit -> zero drops by construction
+        coarse_point_cap=64,
+        window_segments=-(-384 // pipe.WINDOW_SSEG),
     )
     data = pipe.build_pair_pyramid(
         item["ref_points"], item["src_points"], item["transform"], cfg
@@ -352,7 +354,9 @@ def test_model_with_host_influence_matches_without():
     cfg = pipe.PyramidConfig(
         num_stages=3, voxel_size=0.12, search_radius=0.3,
         neighbor_limits=(10, 10, 10), stage_caps=(384, 160, 64),
-        coarse_point_cap=64, window_segments=16,
+        # all segments of the largest stage fit -> zero drops by construction
+        coarse_point_cap=64,
+        window_segments=-(-384 // pipe.WINDOW_SSEG),
     )
     data = pipe.build_pair_pyramid(
         item["ref_points"], item["src_points"], item["transform"], cfg
@@ -536,7 +540,9 @@ def test_backbone_train_fused_conv_grads_match():
     cfg = pipe.PyramidConfig(
         num_stages=3, voxel_size=0.12, search_radius=0.3,
         neighbor_limits=(10, 10, 10), stage_caps=(384, 160, 64),
-        coarse_point_cap=64, window_segments=16,
+        # all segments of the largest stage fit -> zero drops by construction
+        coarse_point_cap=64,
+        window_segments=-(-384 // pipe.WINDOW_SSEG),
     )
     pipe.WINDOW_DROP_STATS.clear()
     data = pipe.build_pair_pyramid(
