@@ -83,6 +83,15 @@ def sinkhorn_pallas(
     a power of two).
     """
     b, m, n = padded_scores.shape
+    # VMEM-fit the batch tile: each grid step holds scores + scores^T + out
+    # blocks of (tile, m_pad, n_pad) f32 resident (no HBM streaming inside
+    # the iteration loop).  KITTI's patch budget 128 (-> 129 x 129 blocks,
+    # tile-padded 136 x 256) overflows the 16 MB scoped limit at tile=32
+    # (measured 17.0M, round 4); halve until it fits.
+    m_pad = -(-max(m, n) // 8) * 8
+    n_pad = -(-max(m, n) // 128) * 128
+    while tile > 4 and 3 * tile * m_pad * n_pad * 4 > 12.5e6:
+        tile //= 2
     if b % tile != 0:
         pad = tile - b % tile
         padded_scores = jnp.concatenate(

@@ -657,9 +657,10 @@ def windowed_max_pool(local, windows, nq, *, hc=8, mp=None, interpret=False):
     nblk_q, w, ac = windows.shape[1:]
     assert nblk_q * QSEG >= nq_in, (nq_in, nblk_q)
     if mp is None:
+        wsz = windows.dtype.itemsize  # f32 training windows double the terms
         mp = QSEG
         while mp > 32 and (
-            mp * ac * (4 + 2 * 2) + 2 * w * ac * 2 + mp * hc * w * 6
+            mp * ac * (4 + wsz * 2) + 2 * w * ac * wsz + mp * hc * w * 6
         ) > 14e6:
             mp //= 2
     spb = QSEG // mp
@@ -719,18 +720,24 @@ def windowed_gather_wf(local, infl, windows, *, hc=None, mp=None,
     assert nblk_q * QSEG >= nq, (nq, nblk_q)
     if mp is None:
         # 12.5 MB budget: the estimate undercounts ~15-20% (measured 16.6M
-        # actual vs 13.8M estimated at the stage-3 production conv)
+        # actual vs 13.8M estimated at the stage-3 production conv).  The
+        # window/out terms are dtype-aware: the TRAINING path passes f32
+        # windows, which doubles them vs the bf16 serving path (round 4:
+        # the bf16-hardcoded estimate let a 22.1M f32 stage-1 conv through
+        # a 16M limit).
+        wsz = windows.dtype.itemsize
         mp = QSEG
         if kfirst:
             kpad = ((k + 7) // 8) * 8
             while mp > 16 and (
-                mp * kpad * w * 4 + mp * k * ac * 2 * 2 + 2 * w * ac * 2
+                mp * kpad * w * 4 + mp * k * ac * wsz * 2 + 2 * w * ac * wsz
                 + mp * hc * w * 4
             ) > 12.5e6:
                 mp //= 2
         else:
             while mp > 16 and (
-                mp * k * ac * (4 + 2 * 2) + 2 * w * ac * 2 + mp * hc * w * 6
+                mp * k * ac * (4 + wsz * 2) + 2 * w * ac * wsz
+                + mp * hc * w * 6
             ) > 12.5e6:
                 mp //= 2
     spb = QSEG // mp
