@@ -53,6 +53,17 @@ def main():
                                       qp[:, :, :4], emb, km,
                                       scale=0.125, block_m=128))
 
+    knn = jnp.asarray(rng.randn(b, n, 3, 3), jnp.float32)
+    wde = jnp.asarray(rng.randn(cc, cc) * 0.05, jnp.float32)
+    run("flash RPE femb eq (B=2, in-kernel embedding)",
+        lambda: fr.rpe_self_attention_femb(
+            q, q, q, qp, km, qw, pts, knn, wde, wde, scale=0.125,
+            sigma_d=0.2, sigma_a=15.0))
+    run("flash RPE femb inv (AH=4)",
+        lambda: fr.rpe_self_attention_femb(
+            q[:, :4], q[:, :4], q[:, :4], qp[:, :, :4], km, None, pts, knn,
+            wde, wde, scale=0.125, sigma_d=0.2, sigma_a=15.0))
+
     def _rpe_bwd_eq():
         out, mx, sm = fr._rpe_fwd(q, q, q, qp, emb, km, qw, pts, scale=0.125,
                                   block_m=128)
@@ -77,6 +88,13 @@ def main():
     d_out = jnp.asarray(rng.randn(1, nq, k * ac), jnp.bfloat16)
     run("wf bwd d_win",
         lambda: wc._wf_bwd_win(local, infl, d_out, nblk_q=nblk_q, w=w, k=k))
+    # narrow non-lane-aligned AC (stage-0 training): the in-kernel
+    # (MP, K*AC) -> (MP*K, AC) cast was illegal here (round 4)
+    d192 = jnp.asarray(rng.randn(2, nq, k * 192), jnp.float32)
+    i192 = jnp.asarray(rng.rand(2, nq, h, k), jnp.float32)
+    l192 = jnp.asarray(rng.randint(0, 385, (2, nq, h)), jnp.int32)
+    run("wf bwd d_win narrow (w=384, ac=192, f32)",
+        lambda: wc._wf_bwd_win(l192, i192, d192, nblk_q=nblk_q, w=384, k=k))
     run("maxpool fwd", lambda: wc.windowed_max_pool(local, win, nq))
     try:
         out = wc.windowed_max_pool(local, win, nq)

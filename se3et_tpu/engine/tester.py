@@ -45,6 +45,9 @@ def serving_config_ladder(model_cfg: ModelConfig):
     import dataclasses
 
     yield "fused", model_cfg
+    if model_cfg.serve_femb and model_cfg.serve_fused_attention:
+        model_cfg = dataclasses.replace(model_cfg, serve_femb=False)
+        yield "materialized-embedding", model_cfg
     if model_cfg.serve_fused_attention:
         model_cfg = dataclasses.replace(model_cfg, serve_fused_attention=False)
         yield "xla-attention", model_cfg

@@ -108,16 +108,23 @@ class RPEMultiHeadAttention(nn.Module):
     d_equiv_embed: int = 0
     kanchor: int = 0
 
-    def _flash_path(self, q, k, v, wp_h, we_h, embed_qk, key_masks, points):
+    def _flash_path(self, q, k, v, wp_h, we_h, embed_qk, key_masks, points,
+                    femb_pack=None):
         """Flash-kernel route (serving): folded-query streaming softmax.
 
         Projection biases and the degree-0 SH term are per-query constants —
         softmax shift invariance makes them no-ops, so only ``q @ W^T`` folds
         are passed (``ops/pallas/rpe_attention.py``).  Exactness-tested
         against the XLA formulation (tests/test_attention.py).
+
+        ``femb_pack = (knn_points, wd, wa, sigma_d, sigma_a)`` switches to
+        the fused-embedding kernel: the geometric embedding is recomputed
+        in-kernel from raw coordinates and ``embed_qk`` may be None — the
+        (B, N, M, C) tensor never exists in the serving graph.
         """
         from se3et_tpu.ops.pallas import rpe_attention as flash
 
+        cdtype = embed_qk.dtype if embed_qk is not None else jnp.bfloat16
         lead = q.shape[:-3]  # (B, A) or (B,)
         b = q.shape[0]
         n, dh = q.shape[-2:]
@@ -149,6 +156,22 @@ class RPEMultiHeadAttention(nn.Module):
             ).swapaxes(1, 2).astype(jnp.float32)  # (B, 4, N)
         km = (key_masks if key_masks is not None
               else jnp.ones((b, n), bool))
+        if femb_pack is not None:
+            knn_points, wd, wa, sigma_d, sigma_a = femb_pack
+            if pts4 is None:
+                pts4 = jnp.concatenate(
+                    [points,
+                     jnp.zeros(points.shape[:-1] + (1,), points.dtype)],
+                    axis=-1,
+                ).swapaxes(1, 2).astype(jnp.float32)
+            hidden = flash.rpe_self_attention_femb(
+                qf.astype(cdtype), kf.astype(cdtype), vf.astype(cdtype),
+                qp.astype(cdtype), km, qw, pts4, knn_points, wd, wa,
+                scale=1.0 / float(np.sqrt(dh)), sigma_d=float(sigma_d),
+                sigma_a=float(sigma_a),
+                interpret=jax.default_backend() != "tpu",
+            ).astype(v.dtype)
+            return _merge_heads(hidden.reshape(q.shape)), {}
         # block_m=128 keeps the double-buffered (bn, bm, C) embedding tile
         # within the ~16 MB VMEM budget at C=256 (256-wide tiles alone need
         # 16.8 MB).  The trainable wrapper == the forward kernel when no
@@ -164,7 +187,8 @@ class RPEMultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, input_q, input_k, input_v, embed_qk, key_masks=None,
-                 embed_eq=None, points=None, use_flash=False):
+                 embed_eq=None, points=None, use_flash=False,
+                 femb_pack=None):
         h = self.num_heads
         dh = self.d_model // h
         q = _split_heads(TorchLinear(self.d_model)(input_q), h)
@@ -215,7 +239,8 @@ class RPEMultiHeadAttention(nn.Module):
             use_flash
             and n == m
             and n % 128 == 0
-            and embed_qk.shape[-3] == n
+            and (embed_qk.shape[-3] == n if femb_pack is None
+                 else points is not None)
             and (not with_eq_term
                  or (points is not None and self.d_equiv_embed == 4
                      and self.kanchor > 1))
@@ -224,7 +249,7 @@ class RPEMultiHeadAttention(nn.Module):
             return self._flash_path(
                 q, k, v, wp_h,
                 we.reshape(self.d_equiv_embed, h, dh) if with_eq_term else None,
-                embed_qk, key_masks, points,
+                embed_qk, key_masks, points, femb_pack=femb_pack,
             )
 
         if self.equivariant:
@@ -801,13 +826,13 @@ class RPEAttentionLayer(nn.Module):
     @nn.compact
     def __call__(self, input_states, memory_states, position_states,
                  memory_masks=None, equiv_states=None, points=None,
-                 use_flash=False):
+                 use_flash=False, femb_pack=None):
         hidden, aux = RPEMultiHeadAttention(
             self.d_model, self.num_heads, equivariant=self.equivariant,
             d_equiv_embed=self.d_equiv_embed, kanchor=self.kanchor,
         )(input_states, memory_states, memory_states, position_states,
           key_masks=memory_masks, embed_eq=equiv_states, points=points,
-          use_flash=use_flash)
+          use_flash=use_flash, femb_pack=femb_pack)
         hidden = TorchLinear(self.d_model)(hidden)
         return LayerNorm()(hidden + input_states), aux
 
@@ -825,10 +850,11 @@ class RPETransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, input_states, memory_states, position_states,
                  memory_masks=None, equiv_states=None, points=None,
-                 use_flash=False):
+                 use_flash=False, femb_pack=None):
         hidden, aux = RPEAttentionLayer(
             self.d_model, self.num_heads, equivariant=self.equivariant,
             d_equiv_embed=self.d_equiv_embed, kanchor=self.kanchor,
         )(input_states, memory_states, position_states, memory_masks,
-          equiv_states, points=points, use_flash=use_flash)
+          equiv_states, points=points, use_flash=use_flash,
+          femb_pack=femb_pack)
         return AttentionOutput(self.d_model, self.activation_fn)(hidden), aux

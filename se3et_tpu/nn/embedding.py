@@ -62,7 +62,8 @@ class GeometricStructureEmbedding(nn.Module):
     n_level_equiv: int = 0
 
     @nn.compact
-    def __call__(self, points, masks=None, fused=False, compute_equiv=True):
+    def __call__(self, points, masks=None, fused=False, compute_equiv=True,
+                 tables_only=False):
         """points: (B, N, 3); masks: (B, N) -> emb (B, N, N, C) [, eq (B, A, N, N, D)].
 
         ``fused=True`` computes the d/a sinusoid+projection tile-wise in one
@@ -70,6 +71,11 @@ class GeometricStructureEmbedding(nn.Module):
         the (B, N, M, [k,] C) fp32 sinusoids.  ``compute_equiv=False`` skips
         the (B, A, N, M, D) SH materialization (the flash RPE attention
         recomputes the degree-1 term from raw coordinates in-kernel).
+        ``tables_only=True`` computes NO embedding at all and returns
+        ``(wd, wa, knn_points)`` — the in-attention fused-embedding serving
+        path (``ops/pallas/rpe_attention.rpe_self_attention_femb``)
+        recomputes the tiles from raw geometry in-kernel; the parameter
+        declarations stay identical so checkpoints are interchangeable.
         """
         b, n, _ = points.shape
         c = self.hidden_dim
@@ -90,6 +96,9 @@ class GeometricStructureEmbedding(nn.Module):
         knn_points = jnp.take_along_axis(
             points, knn_idx.reshape(b, n * k, 1), axis=1
         ).reshape(b, n, k, 3)
+
+        if tables_only:
+            return wd, wa, knn_points
 
         if fused and self.reduction_a == "max" and n % 8 == 0:
             from se3et_tpu.ops.pallas.embedding import (

@@ -84,6 +84,12 @@ class ModelConfig:
     # escape hatch: disable the flash RPE self-attention on the SERVING path
     # (falls back to the XLA formulation + materialized embedding SH term)
     serve_fused_attention: bool = True
+    # serving route for the geometric embedding INSIDE the flash self
+    # layers: the (B, N, M, C) tensor never exists — tiles are recomputed
+    # in-kernel from raw coordinates (rpe_self_attention_femb).  Requires
+    # serve_fused_attention; falls back to the materialized embedding when
+    # shapes disqualify the flash route.
+    serve_femb: bool = True
     # escape hatches for the remaining serving Pallas kernels: the windowed
     # conv/max-pool/influence kernels and the Chebyshev geometric-embedding
     # kernel.  engine.tester.make_failsafe_forward walks these knobs if the
@@ -316,6 +322,8 @@ class SE3ETModel(nn.Module):
                 or (train and c.train_fused_attention)
             ),
             fused_attention_cross=(not train) and c.serve_fused_attention,
+            fused_femb=(not train) and c.serve_fused_attention
+            and c.serve_femb,
         )
         out["attn_matrix0"] = am0
         out["attn_matrix1"] = am1

@@ -191,7 +191,7 @@ class RPEConditionalTransformer(nn.Module):
                  masks1=None, equiv_embed0=None, equiv_embed1=None,
                  ref_normal=None, src_normal=None, use_flash=False,
                  points0=None, points1=None, stacked=None,
-                 use_flash_cross=None):
+                 use_flash_cross=None, femb_pack=None):
         """feats: (B, A, N, C) equivariant or (B, N, C) invariant coarse feats.
 
         ``stacked``: optional (emb, masks, points) with both clouds on the
@@ -215,7 +215,8 @@ class RPEConditionalTransformer(nn.Module):
                     emb_s, masks_s, points_s = stacked
                     ins = jnp.concatenate([in0, in1], axis=0)
                     outs, _ = layer(ins, ins, emb_s, memory_masks=masks_s,
-                                    points=points_s, use_flash=True)
+                                    points=points_s, use_flash=True,
+                                    femb_pack=femb_pack)
                     nb = in0.shape[0]
                     feats0, feats1 = outs[:nb], outs[nb:]
                 else:
@@ -442,7 +443,8 @@ class GeometricTransformer(nn.Module):
     def __call__(self, ref_points, src_points, ref_feats, src_feats,
                  ref_masks=None, src_masks=None, ref_normal=None,
                  src_normal=None, fused_embedding=False,
-                 fused_attention=False, fused_attention_cross=None):
+                 fused_attention=False, fused_attention_cross=None,
+                 fused_femb=False):
         """points: (B, N, 3); feats: (B, N, C_in) or (B, N, A, C_in).
 
         Returns (ref_out, src_out, ref_feat_m, src_feat_m, attn_matrix0,
@@ -468,6 +470,7 @@ class GeometricTransformer(nn.Module):
         )
         # both clouds batched through one embedding evaluation
         stacked = None
+        femb_pack = None
         if (
             ref_points.shape == src_points.shape
             and ref_masks is not None
@@ -475,10 +478,24 @@ class GeometricTransformer(nn.Module):
         ):
             pts = jnp.concatenate([ref_points, src_points], axis=0)
             mks = jnp.concatenate([ref_masks, src_masks], axis=0)
-            emb, eq_emb = embedding(pts, mks, fused=fused_embedding,
-                                    compute_equiv=not flash_self)
+            if flash_self and fused_femb and self.reduction_a == "max":
+                # in-attention fused embedding: the (B, N, M, C) tensor
+                # never exists — each flash self layer recomputes its tiles
+                # from raw geometry (rpe_self_attention_femb)
+                wd, wa, knn_pts = embedding(pts, mks, tables_only=True)
+                femb_pack = (knn_pts, wd, wa, self.sigma_d, self.sigma_a)
+                stacked = (None, mks, pts)
+                ref_emb = src_emb = None
+                ref_eq_emb = src_eq_emb = None
+                eq_emb = None
+                emb = None
+            else:
+                emb, eq_emb = embedding(pts, mks, fused=fused_embedding,
+                                        compute_equiv=not flash_self)
             nb = ref_points.shape[0]
-            if flash_self:
+            if emb is None:
+                pass
+            elif flash_self:
                 # flash self layers consume the stacked embedding directly —
                 # per-cloud slices of a custom-call operand would copy ~1 GB
                 ref_emb = src_emb = None
@@ -527,5 +544,6 @@ class GeometricTransformer(nn.Module):
             points1=src_points if flash_self else None,
             stacked=stacked,
             use_flash_cross=fused_attention_cross,
+            femb_pack=femb_pack,
         )
         return out_proj(f0), out_proj(f1), ref_feat_m, src_feat_m, am0, am1

@@ -269,6 +269,286 @@ def rpe_self_attention(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
                     block_n=block_n, block_m=block_m, interpret=interpret)[0]
 
 
+# --------------------------------------------------------------------------
+# Fused-embedding variant (serving): the geometric-structure embedding tile
+# is computed INSIDE the kernel from raw coordinates — the (B, N, M, C)
+# tensor never exists.  Deletes the embedding kernel's ~1 GB bf16 write
+# (chip write-bandwidth-floored at ~3 ms, bench_write_floor) and every self
+# layer's full-tensor re-read.  Chebyshev machinery identical to
+# ops/pallas/embedding.py (same fit tables -> same values as the
+# materialized bf16 tile up to f32 accumulation order).
+# --------------------------------------------------------------------------
+
+
+def _cheb_rows3(t, scratch, deg):
+    """Chebyshev basis (deg, bn, bm) of t (bn, bm) — the embedding kernel's
+    transposed 8-row-group construction, one trailing dim up (leading-axis
+    partial stores only)."""
+    tk_prev, tk = jnp.ones_like(t), t
+    two_t = 2.0 * t
+    rows = []
+    for j in range(deg):
+        rows.append(tk_prev[None])
+        tk_prev, tk = tk, two_t * tk - tk_prev
+        if len(rows) == 8:
+            g = j // 8
+            scratch[g * 8:(g + 1) * 8] = jnp.concatenate(rows, axis=0)
+            rows = []
+    return scratch[0:deg]
+
+
+def _fold_angular_geom(points3, knn_points, nb, block_n):
+    """Per-query coefficient rows for the in-kernel triplet-angle matmuls.
+
+    points3: (B, N, 3) f32; knn_points: (B, N, k, 3) f32 (the angle_k
+    nearest real nodes, reference ``geotransformer.py:88-96``).
+    Returns rk (B*nb, k*32, block_n): per angle-neighbor kk, four 8-row
+    coefficient groups (cos, cx, cy, cz) contracted against ``gm[0:8]``
+    (rows ``(1, -y_m, -z_m, -x_m, 0, idx, 0, 0)``, :func:`_fold_geom`):
+
+      cos_k = r.p_m - r.p_n          (r = knn_k - p_n)
+      (cx, cy, cz) = cross(r, p_m - p_n)
+
+    so ``angle = atan2(|cross|, cos)`` needs only proven score-tile matmul
+    patterns in-kernel (no pairwise-difference lane broadcasts).
+    """
+    b, n, kk, _ = knn_points.shape
+    x, y, z = points3[..., 0], points3[..., 1], points3[..., 2]  # (B, N)
+    r = knn_points - points3[:, :, None, :]  # (B, N, k, 3)
+    rx, ry, rz = r[..., 0], r[..., 1], r[..., 2]  # (B, N, k)
+    zero = jnp.zeros_like(rx)
+    rdotp = rx * x[..., None] + ry * y[..., None] + rz * z[..., None]
+    groups = [
+        # cos: coeffs over gm rows (1, -y_m, -z_m, -x_m)
+        jnp.stack([-rdotp, -ry, -rz, -rx], axis=-1),
+        # cx = ry z_m - rz y_m + (rz y_n - ry z_n)
+        jnp.stack([rz * y[..., None] - ry * z[..., None], rz, -ry, zero],
+                  axis=-1),
+        # cy = rz x_m - rx z_m + (rx z_n - rz x_n)
+        jnp.stack([rx * z[..., None] - rz * x[..., None], zero, rx, -rz],
+                  axis=-1),
+        # cz = rx y_m - ry x_m + (ry x_n - rx y_n)
+        jnp.stack([ry * x[..., None] - rx * y[..., None], -rx, zero, ry],
+                  axis=-1),
+    ]
+    # (B, N, k, 4 groups, 8 coeffs) -> (B*nb, k*32, block_n)
+    g4 = jnp.stack(groups, axis=3)  # (B, N, k, 4, 4)
+    g8 = jnp.concatenate([g4, jnp.zeros_like(g4)], axis=-1)  # (..., 8)
+    rk = g8.reshape(b, n, kk * 32)
+    rk = rk.reshape(b, nb, block_n, kk * 32).transpose(0, 1, 3, 2)
+    return rk.reshape(b * nb, kk * 32, block_n)
+
+
+def _femb_tile(gn_ref, gm_ref, rk_ref, gd_ref, ga_ref, scratch, *,
+               angle_k, deg_d, deg_a, inv_half_d):
+    """Geometric-embedding tile (bn, bm, C) f32, recomputed from geometry.
+
+    Matches ``ops/pallas/embedding._embedding_kernel`` semantics (Chebyshev
+    distance + max-over-k Chebyshev angle, biases DROPPED — they are
+    row-constant in the attention scores, a softmax no-op)."""
+    from se3et_tpu.ops.pallas.embedding import _atan2_pos
+
+    gn = gn_ref[0]  # (8, bn)
+    gm = gm_ref[0]  # (16, bm)
+    r2 = jax.lax.dot_general(
+        gn, gm[8:16], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bn, bm)
+    # self-pairs via the index rows: the matmul expansions cancel
+    # catastrophically at r ~ 0 (dist noise is harmless under clip, but the
+    # angle becomes atan2(noise, noise) = arbitrary); the reference
+    # evaluates the diagonal at dist = 0, angle = 0 exactly
+    didx = gn[5][:, None] - gm[5][None, :]
+    off_diag = didx * didx > 0.25  # (bn, bm)
+    dist = jnp.sqrt(jnp.maximum(r2, 0.0))
+    dist = jnp.where(off_diag, dist, 0.0)
+    t_d = jnp.clip(dist * inv_half_d - 1.0, -1.0, 1.0)
+    basis = _cheb_rows3(t_d, scratch, deg_d)
+    emb = jax.lax.dot_general(
+        basis, gd_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bn, bm, C)
+    rk = rk_ref[0]  # (k*32, bn)
+    gm8 = gm[0:8]
+    a_max = None
+    for kk in range(angle_k):
+        o = kk * 32
+        cos_v = jax.lax.dot_general(
+            rk[o:o + 8], gm8, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        cx = jax.lax.dot_general(
+            rk[o + 8:o + 16], gm8, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        cy = jax.lax.dot_general(
+            rk[o + 16:o + 24], gm8, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        cz = jax.lax.dot_general(
+            rk[o + 24:o + 32], gm8, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sin_v = jnp.sqrt(jnp.maximum(cx * cx + cy * cy + cz * cz, 0.0))
+        ang = _atan2_pos(sin_v, cos_v)  # (bn, bm) in [0, pi]
+        ang = jnp.where(off_diag, ang, 0.0)
+        t_a = jnp.clip(ang * np.float32(2.0 / np.pi) - 1.0, -1.0, 1.0)
+        basis_a = _cheb_rows3(t_a, scratch, deg_a)
+        a_emb = jax.lax.dot_general(
+            basis_a, ga_ref[...], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        a_max = a_emb if a_max is None else jnp.maximum(a_max, a_emb)
+    return emb + a_max
+
+
+def _kernel_femb(q_ref, k_ref, v_ref, qp_ref, km_ref, qw_ref, gn_ref,
+                 gm_ref, rk_ref, gd_ref, ga_ref, out_ref, acc, rowmax,
+                 rowsum, cheb, *, scale, with_eq, angle_k, deg_d, deg_a,
+                 inv_half_d):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+        rowmax[...] = jnp.full_like(rowmax, -jnp.inf)
+        rowsum[...] = jnp.zeros_like(rowsum)
+
+    kmask = km_ref[0, 0]  # (bm,)
+    emb_tile = _femb_tile(
+        gn_ref, gm_ref, rk_ref, gd_ref, ga_ref, cheb, angle_k=angle_k,
+        deg_d=deg_d, deg_a=deg_a, inv_half_d=inv_half_d,
+    ).astype(q_ref.dtype)  # bf16, matching the materialized kernel's output
+
+    # content scores (AH, bn, bm)
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    # positional scores against the in-tile embedding (bn, AH, bm)
+    sp = jax.lax.dot_general(
+        qp_ref[0], emb_tile, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    s = s + jnp.transpose(sp, (1, 0, 2))
+
+    if with_eq:
+        gn = gn_ref[0]
+        gm = gm_ref[0]
+        r2 = jax.lax.dot_general(
+            gn, gm[8:16], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rinv = _SH1_C / (jnp.sqrt(jnp.maximum(r2, 0.0)) + 1e-12)
+        didx = gn[5][:, None] - gm[5][None, :]
+        rinvk = jnp.where(didx * didx > 0.25, rinv, 0.0)
+        ah_, bn_ = qw_ref.shape[1], qw_ref.shape[2]
+        pre = jax.lax.dot_general(
+            qw_ref[0].reshape(ah_ * bn_, 8), gm[0:8],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ).reshape(ah_, bn_, gm.shape[1])
+        s = s + rinvk[None] * pre
+
+    s = s * scale
+    s = jnp.where(kmask[None, None, :] > 0, s, _NEG)
+
+    tmax = jnp.max(s, axis=2)
+    new_max = jnp.maximum(rowmax[...], tmax)
+    alpha = jnp.exp(rowmax[...] - new_max)
+    p = jnp.exp(s - new_max[:, :, None]) * kmask[None, None, :]
+    rowsum[...] = rowsum[...] * alpha + jnp.sum(p, axis=2)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    acc[...] = acc[...] * alpha[:, :, None] + pv
+    rowmax[...] = new_max
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _flush():
+        out_ref[0] = acc[...] / jnp.maximum(rowsum[...], 1e-30)[:, :, None]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "sigma_d", "sigma_a", "d_index_max",
+                     "block_n", "block_m", "interpret"),
+)
+def rpe_self_attention_femb(q, k, v, qp, k_masks, qw, points, knn_points,
+                            wd, wa, *, scale, sigma_d, sigma_a,
+                            d_index_max=48.0, block_n=16, block_m=128,
+                            interpret=False):
+    """Flash RPE self-attention with the embedding computed IN-KERNEL.
+
+    Args as :func:`_rpe_fwd` minus ``emb``, plus the raw geometry the
+    embedding derives from: ``points`` (B, 4, N) f32 coordinate rows,
+    ``knn_points`` (B, N, angle_k, 3) f32, and the UNFOLDED embedding
+    projections ``wd``/``wa`` (C_sin, C) — folded through the static
+    Chebyshev fit tables here (``G = A @ W``; biases dropped as softmax
+    no-ops).  Serving only (no VJP).  Reference semantics:
+    ``geotransformer.py:69-121`` + ``rpe_transformer.py:18-131``.
+    """
+    from se3et_tpu.ops.pallas.embedding import (
+        chebyshev_sinusoid_table, pick_deg,
+    )
+
+    b, ah, n, c = q.shape
+    assert n % block_n == 0 and n % block_m == 0, (n, block_n, block_m)
+    cc = wd.shape[1]
+    angle_k = knn_points.shape[2]
+    with_eq = qw is not None
+    if not with_eq:
+        qw = jnp.zeros((b, 3, ah, n), jnp.float32)
+
+    factor_a = 180.0 / (sigma_a * np.pi)
+    deg_d = pick_deg(cc, float(d_index_max))
+    deg_a = pick_deg(cc, float(np.pi * factor_a))
+    a_d = jnp.asarray(chebyshev_sinusoid_table(cc, float(d_index_max), deg_d))
+    a_a = jnp.asarray(
+        chebyshev_sinusoid_table(cc, float(np.pi * factor_a), deg_a)
+    )
+    g_d = a_d @ wd.astype(jnp.float32)
+    g_a = a_a @ wa.astype(jnp.float32)
+    inv_half_d = float(2.0 / (d_index_max * sigma_d))
+
+    km = k_masks.astype(jnp.float32)[:, None]
+    nb, mb = n // block_n, n // block_m
+    qw8_b, gn_b, gm = _fold_geom(qw, points, nb, block_n)
+    rk = _fold_angular_geom(
+        jnp.swapaxes(points[:, :3], 1, 2), knn_points, nb, block_n
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_femb, scale=scale, with_eq=with_eq, angle_k=angle_k,
+            deg_d=deg_d, deg_a=deg_a, inv_half_d=inv_half_d,
+        ),
+        grid=(b, nb, mb),
+        in_specs=[
+            pl.BlockSpec((1, ah, block_n, c), lambda bi, i, j: (bi, 0, i, 0)),
+            pl.BlockSpec((1, ah, block_m, c), lambda bi, i, j: (bi, 0, j, 0)),
+            pl.BlockSpec((1, ah, block_m, c), lambda bi, i, j: (bi, 0, j, 0)),
+            pl.BlockSpec((1, block_n, ah, cc), lambda bi, i, j: (bi, i, 0, 0)),
+            pl.BlockSpec((1, 1, block_m), lambda bi, i, j: (bi, 0, j)),
+            pl.BlockSpec((1, ah, block_n, 8),
+                         lambda bi, i, j: (bi * nb + i, 0, 0, 0)),
+            pl.BlockSpec((1, 8, block_n), lambda bi, i, j: (bi * nb + i, 0, 0)),
+            pl.BlockSpec((1, 16, block_m), lambda bi, i, j: (bi, 0, j)),
+            pl.BlockSpec((1, angle_k * 32, block_n),
+                         lambda bi, i, j: (bi * nb + i, 0, 0)),
+            pl.BlockSpec((deg_d, cc), lambda bi, i, j: (0, 0)),
+            pl.BlockSpec((deg_a, cc), lambda bi, i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, ah, block_n, c),
+                               lambda bi, i, j: (bi, 0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, ah, n, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((ah, block_n, c), jnp.float32),
+            pltpu.VMEM((ah, block_n), jnp.float32),
+            pltpu.VMEM((ah, block_n), jnp.float32),
+            pltpu.VMEM((max(deg_d, deg_a), block_n, block_m), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, qp, km, qw8_b, gn_b, gm, rk, g_d, g_a)
+    return out
+
+
 def _bwd_p_kernel(q_ref, k_ref, qp_ref, emb_ref, km_ref, qw_ref,
                   gn_ref, gm_ref, mx_ref, sm_ref, p_ref,
                   *, scale, with_eq):

@@ -104,15 +104,18 @@ def sinkhorn_pallas(
     out = pl.pallas_call(
         functools.partial(_sinkhorn_kernel, num_iterations=num_iterations),
         grid=(bb // tile,),
+        # NOTE: no explicit memory_space — BlockSpec(memory_space=VMEM)
+        # places the FULL operand in VMEM on this pallas version (the
+        # KITTI-shape (256, 129, 129) f32 operand = 17.04M blew the 16M
+        # scoped limit regardless of tile, round 4); default blocked
+        # staging streams (tile, m, n) slabs instead.
         in_specs=[
-            pl.BlockSpec((tile, m, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, n, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, m, n), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tile, n, m), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tile, m), lambda i: (i, 0)),
+            pl.BlockSpec((tile, n), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (tile, m, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec((tile, m, n), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bb, m, n), padded_scores.dtype),
         interpret=interpret,
     )(padded_scores, jnp.swapaxes(padded_scores, 1, 2), log_mu, log_nu)

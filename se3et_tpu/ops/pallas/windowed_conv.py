@@ -316,7 +316,10 @@ def _wf_bwd_win_kernel(local_ref, infl_ref, dout_ref, dwin_ref, sacc, *, mp,
             preferred_element_type=jnp.float32,
         )  # (MP, K, W)
     s = sacc[...].astype(dt).reshape(mp * k, w)
-    dout = dout_ref[0, 0].reshape(mp * k, ac)  # leading split: free
+    # d_out arrives PRE-RESHAPED to (MP*K, AC) blocks (XLA-side): the
+    # in-kernel (MP, K*AC) -> (MP*K, AC) cast is only legal when AC is
+    # lane-aligned — Mosaic rejects it at AC=192 (round 4, stage-0 train)
+    dout = dout_ref[0, 0]
     dwin_ref[0, 0] += jax.lax.dot_general(
         s, dout, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -362,10 +365,9 @@ def _wf_bwd_win(local, infl, d_out, *, nblk_q, w, k, hc=None,
             infl, ((0, 0), (0, 0), (0, h_pad - infl.shape[2]), (0, 0))
         )
     nsub = nblk_q * spb
-    # d_out arrives (MP, K*AC) flat; the kernel reads it as (MP*K, AC) via a
-    # leading-dim split of the (MP, K, AC) view.  bf16 matmuls when the
-    # training features are bf16; exact f32 otherwise.
-    d3 = d_out.reshape(b, nsub, mp, k * ac)
+    # reshape d_out to (MP*K, AC) blocks in XLA — see _wf_bwd_win_kernel.
+    # bf16 matmuls when the training features are bf16; exact f32 otherwise.
+    d3 = d_out.reshape(b, nsub, mp * k, ac)
     infl = infl.astype(d_out.dtype)
     kernel = functools.partial(
         _wf_bwd_win_kernel, mp=mp, hc=hc, n_hc=h_pad // hc, w=w, k=k, ac=ac,
@@ -377,7 +379,7 @@ def _wf_bwd_win(local, infl, d_out, *, nblk_q, w, k, hc=None,
         in_specs=[
             pl.BlockSpec((1, 1, mp, h_pad), lambda bi, i: (bi, i, 0, 0)),
             pl.BlockSpec((1, 1, mp, h_pad, k), lambda bi, i: (bi, i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, mp, k * ac), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((1, 1, mp * k, ac), lambda bi, i: (bi, i, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, w, ac), lambda bi, i, spb=spb: (bi, i // spb, 0, 0)

@@ -388,3 +388,103 @@ def test_conditional_transformer_alternates():
     params = lr.init(jax.random.PRNGKey(2), f0, f1, idx0, idx1, m0, m1)
     o0, o1 = lr.apply(params, f0, f1, idx0, idx1, m0, m1)
     assert o0.shape == (b, n, c) and np.isfinite(np.asarray(o0)).all()
+
+
+def test_flash_femb_matches_materialized_emb():
+    """The fused-embedding flash kernel (embedding recomputed IN-KERNEL from
+    raw coordinates; interpret mode) == the flash kernel over the
+    materialized Chebyshev bf16 embedding.  Dropped projection biases are
+    softmax no-ops; the distance comes from the r^2 matmul expansion and the
+    angles from the coefficient-row matmuls, so agreement here validates the
+    whole geometry folding chain."""
+    from se3et_tpu.ops.pallas import rpe_attention as fr
+    from se3et_tpu.ops.pallas.embedding import geometric_embedding_pallas
+
+    rng = np.random.RandomState(11)
+    b, ah, n, c, cc, ka = 1, 6, 128, 16, 64, 3
+    sigma_d, sigma_a = 0.2, 15.0
+
+    pts = rng.uniform(0, 1, size=(b, n, 3)).astype(np.float32)
+    # angle_k nearest neighbors, self excluded (embedding-module semantics)
+    d2 = ((pts[:, :, None, :] - pts[:, None, :, :]) ** 2).sum(-1)
+    knn_idx = np.argsort(d2, axis=2)[:, :, 1:ka + 1]
+    knn_pts = np.take_along_axis(
+        pts[:, :, None, :], knn_idx[..., None], axis=1
+    )
+    wd = (rng.normal(size=(cc, cc)) * 0.1).astype(np.float32)
+    bd = (rng.normal(size=(cc,)) * 0.1).astype(np.float32)
+    wa = (rng.normal(size=(cc, cc)) * 0.1).astype(np.float32)
+    ba = (rng.normal(size=(cc,)) * 0.1).astype(np.float32)
+
+    emb = geometric_embedding_pallas(
+        jnp.asarray(pts), jnp.asarray(knn_pts), jnp.asarray(wd),
+        jnp.asarray(bd), jnp.asarray(wa), jnp.asarray(ba),
+        sigma_d=sigma_d, sigma_a=sigma_a, interpret=True,
+    )
+
+    q = jnp.asarray(rng.normal(size=(b, ah, n, c)).astype(np.float32))
+    qp = jnp.asarray((rng.normal(size=(b, n, ah, cc)) * 0.3)
+                     .astype(np.float32))
+    km = jnp.asarray(np.arange(n) < n - 7)[None]
+    qw = jnp.asarray((rng.normal(size=(b, 3, ah, n)) * 0.3)
+                     .astype(np.float32))
+    p4 = jnp.asarray(
+        np.concatenate([pts, np.zeros((b, n, 1), np.float32)], -1)
+        .swapaxes(1, 2)
+    )
+
+    ref = fr.rpe_self_attention(
+        q, q, q, qp, emb, km, qw, p4, scale=0.25, block_n=16, block_m=128,
+        interpret=True,
+    )
+    got = fr.rpe_self_attention_femb(
+        q, q, q, qp, km, qw, p4, jnp.asarray(knn_pts), jnp.asarray(wd),
+        jnp.asarray(wa), scale=0.25, sigma_d=sigma_d, sigma_a=sigma_a,
+        interpret=True,
+    )
+    ref, got = np.asarray(ref), np.asarray(got)
+    valid = np.asarray(km)[0]
+    np.testing.assert_allclose(
+        got[..., valid, :], ref[..., valid, :], rtol=3e-3, atol=3e-3
+    )
+
+
+def test_transformer_femb_matches_flash():
+    """GeometricTransformer with fused_femb (embedding recomputed inside the
+    flash self layers; no (B, N, M, C) tensor) == the flash path over the
+    materialized embedding, to embedding-quantization tolerance."""
+    from se3et_tpu.nn.transformer import GeometricTransformer
+
+    rng = np.random.RandomState(13)
+    b, n, cin, c, a = 1, 128, 24, 16, 6
+    model = GeometricTransformer(
+        input_dim=cin, output_dim=c, hidden_dim=c, num_heads=2,
+        blocks=("self_eq", "cross_a_soft", "self_eq", "cross_r_soft",
+                "self", "cross"),
+        sigma_d=0.2, sigma_a=15.0, angle_k=3, na=a, n_level_equiv=2,
+    )
+    ref_points = jnp.asarray(rng.uniform(0, 1, (b, n, 3)).astype(np.float32))
+    src_points = jnp.asarray(rng.uniform(0, 1, (b, n, 3)).astype(np.float32))
+    ref_feats = jnp.asarray(rng.randn(b, n, a, cin).astype(np.float32))
+    src_feats = jnp.asarray(rng.randn(b, n, a, cin).astype(np.float32))
+    ref_masks = jnp.asarray(np.arange(n) < n - 5)[None]
+    src_masks = jnp.asarray(np.arange(n) < n - 9)[None]
+    params = model.init(
+        jax.random.PRNGKey(0), ref_points, src_points, ref_feats, src_feats,
+        ref_masks, src_masks,
+    )
+    out_ref = model.apply(params, ref_points, src_points, ref_feats,
+                          src_feats, ref_masks, src_masks,
+                          fused_attention=True, fused_embedding=True)
+    out_new = model.apply(params, ref_points, src_points, ref_feats,
+                          src_feats, ref_masks, src_masks,
+                          fused_attention=True, fused_femb=True)
+    for i in (0, 1):
+        r = np.asarray(out_ref[i])
+        g = np.asarray(out_new[i])
+        valid = np.asarray(ref_masks if i == 0 else src_masks)[0]
+        scale = np.abs(r).max() + 1e-9
+        np.testing.assert_allclose(
+            g[:, valid], r[:, valid], atol=1e-2 * scale,
+            err_msg=f"output {i}",
+        )

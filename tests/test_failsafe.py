@@ -41,8 +41,11 @@ def _toy_pair_data(seed=0):
 def test_ladder_rungs():
     cfg = _toy_model_cfg()
     tags = [t for t, _ in serving_config_ladder(cfg)]
-    assert tags == ["fused", "xla-attention", "xla-all"]
+    assert tags == ["fused", "materialized-embedding", "xla-attention",
+                    "xla-all"]
     cfgs = dict(serving_config_ladder(cfg))
+    assert cfgs["materialized-embedding"].serve_femb is False
+    assert cfgs["materialized-embedding"].serve_fused_attention is True
     assert cfgs["xla-attention"].serve_fused_attention is False
     assert cfgs["xla-attention"].serve_fused_conv is True
     assert cfgs["xla-all"].serve_fused_conv is False
@@ -53,6 +56,7 @@ def test_ladder_rungs():
         serve_fused_attention=False,
         serve_fused_conv=False,
         serve_fused_embedding=False,
+        serve_femb=False,
     )
     assert [t for t, _ in serving_config_ladder(bare)] == ["fused"]
 
@@ -89,6 +93,7 @@ def test_failsafe_survives_attention_kernel_failure(monkeypatch):
         raise RuntimeError("forced Mosaic lowering failure (test)")
 
     monkeypatch.setattr(rpe_attention, "rpe_self_attention_trainable", boom)
+    monkeypatch.setattr(rpe_attention, "rpe_self_attention_femb", boom)
     build, holder = _build_forward_factory(data)
     forward = make_failsafe_forward(cfg, build)
     out = forward(params, data)
@@ -121,6 +126,7 @@ def test_failsafe_survives_embedding_kernel_failure(monkeypatch):
     # the nn layers import these symbols fresh at call time from the module,
     # so patching the module attrs is sufficient
     monkeypatch.setattr(rpe_attention, "rpe_self_attention_trainable", boom)
+    monkeypatch.setattr(rpe_attention, "rpe_self_attention_femb", boom)
     monkeypatch.setattr(emb_mod, "geometric_embedding_trainable", boom)
     build, holder = _build_forward_factory(data)
     forward = make_failsafe_forward(cfg, build)
