@@ -88,8 +88,13 @@ class ModelConfig:
     # layers: the (B, N, M, C) tensor never exists — tiles are recomputed
     # in-kernel from raw coordinates (rpe_self_attention_femb).  Requires
     # serve_fused_attention; falls back to the materialized embedding when
-    # shapes disqualify the flash route.
-    serve_femb: bool = True
+    # shapes disqualify the flash route.  Default OFF: measured 79.0 ms vs
+    # 68.2 ms materialized at the round-4 production shape — the bn=16
+    # tile recompute (small matmuls + per-tile Chebyshev/atan2 VPU work +
+    # 4x the K/V re-fetch sweeps) costs more than the deleted ~1 GB write
+    # + reads save.  Kept as an opt-in (and a failsafe-ladder rung) for
+    # shapes where the embedding tensor dominates HBM.
+    serve_femb: bool = False
     # escape hatches for the remaining serving Pallas kernels: the windowed
     # conv/max-pool/influence kernels and the Chebyshev geometric-embedding
     # kernel.  engine.tester.make_failsafe_forward walks these knobs if the

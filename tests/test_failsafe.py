@@ -40,12 +40,17 @@ def _toy_pair_data(seed=0):
 
 def test_ladder_rungs():
     cfg = _toy_model_cfg()
-    tags = [t for t, _ in serving_config_ladder(cfg)]
+    # femb is opt-in (default off, see ModelConfig); its rung appears when on
+    femb_cfg = dataclasses.replace(cfg, serve_femb=True)
+    tags = [t for t, _ in serving_config_ladder(femb_cfg)]
     assert tags == ["fused", "materialized-embedding", "xla-attention",
                     "xla-all"]
+    fcfgs = dict(serving_config_ladder(femb_cfg))
+    assert fcfgs["materialized-embedding"].serve_femb is False
+    assert fcfgs["materialized-embedding"].serve_fused_attention is True
+    tags = [t for t, _ in serving_config_ladder(cfg)]
+    assert tags == ["fused", "xla-attention", "xla-all"]
     cfgs = dict(serving_config_ladder(cfg))
-    assert cfgs["materialized-embedding"].serve_femb is False
-    assert cfgs["materialized-embedding"].serve_fused_attention is True
     assert cfgs["xla-attention"].serve_fused_attention is False
     assert cfgs["xla-attention"].serve_fused_conv is True
     assert cfgs["xla-all"].serve_fused_conv is False
