@@ -12,6 +12,7 @@ Baseline: the BASELINE.json north star of >= 20 registration pairs/sec per
 TPU v5e chip.
 """
 
+import functools
 import json
 import os
 import sys
@@ -35,6 +36,7 @@ def main():
     import __graft_entry__ as graft
     from se3et_tpu.experiments import make_cfg
     from se3et_tpu.nn.model import SE3ETModel
+    from se3et_tpu.utils.jitopt import MODEL_JIT_OPTIONS
 
     # honest production shapes: the registered se3ete.3dmatch config
     # (point_limit 20000 -> stage caps 20000/10000/2500/1024, coarse 1000).
@@ -65,7 +67,7 @@ def main():
     # is ~nil — the model is bandwidth-bound per pair — and large batches can
     # crash the remote compiler, so the headline defaults to single-pair.
     batch_size = int(os.environ.get("BENCH_BATCH", "0"))
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=MODEL_JIT_OPTIONS)
     def forward(params, data):
         # pure serving path: no ground-truth overlap computation
         return model.apply(
@@ -82,7 +84,7 @@ def main():
         )
         batch = {k: jax.numpy.asarray(v) for k, v in batch.items()}
 
-        @jax.jit
+        @functools.partial(jax.jit, compiler_options=MODEL_JIT_OPTIONS)
         def forward_batched(params, batch):
             return jax.vmap(lambda d: model.apply(
                 params, d, train=False, with_registration=True
@@ -99,7 +101,8 @@ def main():
     # sinkhorn + LGR, everything in the compiled graph) for MFU attribution
     flops = None
     try:
-        cost = jax.jit(forward).lower(params, datas[0]).compile().cost_analysis()
+        cost = (jax.jit(forward, compiler_options=MODEL_JIT_OPTIONS)
+                .lower(params, datas[0]).compile().cost_analysis())
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) or None
@@ -122,7 +125,7 @@ def main():
         )
         batch_size = 0  # the batched closure still holds the flash model
 
-        @jax.jit
+        @functools.partial(jax.jit, compiler_options=MODEL_JIT_OPTIONS)
         def forward(params, data):
             return model.apply(
                 params, data, train=False, with_registration=True,

@@ -42,6 +42,7 @@ def main():
     from se3et_tpu.experiments import make_cfg
     from se3et_tpu.nn.init_util import jit_init
     from se3et_tpu.nn.model import SE3ETModel
+    from se3et_tpu.utils.jitopt import MODEL_JIT_OPTIONS
 
     cfg = make_cfg(args.exp)
     model = SE3ETModel(cfg.model)
@@ -73,7 +74,8 @@ def main():
                     with_gt=False, stop_after=stop,
                 ))
                 if jnp.issubdtype(leaf.dtype, jnp.floating)
-            )
+            ),
+            compiler_options=MODEL_JIT_OPTIONS,
         )
         float(fn(params, data))
         t0 = time.time()
@@ -100,6 +102,8 @@ def _backbone_prefixes(model, params, data, reps, fused=True):
     import jax
     import jax.numpy as jnp
 
+    from se3et_tpu.utils.jitopt import MODEL_JIT_OPTIONS
+
     cuts = [0, 1, 2, 3, -1]
     labels = ["stage 0 (+lift)", "stage 1", "stage 2", "stage 3",
               "inv-pool + decoder"]
@@ -114,7 +118,8 @@ def _backbone_prefixes(model, params, data, reps, fused=True):
                         d["features"], d, fused=fused, stop_stage=cut
                     )
                 )
-            )
+            ),
+            compiler_options=MODEL_JIT_OPTIONS,
         )
         float(bb(params, data))
         t0 = time.time()

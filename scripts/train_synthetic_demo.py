@@ -10,6 +10,7 @@ Usage:  python scripts/train_synthetic_demo.py [--steps 300] [--val_pairs 12]
 """
 
 import argparse
+import functools
 import os.path as osp
 import sys
 import time
@@ -201,9 +202,12 @@ def _build_and_run(args, pcfg, mcfg, lcfg, ecfg):
                       with_registration=False)
     tx = optax.adamw(args.lr, weight_decay=1e-6)
     opt_state = tx.init(params)
-    step = jax.jit(make_train_step(model, lcfg, tx, loss_scale=args.loss_scale), donate_argnums=(0, 1))
+    from se3et_tpu.utils.jitopt import MODEL_JIT_OPTIONS
 
-    @jax.jit
+    step = jax.jit(make_train_step(model, lcfg, tx, loss_scale=args.loss_scale),
+                   donate_argnums=(0, 1), compiler_options=MODEL_JIT_OPTIONS)
+
+    @functools.partial(jax.jit, compiler_options=MODEL_JIT_OPTIONS)
     def val_step(p, d):
         out = model.apply(p, d, train=False, with_registration=True)
         return loss_lib.evaluate(out, d, ecfg)

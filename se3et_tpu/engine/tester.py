@@ -118,7 +118,9 @@ class Tester:
                 metrics = loss_lib.evaluate(out, data, eval_cfg)
                 return out, metrics
 
-            return jax.jit(forward)
+            from se3et_tpu.utils.jitopt import MODEL_JIT_OPTIONS
+
+            return jax.jit(forward, compiler_options=MODEL_JIT_OPTIONS)
 
         self._forward = make_failsafe_forward(
             self.model_cfg, build_forward, logger=self.logger

@@ -185,8 +185,11 @@ class Trainer:
             metrics.update(losses)
             return metrics
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
-        self._val_step = jax.jit(val_step)
+        from se3et_tpu.utils.jitopt import MODEL_JIT_OPTIONS
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1),
+                                   compiler_options=MODEL_JIT_OPTIONS)
+        self._val_step = jax.jit(val_step, compiler_options=MODEL_JIT_OPTIONS)
 
         if self.data_parallel:
             from se3et_tpu.engine.steps import make_batched_train_step
@@ -208,6 +211,7 @@ class Trainer:
             self._batched_train_step = jax.jit(
                 make_batched_train_step(model, loss_cfg, tx),
                 donate_argnums=(0, 1),
+                compiler_options=MODEL_JIT_OPTIONS,
             )
             self.logger.info(f"single-device pair batching x{self.batch_size}")
         else:
