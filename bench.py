@@ -36,7 +36,7 @@ def main():
     import __graft_entry__ as graft
     from se3et_tpu.experiments import make_cfg
     from se3et_tpu.nn.model import SE3ETModel
-    from se3et_tpu.utils.jitopt import MODEL_JIT_OPTIONS
+    from se3et_tpu.utils.jitopt import serving_jit_options
 
     # honest production shapes: the registered se3ete.3dmatch config
     # (point_limit 20000 -> stage caps 20000/10000/2500/1024, coarse 1000).
@@ -67,7 +67,9 @@ def main():
     # is ~nil — the model is bandwidth-bound per pair — and large batches can
     # crash the remote compiler, so the headline defaults to single-pair.
     batch_size = int(os.environ.get("BENCH_BATCH", "0"))
-    @functools.partial(jax.jit, compiler_options=MODEL_JIT_OPTIONS)
+    jit_opts = serving_jit_options(model_cfg)
+
+    @functools.partial(jax.jit, compiler_options=jit_opts)
     def forward(params, data):
         # pure serving path: no ground-truth overlap computation
         return model.apply(
@@ -84,7 +86,7 @@ def main():
         )
         batch = {k: jax.numpy.asarray(v) for k, v in batch.items()}
 
-        @functools.partial(jax.jit, compiler_options=MODEL_JIT_OPTIONS)
+        @functools.partial(jax.jit, compiler_options=jit_opts)
         def forward_batched(params, batch):
             return jax.vmap(lambda d: model.apply(
                 params, d, train=False, with_registration=True
@@ -101,8 +103,9 @@ def main():
     # sinkhorn + LGR, everything in the compiled graph) for MFU attribution
     flops = None
     try:
-        cost = (jax.jit(forward, compiler_options=MODEL_JIT_OPTIONS)
-                .lower(params, datas[0]).compile().cost_analysis())
+        # ``forward`` is already the top-level jit (with compiler options);
+        # re-wrapping it in another jit errors on nested compiler_options
+        cost = forward.lower(params, datas[0]).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) or None
@@ -125,7 +128,7 @@ def main():
         )
         batch_size = 0  # the batched closure still holds the flash model
 
-        @functools.partial(jax.jit, compiler_options=MODEL_JIT_OPTIONS)
+        @functools.partial(jax.jit, compiler_options=jit_opts)
         def forward(params, data):
             return model.apply(
                 params, data, train=False, with_registration=True,

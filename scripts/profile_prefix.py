@@ -42,7 +42,7 @@ def main():
     from se3et_tpu.experiments import make_cfg
     from se3et_tpu.nn.init_util import jit_init
     from se3et_tpu.nn.model import SE3ETModel
-    from se3et_tpu.utils.jitopt import MODEL_JIT_OPTIONS
+    from se3et_tpu.utils.jitopt import serving_jit_options
 
     cfg = make_cfg(args.exp)
     model = SE3ETModel(cfg.model)
@@ -75,7 +75,7 @@ def main():
                 ))
                 if jnp.issubdtype(leaf.dtype, jnp.floating)
             ),
-            compiler_options=MODEL_JIT_OPTIONS,
+            compiler_options=serving_jit_options(cfg.model),
         )
         float(fn(params, data))
         t0 = time.time()
@@ -102,7 +102,7 @@ def _backbone_prefixes(model, params, data, reps, fused=True):
     import jax
     import jax.numpy as jnp
 
-    from se3et_tpu.utils.jitopt import MODEL_JIT_OPTIONS
+    from se3et_tpu.utils.jitopt import serving_jit_options
 
     cuts = [0, 1, 2, 3, -1]
     labels = ["stage 0 (+lift)", "stage 1", "stage 2", "stage 3",

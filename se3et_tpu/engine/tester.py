@@ -118,9 +118,11 @@ class Tester:
                 metrics = loss_lib.evaluate(out, data, eval_cfg)
                 return out, metrics
 
-            from se3et_tpu.utils.jitopt import MODEL_JIT_OPTIONS
+            from se3et_tpu.utils.jitopt import serving_jit_options
 
-            return jax.jit(forward, compiler_options=MODEL_JIT_OPTIONS)
+            return jax.jit(
+                forward, compiler_options=serving_jit_options(model_cfg)
+            )
 
         self._forward = make_failsafe_forward(
             self.model_cfg, build_forward, logger=self.logger

@@ -185,11 +185,15 @@ class Trainer:
             metrics.update(losses)
             return metrics
 
-        from se3et_tpu.utils.jitopt import MODEL_JIT_OPTIONS
+        from se3et_tpu.utils.jitopt import (
+            TRAIN_JIT_OPTIONS, serving_jit_options,
+        )
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1),
-                                   compiler_options=MODEL_JIT_OPTIONS)
-        self._val_step = jax.jit(val_step, compiler_options=MODEL_JIT_OPTIONS)
+                                   compiler_options=TRAIN_JIT_OPTIONS)
+        self._val_step = jax.jit(
+            val_step, compiler_options=serving_jit_options(self.model_cfg)
+        )
 
         if self.data_parallel:
             from se3et_tpu.engine.steps import make_batched_train_step
@@ -211,7 +215,7 @@ class Trainer:
             self._batched_train_step = jax.jit(
                 make_batched_train_step(model, loss_cfg, tx),
                 donate_argnums=(0, 1),
-                compiler_options=MODEL_JIT_OPTIONS,
+                compiler_options=TRAIN_JIT_OPTIONS,
             )
             self.logger.info(f"single-device pair batching x{self.batch_size}")
         else:

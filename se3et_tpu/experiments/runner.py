@@ -381,14 +381,14 @@ def run_demo(cfg: ExperimentConfig, argv=None):
     from se3et_tpu.engine.tester import make_failsafe_forward
 
     def build_forward(model_cfg):
-        from se3et_tpu.utils.jitopt import MODEL_JIT_OPTIONS
+        from se3et_tpu.utils.jitopt import serving_jit_options
 
         model = SE3ETModel(model_cfg)
         return jax.jit(
             lambda p, data: model.apply(
                 p, data, train=False, with_registration=True
             ),
-            compiler_options=MODEL_JIT_OPTIONS,
+            compiler_options=serving_jit_options(model_cfg),
         )
 
     forward = make_failsafe_forward(cfg.model, build_forward, logger=logger)

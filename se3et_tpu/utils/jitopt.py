@@ -8,23 +8,60 @@ sized for (measured round 4, real v5e):
 
 * the flash RPE forward under ``jvp`` returns (out f32 12.6 MB, rowmax,
   rowsum) — XLA stacked the tuple in scoped VMEM and blew the limit by
-  0.7-1.0 MB (``rpe_attention.py:222``);
+  0.7-1.0 MB (``rpe_attention.py:222``), killing every training compile;
 * the KITTI-shape Sinkhorn output (256, 129, 129) f32 = 17.04 MB was
   scoped-allocated whole, exceeding the limit on its own
   (``sinkhorn.py:104``).
 
-v5e has 128 MB of VMEM; raising the scoped limit to 64 MB gives the
-placement pass and the kernels disjoint headroom.  The flag is a
-DebugOptions field, so it forwards through the remote-compile relay
-per-compile, and XLA:CPU accepts (and ignores) it — safe for the CPU test
-suite and the multichip dryrun.
+v5e has 128 MB of VMEM, so raising the scoped limit to 64 MB fixes both —
+but it is NOT free: the placement pass uses the extra headroom on the
+flagship serving graph too, measured +3.4 ms/pair (71.7 vs 68.3 back-to-
+back, round 4).  So the bump is scoped: always on for training graphs
+(they cannot compile without it), and on for serving only when a kernel
+output alone approaches the 16 MB limit (KITTI's 129x129 patch matrices).
+
+The flag is a DebugOptions field, so it forwards through the remote-compile
+relay per-compile, and XLA:CPU accepts (and ignores) it — safe for the CPU
+test suite and the multichip dryrun.  ``SE3ET_SCOPED_VMEM_KIB`` overrides
+the limit for A/B runs (0 = never pass the option).
 """
 
 from __future__ import annotations
 
-SCOPED_VMEM_KIB = 65536
+import os
 
-#: pass as ``jax.jit(..., compiler_options=MODEL_JIT_OPTIONS)`` on any jit
-#: whose graph contains Pallas kernels at production shapes (serving
-#: forward, train step, profiling prefixes).
-MODEL_JIT_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": SCOPED_VMEM_KIB}
+_ENV = os.environ.get("SE3ET_SCOPED_VMEM_KIB")
+SCOPED_VMEM_KIB = int(_ENV) if _ENV is not None else 65536
+
+
+def _opts(needed: bool) -> dict:
+    if _ENV is not None:  # explicit A/B override wins both ways
+        return (
+            {"xla_tpu_scoped_vmem_limit_kib": SCOPED_VMEM_KIB}
+            if SCOPED_VMEM_KIB > 0 else {}
+        )
+    return {"xla_tpu_scoped_vmem_limit_kib": SCOPED_VMEM_KIB} if needed else {}
+
+
+#: training-graph jits (train steps, val-under-trainer, grad profiles):
+#: the flash RPE forward's residual tuple lands in scoped VMEM under jvp,
+#: so these graphs need the raised limit unconditionally.
+TRAIN_JIT_OPTIONS = _opts(True)
+
+#: backward-compat alias (train semantics — the safe default for scripts)
+MODEL_JIT_OPTIONS = TRAIN_JIT_OPTIONS
+
+
+def serving_jit_options(model_cfg) -> dict:
+    """Serving-forward jit options for this model config.
+
+    Bumps the scoped limit only when the Sinkhorn kernel's full output
+    (``(num_correspondences, p+1, p+1)`` f32, ``nn/matching.py:78``) is
+    close enough to 16 MB that XLA's whole-output scoped allocation can
+    abort the compile; the flagship 3DMatch shape (256, 65, 65) stays on
+    the measured-faster default placement.
+    """
+    p = int(getattr(model_cfg, "num_points_in_patch", 0)) + 1
+    corr = int(getattr(model_cfg, "num_correspondences", 0))
+    sinkhorn_bytes = 4 * corr * p * p
+    return _opts(sinkhorn_bytes > 14e6)
