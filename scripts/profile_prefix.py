@@ -102,7 +102,7 @@ def _backbone_prefixes(model, params, data, reps, fused=True):
     import jax
     import jax.numpy as jnp
 
-    from se3et_tpu.utils.jitopt import serving_jit_options
+    from se3et_tpu.utils.jitopt import train_jit_options
 
     cuts = [0, 1, 2, 3, -1]
     labels = ["stage 0 (+lift)", "stage 1", "stage 2", "stage 3",
@@ -119,7 +119,7 @@ def _backbone_prefixes(model, params, data, reps, fused=True):
                     )
                 )
             ),
-            compiler_options=MODEL_JIT_OPTIONS,
+            compiler_options=train_jit_options(),
         )
         float(bb(params, data))
         t0 = time.time()

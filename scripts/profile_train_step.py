@@ -68,10 +68,10 @@ def main():
                       with_registration=False)
     tx = optax.adamw(1e-4, weight_decay=1e-6)
     opt_state = tx.init(params)
-    from se3et_tpu.utils.jitopt import TRAIN_JIT_OPTIONS
+    from se3et_tpu.utils.jitopt import train_jit_options
 
     step = jax.jit(make_train_step(model, cfg.loss, tx),
-                   donate_argnums=(0, 1), compiler_options=TRAIN_JIT_OPTIONS)
+                   donate_argnums=(0, 1), compiler_options=train_jit_options())
 
     rng = jax.random.PRNGKey(7)
     print("compiling + first step...", flush=True)

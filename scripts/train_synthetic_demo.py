@@ -202,10 +202,10 @@ def _build_and_run(args, pcfg, mcfg, lcfg, ecfg):
                       with_registration=False)
     tx = optax.adamw(args.lr, weight_decay=1e-6)
     opt_state = tx.init(params)
-    from se3et_tpu.utils.jitopt import TRAIN_JIT_OPTIONS, serving_jit_options
+    from se3et_tpu.utils.jitopt import serving_jit_options, train_jit_options
 
     step = jax.jit(make_train_step(model, lcfg, tx, loss_scale=args.loss_scale),
-                   donate_argnums=(0, 1), compiler_options=TRAIN_JIT_OPTIONS)
+                   donate_argnums=(0, 1), compiler_options=train_jit_options())
 
     @functools.partial(jax.jit,
                        compiler_options=serving_jit_options(mcfg))

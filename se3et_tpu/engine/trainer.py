@@ -186,11 +186,11 @@ class Trainer:
             return metrics
 
         from se3et_tpu.utils.jitopt import (
-            TRAIN_JIT_OPTIONS, serving_jit_options,
+            serving_jit_options, train_jit_options,
         )
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1),
-                                   compiler_options=TRAIN_JIT_OPTIONS)
+                                   compiler_options=train_jit_options())
         self._val_step = jax.jit(
             val_step, compiler_options=serving_jit_options(self.model_cfg)
         )
@@ -215,7 +215,7 @@ class Trainer:
             self._batched_train_step = jax.jit(
                 make_batched_train_step(model, loss_cfg, tx),
                 donate_argnums=(0, 1),
-                compiler_options=TRAIN_JIT_OPTIONS,
+                compiler_options=train_jit_options(),
             )
             self.logger.info(f"single-device pair batching x{self.batch_size}")
         else:

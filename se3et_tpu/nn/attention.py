@@ -1,9 +1,10 @@
 r"""Multi-head attention layers: invariant, RPE, and anchor-equivariant.
 
 TPU-native port of ``geotransformer/modules/transformer/{vanilla_transformer,
-rpe_transformer,output_layer}.py``.  Faithful to the reference semantics with
-the fixed hyper-choices the shipped configs use (``attn_r_multihead=False``,
-``attn_on_sub=False``, ``attn_r_summ='mean'``, no dropout), plus:
+rpe_transformer,output_layer}.py``.  Faithful to the reference semantics,
+including the ``attn_on_sub`` / ``attn_r_multihead`` / ``attn_r_summ``
+equivariant-attention knobs (dropout stays identity — the shipped reference
+configs leave it ``None``), plus:
 
 * **Valid-mask convention**: ``key_masks`` is True for *valid* keys (the
   reference uses True = ignored); all global poolings are masked.

@@ -20,10 +20,17 @@ back, round 4).  So the bump is scoped: always on for training graphs
 (they cannot compile without it), and on for serving only when a kernel
 output alone approaches the 16 MB limit (KITTI's 129x129 patch matrices).
 
-The flag is a DebugOptions field, so it forwards through the remote-compile
-relay per-compile, and XLA:CPU accepts (and ignores) it — safe for the CPU
-test suite and the multichip dryrun.  ``SE3ET_SCOPED_VMEM_KIB`` overrides
-the limit for A/B runs (0 = never pass the option).
+``xla_tpu_scoped_vmem_limit_kib`` is a TPU-only DebugOptions field:
+XLA:CPU **rejects** it with ``INVALID_ARGUMENT: No such compile option``
+(round-4 shipped regression — every CPU Trainer run died).  The option is
+therefore gated on the live backend: these helpers return ``{}`` unless
+``jax.default_backend() == "tpu"``.  The backend check is made lazily at
+jit-construction time (never at import), so importing this module can
+never initialize the TPU backend in a process that does not compute.
+
+``SE3ET_SCOPED_VMEM_KIB`` overrides the limit for A/B runs on TPU
+(0 = never pass the option); the platform gate wins over the override —
+a CPU run ignores the env var entirely.
 """
 
 from __future__ import annotations
@@ -34,8 +41,26 @@ _ENV = os.environ.get("SE3ET_SCOPED_VMEM_KIB")
 SCOPED_VMEM_KIB = int(_ENV) if _ENV is not None else 65536
 
 
+def _is_tpu() -> bool:
+    """True iff the default JAX backend is TPU.
+
+    Called only from the ``*_jit_options`` helpers, which in turn are called
+    right where a jit is being built for imminent execution — so resolving
+    the backend here never initializes a backend that was not about to be
+    initialized anyway.
+    """
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover — no backend available at all
+        return False
+
+
 def _opts(needed: bool) -> dict:
-    if _ENV is not None:  # explicit A/B override wins both ways
+    if not _is_tpu():
+        return {}
+    if _ENV is not None:  # explicit A/B override wins both ways (on TPU)
         return (
             {"xla_tpu_scoped_vmem_limit_kib": SCOPED_VMEM_KIB}
             if SCOPED_VMEM_KIB > 0 else {}
@@ -43,13 +68,12 @@ def _opts(needed: bool) -> dict:
     return {"xla_tpu_scoped_vmem_limit_kib": SCOPED_VMEM_KIB} if needed else {}
 
 
-#: training-graph jits (train steps, val-under-trainer, grad profiles):
-#: the flash RPE forward's residual tuple lands in scoped VMEM under jvp,
-#: so these graphs need the raised limit unconditionally.
-TRAIN_JIT_OPTIONS = _opts(True)
-
-#: backward-compat alias (train semantics — the safe default for scripts)
-MODEL_JIT_OPTIONS = TRAIN_JIT_OPTIONS
+def train_jit_options() -> dict:
+    """Options for training-graph jits (train steps, val-under-trainer,
+    grad profiles): the flash RPE forward's residual tuple lands in scoped
+    VMEM under ``jvp``, so TPU training graphs need the raised limit
+    unconditionally.  Returns ``{}`` off-TPU."""
+    return _opts(True)
 
 
 def serving_jit_options(model_cfg) -> dict:
@@ -59,7 +83,7 @@ def serving_jit_options(model_cfg) -> dict:
     (``(num_correspondences, p+1, p+1)`` f32, ``nn/matching.py:78``) is
     close enough to 16 MB that XLA's whole-output scoped allocation can
     abort the compile; the flagship 3DMatch shape (256, 65, 65) stays on
-    the measured-faster default placement.
+    the measured-faster default placement.  Returns ``{}`` off-TPU.
     """
     p = int(getattr(model_cfg, "num_points_in_patch", 0)) + 1
     corr = int(getattr(model_cfg, "num_correspondences", 0))

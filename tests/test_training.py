@@ -115,3 +115,52 @@ def test_trainer_single_device_pair_batching(tmp_path):
     assert np.isfinite(summary["loss"])
     new_leaf = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0])
     assert not np.allclose(new_leaf, old_leaf)
+
+
+def test_trainer_jitted_steps_run_on_cpu(tmp_path):
+    """FAST guard for the round-4 shipped regression: the Trainer's jitted
+    train/val steps must compile AND execute on XLA:CPU with no env
+    overrides (TPU-only compiler options like xla_tpu_scoped_vmem_limit_kib
+    are rejected by XLA:CPU at first call, not at jit construction — so this
+    test runs both steps for real on micro shapes)."""
+    import dataclasses
+
+    from se3et_tpu.engine.trainer import OptimConfig, Trainer
+    from se3et_tpu.experiments import make_cfg
+
+    pcfg = pipeline.PyramidConfig(
+        num_stages=2, voxel_size=0.2, search_radius=0.5,
+        neighbor_limits=(6, 6), stage_caps=(64, 24), coarse_point_cap=24,
+    )
+    mcfg = ModelConfig(
+        num_stages=2, init_dim=8, output_dim=16, gt_input_dim=16,
+        gt_hidden_dim=16, gt_output_dim=16, num_heads=2,
+        blocks=("self_eq", "cross"), init_radius=0.5, init_sigma=0.4,
+        group_norm=4, num_points_in_patch=4, num_sinkhorn_iterations=3,
+        num_targets=4, num_correspondences=6, gt_candidates=4,
+        correspondence_limit=16,
+    )
+    lcfg = dataclasses.replace(
+        make_cfg("se3ete.3dmatch").loss, fine_positive_radius=0.2
+    )
+    ecfg = make_cfg("se3ete.3dmatch").eval
+
+    item = datasets.SyntheticPairDataset(num_pairs=1, num_points=100, seed=3)[0]
+    data = pipeline.build_pair_pyramid(
+        item["ref_points"], item["src_points"], item["transform"], pcfg
+    )
+    data = {k: jnp.asarray(v) for k, v in data.items()}
+
+    trainer = Trainer(
+        mcfg, lcfg, ecfg, OptimConfig(max_epoch=1), str(tmp_path),
+        data_parallel=False,
+    )
+    trainer.initialize(data, steps_per_epoch=1)
+    rng = jax.random.PRNGKey(0)
+    params, opt_state, losses = trainer._train_step(
+        trainer.params, trainer.opt_state, data, rng
+    )
+    assert np.isfinite(float(losses["loss"]))
+    trainer.params, trainer.opt_state = params, opt_state
+    metrics = trainer._val_step(trainer.params, data, rng)
+    assert np.isfinite(float(metrics["loss"]))

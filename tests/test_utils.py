@@ -165,3 +165,36 @@ def test_groupnorm_joint_stats_matches_stacked():
     gn2 = MaskedGroupNorm(2)
     got2 = np.asarray(gn2.apply(gn2.init(jax.random.PRNGKey(0), x, mask), x, mask))
     assert np.abs(got2 - got).max() > 1e-3
+
+
+def test_jitopt_platform_gated_on_cpu(monkeypatch):
+    """TPU-only compiler options must never reach an XLA:CPU jit.
+
+    Round-4 shipped regression: ``xla_tpu_scoped_vmem_limit_kib`` was passed
+    unconditionally and XLA:CPU rejects it with INVALID_ARGUMENT, killing
+    every CPU Trainer run.  The helpers are now gated on the live backend —
+    on the CPU test backend they must return {} (even under the A/B env
+    override), and a jit built with them must execute.
+    """
+    import jax
+    from se3et_tpu.utils import jitopt
+
+    assert jax.default_backend() == "cpu"
+    assert jitopt.train_jit_options() == {}
+
+    class _KittiLike:
+        num_points_in_patch = 128   # (256, 129, 129) f32 > 14 MB heuristic
+        num_correspondences = 256
+
+    assert jitopt.serving_jit_options(_KittiLike()) == {}
+
+    # the env override must not bypass the platform gate
+    monkeypatch.setattr(jitopt, "_ENV", "65536")
+    monkeypatch.setattr(jitopt, "SCOPED_VMEM_KIB", 65536)
+    assert jitopt.train_jit_options() == {}
+    assert jitopt.serving_jit_options(_KittiLike()) == {}
+    monkeypatch.undo()
+
+    # and the options actually compile + run on this backend
+    fn = jax.jit(lambda x: x * 2.0, compiler_options=jitopt.train_jit_options())
+    assert float(fn(3.0)) == 6.0
