@@ -51,6 +51,13 @@ def serving_config_ladder(model_cfg: ModelConfig):
     if model_cfg.serve_fused_attention:
         model_cfg = dataclasses.replace(model_cfg, serve_fused_attention=False)
         yield "xla-attention", model_cfg
+    if model_cfg.serve_fused_sinkhorn:
+        # the rung the round-4 KITTI field failure needed: the sinkhorn
+        # kernel's whole (B, p+1, p+1) output is scoped-VMEM-allocated by
+        # XLA and can exceed the limit on its own (17.05 MB at the KITTI
+        # patch shape) — no other rung touches this kernel
+        model_cfg = dataclasses.replace(model_cfg, serve_fused_sinkhorn=False)
+        yield "xla-sinkhorn", model_cfg
     if model_cfg.serve_fused_conv or model_cfg.serve_fused_embedding:
         yield "xla-all", dataclasses.replace(
             model_cfg,

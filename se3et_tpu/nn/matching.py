@@ -97,6 +97,13 @@ def _sinkhorn_fused_bwd(num_iterations, res, g):
 _sinkhorn_fused_grad.defvjp(_sinkhorn_fused_fwd, _sinkhorn_fused_bwd)
 
 
+def _fused_available() -> bool:
+    """Mosaic kernels only lower on TPU; the CPU test suite always takes the
+    scan path.  Split out so the failsafe forced-failure tests can patch it
+    and exercise the xla-sinkhorn ladder rung off-TPU."""
+    return jax.default_backend() == "tpu"
+
+
 class LearnableLogOptimalTransport(nn.Module):
     """SuperGlue-style log-domain Sinkhorn with learnable dustbin alpha.
 
@@ -163,7 +170,7 @@ class LearnableLogOptimalTransport(nn.Module):
         )
         log_nu = jnp.where(padded_col_valid, log_nu, -self.inf)
 
-        if use_fused and jax.default_backend() == "tpu":
+        if use_fused and _fused_available():
             fused = _sinkhorn_fused_grad(
                 padded, log_mu, log_nu, self.num_iterations
             )

@@ -103,6 +103,12 @@ class ModelConfig:
     # (VERDICT r3 #5).
     serve_fused_conv: bool = True
     serve_fused_embedding: bool = True
+    # escape hatch for the fused Sinkhorn iteration kernel
+    # (ops/pallas/sinkhorn.py) — the rung the round-4 KITTI field failure
+    # actually needed: a (256,129,129) output that exceeds the scoped-VMEM
+    # limit kills the kernel compile, and no other ladder rung touches it.
+    # Falls back to the lax.scan formulation (bit-identical log-probs).
+    serve_fused_sinkhorn: bool = True
     epn: EPNConfig = EPNConfig()
     # transformer
     gt_input_dim: int = 1024
@@ -424,7 +430,8 @@ class SE3ETModel(nn.Module):
             precision=prec.feature(),
         ) / jnp.sqrt(jnp.asarray(feats_f.shape[-1], jnp.float32))
         matching_scores = self.optimal_transport(
-            scores, sel_ref_knn_masks, sel_src_knn_masks, use_fused=True
+            scores, sel_ref_knn_masks, sel_src_knn_masks,
+            use_fused=c.serve_fused_sinkhorn,
         )
         out["matching_scores"] = matching_scores
         if stop_after == "sinkhorn":

@@ -44,23 +44,28 @@ def test_ladder_rungs():
     femb_cfg = dataclasses.replace(cfg, serve_femb=True)
     tags = [t for t, _ in serving_config_ladder(femb_cfg)]
     assert tags == ["fused", "materialized-embedding", "xla-attention",
-                    "xla-all"]
+                    "xla-sinkhorn", "xla-all"]
     fcfgs = dict(serving_config_ladder(femb_cfg))
     assert fcfgs["materialized-embedding"].serve_femb is False
     assert fcfgs["materialized-embedding"].serve_fused_attention is True
     tags = [t for t, _ in serving_config_ladder(cfg)]
-    assert tags == ["fused", "xla-attention", "xla-all"]
+    assert tags == ["fused", "xla-attention", "xla-sinkhorn", "xla-all"]
     cfgs = dict(serving_config_ladder(cfg))
     assert cfgs["xla-attention"].serve_fused_attention is False
     assert cfgs["xla-attention"].serve_fused_conv is True
+    assert cfgs["xla-attention"].serve_fused_sinkhorn is True
+    assert cfgs["xla-sinkhorn"].serve_fused_sinkhorn is False
+    assert cfgs["xla-sinkhorn"].serve_fused_conv is True
     assert cfgs["xla-all"].serve_fused_conv is False
     assert cfgs["xla-all"].serve_fused_embedding is False
+    assert cfgs["xla-all"].serve_fused_sinkhorn is False
     # a config already running pure XLA yields a single rung
     bare = dataclasses.replace(
         cfg,
         serve_fused_attention=False,
         serve_fused_conv=False,
         serve_fused_embedding=False,
+        serve_fused_sinkhorn=False,
         serve_femb=False,
     )
     assert [t for t, _ in serving_config_ladder(bare)] == ["fused"]
@@ -139,6 +144,34 @@ def test_failsafe_survives_embedding_kernel_failure(monkeypatch):
     assert np.all(np.isfinite(np.asarray(out["estimated_transform"])))
     assert holder["cfg"].serve_fused_conv is False
     assert holder["cfg"].serve_fused_embedding is False
+
+
+def test_failsafe_survives_sinkhorn_kernel_failure(monkeypatch):
+    """Fused Sinkhorn kernel raising -> lands on the xla-sinkhorn rung
+    (the round-4 KITTI field failure: the kernel's (B, 129, 129) output
+    blew the scoped-VMEM limit and no previous rung touched it)."""
+    from se3et_tpu.nn import matching
+    from se3et_tpu.ops.pallas import sinkhorn as sink_mod
+
+    cfg = _toy_model_cfg()
+    data = _toy_pair_data()
+    params = _init_params(cfg, data)  # init BEFORE the forced failure
+
+    def boom(*a, **k):
+        raise RuntimeError("forced Mosaic lowering failure (test)")
+
+    # the CPU suite never routes to the kernel (backend gate) — force the
+    # route open so the fused rungs genuinely hit the patched entry point
+    monkeypatch.setattr(matching, "_fused_available", lambda: True)
+    monkeypatch.setattr(sink_mod, "sinkhorn_pallas", boom)
+    build, holder = _build_forward_factory(data)
+    forward = make_failsafe_forward(cfg, build)
+    out = forward(params, data)
+    assert np.all(np.isfinite(np.asarray(out["estimated_transform"])))
+    # committed rung disabled the sinkhorn kernel but kept the conv kernels
+    assert holder["cfg"].serve_fused_sinkhorn is False
+    assert holder["cfg"].serve_fused_conv is True
+    assert holder["cfg"].serve_fused_embedding is True
 
 
 def test_failsafe_reraises_when_all_rungs_fail():
