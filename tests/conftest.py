@@ -41,9 +41,21 @@ _cache_name = f".jax_cache_tests_{_cpu_sig}"
 for _name in os.listdir(_repo_root):
     if _name.startswith(".jax_cache_tests_") and _name != _cache_name:
         shutil.rmtree(os.path.join(_repo_root, _name), ignore_errors=True)
-jax.config.update(
-    "jax_compilation_cache_dir", os.path.join(_repo_root, _cache_name)
-)
+# The CPUID key narrows but does not close the stale-entry hole: XLA's LLVM
+# tuning features (+prefer-no-scatter/-gather, observed round 4) vary across
+# live-migrations that CPUID leaves don't capture, and loading such an entry
+# can abort the process.  A canary SUBPROCESS compiles+executes a fixed
+# function against the cache dir before the suite touches it (loading last
+# session's entry is precisely the crash-prone operation); on any crash,
+# failure, or feature-mismatch log, the dir is wiped and re-seeded.
+from tests._cache_canary import ensure_cache_healthy  # noqa: E402
+
+_cache_dir = os.path.join(_repo_root, _cache_name)
+if ensure_cache_healthy(_cache_dir) == "wiped":
+    sys.stderr.write(
+        f"[conftest] poisoned XLA:CPU compile cache wiped: {_cache_dir}\n"
+    )
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

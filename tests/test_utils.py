@@ -198,3 +198,32 @@ def test_jitopt_platform_gated_on_cpu(monkeypatch):
     # and the options actually compile + run on this backend
     fn = jax.jit(lambda x: x * 2.0, compiler_options=jitopt.train_jit_options())
     assert float(fn(3.0)) == 6.0
+
+
+def test_cache_canary_survives_poisoned_cache(tmp_path):
+    """VERDICT r4 #7 done-criterion: a poisoned XLA:CPU compile cache must
+    not abort the suite.  The canary probe runs in a subprocess, so a
+    crash-on-load lands there; the driver wipes and re-seeds the dir."""
+    import os
+    import os.path as osp
+
+    from tests._cache_canary import ensure_cache_healthy
+
+    cache = str(tmp_path / "cache")
+    # first session: probe compiles the canary and seeds the cache
+    assert ensure_cache_healthy(cache) == "ok"
+    entries = [
+        osp.join(r, f) for r, _, fs in os.walk(cache) for f in fs
+    ]
+    assert entries, "canary probe did not populate the cache dir"
+    # poison every entry with garbage bytes (simulates a stale/corrupt AOT
+    # executable from a different machine profile)
+    for p in entries:
+        with open(p, "wb") as f:
+            f.write(b"\x00poisoned-cache-entry\xff" * 8)
+    res = ensure_cache_healthy(cache)
+    # the session survives either way: the dir was wiped, or XLA recovered
+    # past the bad entry by recompiling
+    assert res in ("ok", "wiped")
+    # and the dir is healthy (re-seeded) afterwards
+    assert ensure_cache_healthy(cache) == "ok"
