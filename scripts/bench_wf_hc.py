@@ -87,19 +87,20 @@ def main():
         suffix = str(st_q) if set_name == "neighbors" else str(st_s)
         segs = data[f"{set_name}_segs_{suffix}"]
         local = data[f"{set_name}_local_{suffix}"]
+        sseg = int(data[f"{set_name}_wsseg_{suffix}"].shape[-1])
         kp = jnp.asarray(
             kp_lib.equivariant_kernel_points(
                 radius, epn.num_kernel_points, epn.kanchor, epn.quotient_factor
             )
         )
-        w_width = segs.shape[2] * pipe.WINDOW_SSEG
+        w_width = segs.shape[2] * sseg
         ac = a * mid
         print(f"--- {label}: Nq={q.shape[1]} Ns={sup.shape[1]} H={local.shape[2]} "
               f"W={w_width} AC={ac}", flush=True)
 
         def infl_fn(local, q, sup):
             win3 = wc.segment_window_gather(
-                sup, segs, precision=jax.lax.Precision.HIGHEST
+                sup, segs, precision=jax.lax.Precision.HIGHEST, sseg=sseg
             )
             return wc.influence_windowed_pallas(
                 local, q, win3, kp, sigma=float(sigma)
@@ -109,7 +110,7 @@ def main():
         feats = jnp.asarray(
             rng.randn(2, sup.shape[1], ac).astype(np.float32), jnp.bfloat16
         )
-        win = jax.jit(lambda f: wc.segment_window_gather(f, segs))(feats)
+        win = jax.jit(lambda f: wc.segment_window_gather(f, segs, sseg=sseg))(feats)
 
         for hc in hcs:
             for mp in mps:
@@ -127,13 +128,14 @@ def main():
 
     # maxpool skip s0->s1
     segs0, local0 = data["subsampling_segs_0"], data["subsampling_local_0"]
+    sseg0 = int(data["subsampling_wsseg_0"].shape[-1])
     nq1 = data["points_1"].shape[1]
     x0 = jnp.asarray(
         rng.randn(2, data["points_0"].shape[1], a * d * 2).astype(np.float32),
         jnp.bfloat16,
     )
-    win0 = jax.jit(lambda f: wc.segment_window_gather(f, segs0))(x0)
-    print(f"--- maxpool s0->s1: AC={a * d * 2} W={segs0.shape[2] * pipe.WINDOW_SSEG}",
+    win0 = jax.jit(lambda f: wc.segment_window_gather(f, segs0, sseg=sseg0))(x0)
+    print(f"--- maxpool s0->s1: AC={a * d * 2} W={segs0.shape[2] * sseg0}",
           flush=True)
     for hc in hcs:
         for mp in mps:

@@ -88,18 +88,19 @@ def main():
         suffix = str(st_q) if set_name == "neighbors" else str(st_s)
         segs = data[f"{set_name}_segs_{suffix}"]
         local = data[f"{set_name}_local_{suffix}"]
+        sseg = int(data[f"{set_name}_wsseg_{suffix}"].shape[-1])
         kp = jnp.asarray(
             kp_lib.equivariant_kernel_points(
                 radius, epn.num_kernel_points, epn.kanchor, epn.quotient_factor
             )
         )
-        w_width = segs.shape[2] * pipe.WINDOW_SSEG
+        w_width = segs.shape[2] * sseg
         print(f"--- {label}: Nq={q.shape[1]} Ns={sup.shape[1]} H={local.shape[2]} "
               f"W={w_width} mids={mids}")
 
         def infl_fn(local, q, sup):
             win3 = wc.segment_window_gather(
-                sup, segs, precision=jax.lax.Precision.HIGHEST
+                sup, segs, precision=jax.lax.Precision.HIGHEST, sseg=sseg
             )
             return wc.influence_windowed_pallas(
                 local, q, win3, kp, sigma=float(sigma)
@@ -116,7 +117,7 @@ def main():
             )
 
             def conv_fn(feats, infl):
-                win = wc.segment_window_gather(feats, segs)
+                win = wc.segment_window_gather(feats, segs, sseg=sseg)
                 return wc.windowed_gather_wf(local, infl, win)
 
             ms = bench(f"  conv windowed (AC={ac})", conv_fn, feats, infl)
@@ -152,7 +153,9 @@ def main():
 
     def wmax(x, segs, local):
         b, ns, a_dim, ch = x.shape
-        win = wc.segment_window_gather(x.reshape(b, ns, a_dim * ch), segs)
+        sseg0 = int(data["subsampling_wsseg_0"].shape[-1])
+        win = wc.segment_window_gather(x.reshape(b, ns, a_dim * ch), segs,
+                                       sseg=sseg0)
         return wc.windowed_max_pool(local, win, data["points_1"].shape[1])
 
     ms = bench("maxpool skip s0->s1 (windowed)", wmax, x0,

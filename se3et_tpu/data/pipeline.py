@@ -66,6 +66,17 @@ class PyramidConfig:
     # stages spread neighbors over more Morton segments).  Set from measured
     # drop rates; keys are f"neighbors_{s}" / f"subsampling_{s}".
     window_segments_by_set: tuple = ()
+    # per-set SEGMENT GRANULARITY overrides: ((set_key, sseg), ...), default
+    # :data:`WINDOW_SSEG`.  Finer segments capture Morton-local neighbors
+    # with fewer wasted rows (kernel cost is linear in W = nseg * sseg) but
+    # need more segment slots (segment-gather matmul cost is linear in
+    # nseg); scripts/sweep_sseg.py picks the per-set winner host-side.
+    # Round-5 sweep: 8-row segments cut W 25-33% on the stage-0 sets only;
+    # every other set ties at the same W with 2x the slots -> stays 16.
+    # The chosen sseg is shipped to the model as a zero-cost shape-carrier
+    # array (f"{set}_wsseg_{s}", shape (sseg,)) — self-describing data, no
+    # config-sync hazard between pipeline and model.
+    window_sseg_by_set: tuple = ()
     # patch size for the host-side point-to-node partition (stage 1 points to
     # coarsest-stage nodes); 0 disables the precompute and the model falls
     # back to the device op.  Set to the model's num_points_in_patch.
@@ -81,7 +92,11 @@ class PyramidConfig:
 
     def nseg_for(self, set_key: str, cap_s: int) -> int:
         nseg = dict(self.window_segments_by_set).get(set_key, self.window_segments)
-        return min(nseg, (cap_s + WINDOW_SSEG - 1) // WINDOW_SSEG)
+        sseg = self.sseg_for(set_key)
+        return min(nseg, (cap_s + sseg - 1) // sseg)
+
+    def sseg_for(self, set_key: str) -> int:
+        return dict(self.window_sseg_by_set).get(set_key, WINDOW_SSEG)
 
     def h_cap_for(self, set_key: str) -> int:
         return dict(self.neighbor_h_caps_by_set).get(set_key, 0)
@@ -242,21 +257,24 @@ def build_window_maps(
     cap_s: int,
     max_segs: int,
     stats_key: str | None = None,
+    sseg: int | None = None,
 ):
     """Segment-window maps for the fused TPU conv gather.
 
     For each block of ``WINDOW_QSEG`` query rows of a padded ``(cap_q, H)``
     neighbor matrix (sentinel ``cap_s``), pick the ``max_segs`` source
-    segments (of ``WINDOW_SSEG`` rows each) covering the most neighbors, and
-    remap neighbor indices to window-local positions
-    ``slot * WINDOW_SSEG + (idx % WINDOW_SSEG)``; neighbors outside the
-    chosen segments (rare at calibrated budgets) and sentinels map to
-    ``max_segs * WINDOW_SSEG`` (masked).
+    segments (of ``sseg`` rows each, default :data:`WINDOW_SSEG`) covering
+    the most neighbors, and remap neighbor indices to window-local positions
+    ``slot * sseg + (idx % sseg)``; neighbors outside the chosen segments
+    (rare at calibrated budgets) and sentinels map to ``max_segs * sseg``
+    (masked).
 
     Returns ``(seg_idx (nblk_q, max_segs) int32, local (cap_q, H) int32)``.
     Overflow drops are accumulated in :data:`WINDOW_DROP_STATS`.
     """
-    qseg, sseg = WINDOW_QSEG, WINDOW_SSEG
+    qseg = WINDOW_QSEG
+    if sseg is None:
+        sseg = WINDOW_SSEG
     cap_q, h = neighbors.shape
     nblk_q = (cap_q + qseg - 1) // qseg
     nblk_s = (cap_s + sseg - 1) // sseg
@@ -351,12 +369,16 @@ def build_pair_pyramid(
         out[f"neighbors_{s}"] = np.stack(nb, 0)
         if cfg.window_segments > 0:
             nseg = cfg.nseg_for(f"neighbors_{s}", cap_s)
+            sseg = cfg.sseg_for(f"neighbors_{s}")
             maps = [
-                build_window_maps(nb[c], cap_s, nseg, stats_key=f"neighbors_{s}")
+                build_window_maps(nb[c], cap_s, nseg,
+                                  stats_key=f"neighbors_{s}", sseg=sseg)
                 for c in range(2)
             ]
             out[f"neighbors_segs_{s}"] = np.stack([m[0] for m in maps], 0)
             out[f"neighbors_local_{s}"] = np.stack([m[1] for m in maps], 0)
+            # zero-cost shape carrier: the consumer reads sseg off the shape
+            out[f"neighbors_wsseg_{s}"] = np.zeros(sseg, np.int8)
         if s < cfg.num_stages - 1:
             cap_q = cfg.stage_caps[s + 1]
             sub, up = [], []
@@ -384,14 +406,17 @@ def build_pair_pyramid(
             out[f"upsampling_{s}"] = np.stack(up, 0)
             if cfg.window_segments > 0:
                 nseg = cfg.nseg_for(f"subsampling_{s}", cap_s)
+                sseg = cfg.sseg_for(f"subsampling_{s}")
                 maps = [
                     build_window_maps(
-                        sub[c], cap_s, nseg, stats_key=f"subsampling_{s}"
+                        sub[c], cap_s, nseg, stats_key=f"subsampling_{s}",
+                        sseg=sseg,
                     )
                     for c in range(2)
                 ]
                 out[f"subsampling_segs_{s}"] = np.stack([m[0] for m in maps], 0)
                 out[f"subsampling_local_{s}"] = np.stack([m[1] for m in maps], 0)
+                out[f"subsampling_wsseg_{s}"] = np.zeros(sseg, np.int8)
 
     if cfg.patch_k > 0 and cfg.num_stages >= 2:
         fine, coarse = 1, cfg.num_stages - 1

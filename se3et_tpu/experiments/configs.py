@@ -92,11 +92,16 @@ def _threedmatch_pipeline(point_cap: int) -> PyramidConfig:
         # (<= 0.5% drops per set; cumulative W cuts: 128 -> 64-row segments
         # 20-42%, 64 -> 32 ~15%, 32 -> 16 a further 17-25% — see BENCH.md).
         window_segments_by_set=(
-            ("neighbors_0", 24), ("subsampling_0", 32),
+            ("neighbors_0", 32), ("subsampling_0", 48),
             ("neighbors_1", 32), ("subsampling_1", 48),
             ("neighbors_2", 32), ("subsampling_2", 40),
             ("neighbors_3", 24),
         ),
+        # stage-0 sets use 8-row segments: W 384 -> 256 (neighbors_0) and
+        # 512 -> 384 (subsampling_0) at the same <= 0.5% drop tolerance
+        # (scripts/sweep_sseg.py, round 5); every other set ties at the same
+        # W with 2x the segment slots and stays at 16.
+        window_sseg_by_set=(("neighbors_0", 8), ("subsampling_0", 8)),
         patch_k=64,  # = num_points_in_patch (host-side p2n precompute)
         # per-set neighbor-H caps: conv/influence cost is linear in the padded
         # H, but the calibrated neighbor_limits are tail-quantile worst cases.
@@ -125,12 +130,15 @@ def _kitti_pipeline(point_cap: int) -> PyramidConfig:
         # synthetic generator at <= 0.5% drops per set; re-measure when real
         # KITTI appears (pipeline logs drop stats automatically).
         window_segments_by_set=(
-            ("neighbors_0", 32), ("subsampling_0", 32),
-            ("neighbors_1", 32), ("subsampling_1", 48),
+            ("neighbors_0", 48), ("subsampling_0", 32),
+            ("neighbors_1", 32), ("subsampling_1", 80),
             ("neighbors_2", 32), ("subsampling_2", 48),
             ("neighbors_3", 24), ("subsampling_3", 32),
             ("neighbors_4", 16),
         ),
+        # 8-row segments where they cut W at matched drops (sweep_sseg.py):
+        # neighbors_0 512 -> 384, subsampling_1 768 -> 640.
+        window_sseg_by_set=(("neighbors_0", 8), ("subsampling_1", 8)),
         patch_k=128,  # = num_points_in_patch (host-side p2n precompute)
         # LiDAR rows run near-full (scripts/calibrate_h_caps.py: <= 0.5%
         # influence mass only at full H for every other set).

@@ -205,8 +205,9 @@ class KPConvInterSO3(nn.Module):
                  ones_input=False, window=None):
         """x: (B, Ns, A, Cin) -> (B, Nq, A, Cout).
 
-        ``window``: optional ``(seg_idx (B, nblk_q, S), local (B, Nq, H))``
-        per-set window maps from ``pipeline.build_window_maps`` — the neighbor
+        ``window``: optional ``(seg_idx (B, nblk_q, S), local (B, Nq, H),
+        sseg)`` per-set window maps from ``pipeline.build_window_maps``
+        (``sseg`` = the static segment granularity they were built at) — the neighbor
         gather + influence contraction run as the fused windowed Pallas kernel
         (:func:`se3et_tpu.ops.pallas.windowed_conv.windowed_gather_wf`): a
         segment one-hot matmul materializes per-block source windows, then the
@@ -250,10 +251,11 @@ class KPConvInterSO3(nn.Module):
         elif window is not None:
             from se3et_tpu.ops.pallas import windowed_conv as wc
 
-            seg_idx, local = window
+            seg_idx, local, w_sseg = window
             x = prec.cast_feature(x)
             win = wc.segment_window_gather(
-                x.reshape(x.shape[0], num_s, a_dim * cin), seg_idx
+                x.reshape(x.shape[0], num_s, a_dim * cin), seg_idx,
+                sseg=w_sseg,
             )
             kfirst = cfg.wf_kfirst or (
                 0 < cfg.wf_kfirst_min_ac <= a_dim * cin
@@ -511,7 +513,7 @@ class ResnetBottleneckBlockEPN(nn.Module):
             from se3et_tpu.ops.pallas import windowed_conv as wc
 
             a_dim, ch = skip.shape[2], skip.shape[3]
-            w_width = 0 if window is None else window[0].shape[2] * wc.SSEG
+            w_width = 0 if window is None else window[0].shape[2] * window[2]
             pool_mode = self.pool_mode
             if (
                 window is not None
@@ -520,10 +522,10 @@ class ResnetBottleneckBlockEPN(nn.Module):
                 and (pool_mode != "grad"
                      or wc.windowed_max_pool_bwd_fits(w_width, a_dim * ch))
             ):
-                seg_idx, local = window
+                seg_idx, local, w_sseg = window
                 b, ns = skip.shape[0], skip.shape[1]
                 flat = prec.cast_feature(skip).reshape(b, ns, a_dim * ch)
-                win = wc.segment_window_gather(flat, seg_idx)
+                win = wc.segment_window_gather(flat, seg_idx, sseg=w_sseg)
                 interp = jax.default_backend() != "tpu"
                 if pool_mode == "grad":
                     pooled = wc.windowed_max_pool_trainable(
@@ -717,12 +719,23 @@ class E2PNBackbone(nn.Module):
             return jnp.asarray(kp)
 
         def make_window(set_name, st):
-            """Per-(stage, set) window maps for the fused conv kernel."""
+            """Per-(stage, set) window maps for the fused conv kernel.
+
+            Returns ``(seg_idx, local, sseg)``; ``sseg`` (the segment
+            granularity the maps were built at) is read off the zero-cost
+            shape-carrier array the pipeline emits, so the model needs no
+            config knowledge of the per-set calibration."""
             if not (fused or fused_conv_grad):
                 return None
             segs = pyramid.get(f"{set_name}_segs_{st}")
             local = pyramid.get(f"{set_name}_local_{st}")
-            return None if segs is None else (segs, local)
+            if segs is None:
+                return None
+            from se3et_tpu.ops.pallas import windowed_conv as wc
+
+            carrier = pyramid.get(f"{set_name}_wsseg_{st}")
+            sseg = wc.SSEG if carrier is None else int(carrier.shape[-1])
+            return (segs, local, sseg)
 
         def make_influence(radius, sigma, q, sup, idx, win, key=None):
             """Influence weights, shared by all convs of a (stage, set).
@@ -745,9 +758,10 @@ class E2PNBackbone(nn.Module):
             if win is not None:
                 from se3et_tpu.ops.pallas import windowed_conv as wc
 
-                segs, local = win
+                segs, local, w_sseg = win
                 win3 = wc.segment_window_gather(
-                    sup, segs, precision=jax.lax.Precision.HIGHEST
+                    sup, segs, precision=jax.lax.Precision.HIGHEST,
+                    sseg=w_sseg,
                 )
                 infl, _ = wc.influence_windowed_pallas(
                     local, q, win3, make_kp(radius), sigma=float(sigma),

@@ -49,24 +49,26 @@ def pick_hc(h: int) -> int:
     return ((per + 7) // 8) * 8
 
 
-def segment_window_gather(x, seg_idx, precision=None):
-    """x: (B, Ns, AC); seg_idx: (B, nblk_q, S) -> windows (B, nblk_q, S*SSEG, AC).
+def segment_window_gather(x, seg_idx, precision=None, sseg=SSEG):
+    """x: (B, Ns, AC); seg_idx: (B, nblk_q, S) -> windows (B, nblk_q, S*sseg, AC).
 
     One-hot segment matmul — see module docstring.  ``Ns`` is zero-padded up
-    to a multiple of SSEG.  Pass ``precision=jax.lax.Precision.HIGHEST`` when
-    gathering fp32 *coordinates* (the TPU default matmul precision would
-    round them to bf16).
+    to a multiple of ``sseg`` (the per-set segment granularity the window
+    maps were built at — default :data:`SSEG`).  Pass
+    ``precision=jax.lax.Precision.HIGHEST`` when gathering fp32
+    *coordinates* (the TPU default matmul precision would round them to
+    bf16).
     """
     b, ns, ac = x.shape
-    nblk_s = (ns + SSEG - 1) // SSEG
-    pad = nblk_s * SSEG - ns
+    nblk_s = (ns + sseg - 1) // sseg
+    pad = nblk_s * sseg - ns
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-    segs = x.reshape(b, nblk_s, SSEG * ac)
+    segs = x.reshape(b, nblk_s, sseg * ac)
     nblk_q, s = seg_idx.shape[1:]
     oh = jax.nn.one_hot(seg_idx.reshape(b, nblk_q * s), nblk_s, dtype=x.dtype)
     win = jnp.einsum("bqn,bnd->bqd", oh, segs, precision=precision)
-    return win.reshape(b, nblk_q, s * SSEG, ac)
+    return win.reshape(b, nblk_q, s * sseg, ac)
 
 
 def _infl_kernel(local_ref, q4_ref, win_ref, kp_ref, out_ref, is_ref, isacc,

@@ -41,8 +41,11 @@ def test_window_overflow_drops_are_masked_and_counted():
     assert (local == w).sum() == dropped  # dropped neighbors -> sentinel
 
 
-def test_windowed_conv_matches_gather_path():
-    """KPConvInterSO3 with window maps == the row-gather formulation."""
+@pytest.mark.parametrize("sseg,nseg", [(16, 6), (8, 12)])
+def test_windowed_conv_matches_gather_path(sseg, nseg):
+    """KPConvInterSO3 with window maps == the row-gather formulation —
+    at the default 16-row segments and the per-set 8-row granularity
+    (same window width W = nseg * sseg)."""
     from se3et_tpu.data.datasets import SyntheticPairDataset
     from se3et_tpu.nn.epn import EPNConfig, KPConvInterSO3
 
@@ -50,7 +53,8 @@ def test_windowed_conv_matches_gather_path():
     cfg = pipe.PyramidConfig(
         num_stages=2, voxel_size=0.1, search_radius=0.25,
         neighbor_limits=(10, 10), stage_caps=(512, 192), coarse_point_cap=192,
-        window_segments=6,
+        window_segments=nseg,
+        window_sseg_by_set=(("neighbors_0", sseg),),
     )
     pipe.WINDOW_DROP_STATS.clear()
     data = pipe.build_pair_pyramid(
@@ -66,7 +70,9 @@ def test_windowed_conv_matches_gather_path():
     window = (
         jnp.asarray(data["neighbors_segs_0"]),
         jnp.asarray(data["neighbors_local_0"]),
+        int(data["neighbors_wsseg_0"].shape[-1]),
     )
+    assert window[2] == sseg
     ref = conv.apply(params, x, pts, pts, nbr)
     got = conv.apply(params, x, pts, pts, nbr, window=window)
     # the tiny 3-segment budget may drop a few neighbors (counted); the
@@ -467,6 +473,7 @@ def test_conv_kfirst_config_matches_default():
     window = (
         jnp.asarray(data["neighbors_segs_0"]),
         jnp.asarray(data["neighbors_local_0"]),
+        int(data["neighbors_wsseg_0"].shape[-1]),
     )
     conv = KPConvInterSO3(4, 8, radius=0.25, sigma=0.2, config=EPNConfig())
     params = conv.init(jax.random.PRNGKey(0), x, pts, pts, nbr)
