@@ -280,21 +280,33 @@ def rpe_self_attention(q, k, v, qp, emb, k_masks, qw=None, points=None, *,
 # --------------------------------------------------------------------------
 
 
-def _cheb_rows3(t, scratch, deg):
-    """Chebyshev basis (deg, bn, bm) of t (bn, bm) — the embedding kernel's
-    transposed 8-row-group construction, one trailing dim up (leading-axis
-    partial stores only)."""
+def _cheb_accum(t, g_ref, deg, acc_ref):
+    """Fused Chebyshev projection: ``acc = T(t) @ G`` without materializing
+    the basis.
+
+    The three-term recurrence runs 8 degrees at a time; each (8, bn, bm)
+    row group stays a VMEM value (no scratch staging — the v1 femb kernel's
+    full (deg, bn, bm) basis scratch was the VMEM line that forced bn=16)
+    and is contracted immediately against its 8 rows of ``G`` in bf16 with
+    f32 accumulation — the same precision as the materialized embedding
+    kernel's single full-basis dot (``embedding._cheb_project``).  The first
+    group OVERWRITES ``acc_ref`` (no cross-grid-step state)."""
     tk_prev, tk = jnp.ones_like(t), t
     two_t = 2.0 * t
     rows = []
     for j in range(deg):
         rows.append(tk_prev[None])
         tk_prev, tk = tk, two_t * tk - tk_prev
-        if len(rows) == 8:
-            g = j // 8
-            scratch[g * 8:(g + 1) * 8] = jnp.concatenate(rows, axis=0)
+        if len(rows) == 8 or j == deg - 1:
+            g = (j // 8) * 8
+            basis = jnp.concatenate(rows, axis=0).astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                basis, g_ref[g:g + basis.shape[0]].astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bn, bm, C)
+            acc_ref[...] = part if g == 0 else acc_ref[...] + part
             rows = []
-    return scratch[0:deg]
 
 
 def _fold_angular_geom(points3, knn_points, nb, block_n):
@@ -339,13 +351,21 @@ def _fold_angular_geom(points3, knn_points, nb, block_n):
     return rk.reshape(b * nb, kk * 32, block_n)
 
 
-def _femb_tile(gn_ref, gm_ref, rk_ref, gd_ref, ga_ref, scratch, *,
+def _femb_tile(gn_ref, gm_ref, rk_ref, gd_ref, ga_ref, acc_cur, acc_max, *,
                angle_k, deg_d, deg_a, inv_half_d):
     """Geometric-embedding tile (bn, bm, C) f32, recomputed from geometry.
 
     Matches ``ops/pallas/embedding._embedding_kernel`` semantics (Chebyshev
     distance + max-over-k Chebyshev angle, biases DROPPED — they are
-    row-constant in the attention scores, a softmax no-op)."""
+    row-constant in the attention scores, a softmax no-op).
+
+    v2 (round 5): the projections run through :func:`_cheb_accum` — basis
+    row groups never materialize, and the only (bn, bm, C) f32 buffers are
+    TWO accumulators (``acc_cur`` for the projection in flight, ``acc_max``
+    for the running max over angle neighbors).  v1 carried a (deg, bn, bm)
+    basis scratch plus three (bn, bm, C) f32 values, which forced bn=16;
+    the halved footprint restores bn=32 (half the grid steps and half the
+    K/V re-fetch sweeps — the cost that made femb v1 lose, BENCH.md r4)."""
     from se3et_tpu.ops.pallas.embedding import _atan2_pos
 
     gn = gn_ref[0]  # (8, bn)
@@ -360,17 +380,8 @@ def _femb_tile(gn_ref, gm_ref, rk_ref, gd_ref, ga_ref, scratch, *,
     # evaluates the diagonal at dist = 0, angle = 0 exactly
     didx = gn[5][:, None] - gm[5][None, :]
     off_diag = didx * didx > 0.25  # (bn, bm)
-    dist = jnp.sqrt(jnp.maximum(r2, 0.0))
-    dist = jnp.where(off_diag, dist, 0.0)
-    t_d = jnp.clip(dist * inv_half_d - 1.0, -1.0, 1.0)
-    basis = _cheb_rows3(t_d, scratch, deg_d)
-    emb = jax.lax.dot_general(
-        basis, gd_ref[...], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (bn, bm, C)
     rk = rk_ref[0]  # (k*32, bn)
     gm8 = gm[0:8]
-    a_max = None
     for kk in range(angle_k):
         o = kk * 32
         cos_v = jax.lax.dot_general(
@@ -389,19 +400,23 @@ def _femb_tile(gn_ref, gm_ref, rk_ref, gd_ref, ga_ref, scratch, *,
         ang = _atan2_pos(sin_v, cos_v)  # (bn, bm) in [0, pi]
         ang = jnp.where(off_diag, ang, 0.0)
         t_a = jnp.clip(ang * np.float32(2.0 / np.pi) - 1.0, -1.0, 1.0)
-        basis_a = _cheb_rows3(t_a, scratch, deg_a)
-        a_emb = jax.lax.dot_general(
-            basis_a, ga_ref[...], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        a_max = a_emb if a_max is None else jnp.maximum(a_max, a_emb)
-    return emb + a_max
+        _cheb_accum(t_a, ga_ref, deg_a, acc_cur)
+        if kk == 0:
+            acc_max[...] = acc_cur[...]
+        else:
+            acc_max[...] = jnp.maximum(acc_max[...], acc_cur[...])
+    # distance projection last: acc_cur is free to be reused
+    dist = jnp.sqrt(jnp.maximum(r2, 0.0))
+    dist = jnp.where(off_diag, dist, 0.0)
+    t_d = jnp.clip(dist * inv_half_d - 1.0, -1.0, 1.0)
+    _cheb_accum(t_d, gd_ref, deg_d, acc_cur)
+    return acc_cur[...] + acc_max[...]
 
 
 def _kernel_femb(q_ref, k_ref, v_ref, qp_ref, km_ref, qw_ref, gn_ref,
                  gm_ref, rk_ref, gd_ref, ga_ref, out_ref, acc, rowmax,
-                 rowsum, cheb, *, scale, with_eq, angle_k, deg_d, deg_a,
-                 inv_half_d):
+                 rowsum, acc_cur, acc_max, *, scale, with_eq, angle_k,
+                 deg_d, deg_a, inv_half_d):
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -412,8 +427,8 @@ def _kernel_femb(q_ref, k_ref, v_ref, qp_ref, km_ref, qw_ref, gn_ref,
 
     kmask = km_ref[0, 0]  # (bm,)
     emb_tile = _femb_tile(
-        gn_ref, gm_ref, rk_ref, gd_ref, ga_ref, cheb, angle_k=angle_k,
-        deg_d=deg_d, deg_a=deg_a, inv_half_d=inv_half_d,
+        gn_ref, gm_ref, rk_ref, gd_ref, ga_ref, acc_cur, acc_max,
+        angle_k=angle_k, deg_d=deg_d, deg_a=deg_a, inv_half_d=inv_half_d,
     ).astype(q_ref.dtype)  # bf16, matching the materialized kernel's output
 
     # content scores (AH, bn, bm)
@@ -472,7 +487,7 @@ def _kernel_femb(q_ref, k_ref, v_ref, qp_ref, km_ref, qw_ref, gn_ref,
 )
 def rpe_self_attention_femb(q, k, v, qp, k_masks, qw, points, knn_points,
                             wd, wa, *, scale, sigma_d, sigma_a,
-                            d_index_max=48.0, block_n=16, block_m=128,
+                            d_index_max=48.0, block_n=32, block_m=128,
                             interpret=False):
     """Flash RPE self-attention with the embedding computed IN-KERNEL.
 
@@ -542,7 +557,11 @@ def rpe_self_attention_femb(q, k, v, qp, k_masks, qw, points, knn_points,
             pltpu.VMEM((ah, block_n, c), jnp.float32),
             pltpu.VMEM((ah, block_n), jnp.float32),
             pltpu.VMEM((ah, block_n), jnp.float32),
-            pltpu.VMEM((max(deg_d, deg_a), block_n, block_m), jnp.float32),
+            # the two embedding accumulators (see _femb_tile v2): the only
+            # (bn, bm, C) f32 buffers in the kernel — 4.2 MB each at
+            # bn=32, bm=128, C=256
+            pltpu.VMEM((block_n, block_m, cc), jnp.float32),
+            pltpu.VMEM((block_n, block_m, cc), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v, qp, km, qw8_b, gn_b, gm, rk, g_d, g_a)
