@@ -44,6 +44,13 @@ def main():
     # the 5-stage LiDAR pipeline) — the headline stays the flagship.
     cfg = make_cfg(os.environ.get("BENCH_EXP", "se3ete.3dmatch"))
     pipeline, model_cfg = cfg.pipeline, cfg.model
+    # BENCH_FEMB=1 flips the in-attention fused embedding on (A/B of the
+    # femb kernel vs the materialized-embedding default; see BENCH.md)
+    if os.environ.get("BENCH_FEMB"):
+        import dataclasses
+
+        model_cfg = dataclasses.replace(model_cfg, serve_femb=True)
+        cfg = dataclasses.replace(cfg, model=model_cfg)
     model = SE3ETModel(model_cfg)
 
     # a handful of distinct synthetic pairs at the dataset point_limit;

@@ -182,7 +182,7 @@ def _build_and_run(args, pcfg, mcfg, lcfg, ecfg):
         seed=args.seed + 1000, rotated=True,
     )
 
-    def build(ds, i):
+    def build(ds, i, device=True):
         from se3et_tpu.data.influence import precompute_influence
 
         item = ds[i]
@@ -190,11 +190,17 @@ def _build_and_run(args, pcfg, mcfg, lcfg, ecfg):
             item["ref_points"], item["src_points"], item["transform"], pcfg
         )
         precompute_influence(d, mcfg)
+        if not device:
+            return d  # host-resident (numpy); device-put lazily
         return {k: jnp.asarray(v) for k, v in d.items()}
 
     print("building pyramids...", flush=True)
+    # train pairs live on-device for the whole run (touched every step);
+    # val pairs stay HOST-side and are shipped per-pair at validation time —
+    # 96 train + 48 val production pyramids (~58 MB each) device-resident
+    # at once exhausted the chip's HBM (round-5 run, RESOURCE_EXHAUSTED)
     train_data = [build(train_ds, i) for i in range(len(train_ds))]
-    val_data = [build(val_ds, i) for i in range(len(val_ds))]
+    val_data = [build(val_ds, i, device=False) for i in range(len(val_ds))]
 
     model = SE3ETModel(mcfg)
     rngs = {"params": jax.random.PRNGKey(0), "targets": jax.random.PRNGKey(1)}
@@ -226,7 +232,12 @@ def _build_and_run(args, pcfg, mcfg, lcfg, ecfg):
     )
 
     def validate(p):
-        ms = [val_step(p, d) for d in val_data]
+        # per-pair device round-trip: fetch the metrics dict (tiny) before
+        # the next pair uploads, so only ONE val pyramid is resident at a time
+        ms = []
+        for d in val_data:
+            m = val_step(p, {k: jnp.asarray(v) for k, v in d.items()})
+            ms.append({k: float(v) for k, v in m.items()})
         keys = ms[0].keys()
         out = {k: float(np.mean([float(m[k]) for m in ms])) for k in keys}
         rr = np.array([float(m["RR"]) for m in ms])
