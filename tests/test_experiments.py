@@ -200,3 +200,49 @@ def test_neighbor_limit_calibration_cached(tmp_path, monkeypatch):
         dataclasses.replace(cfg, data=dataclasses.replace(cfg.data, dataset="kitti"))
     )
     assert cal2.pipeline.neighbor_limits == limits
+
+
+def test_real_dataset_auto_activation(tmp_path):
+    """build_dataset switches from the synthetic fallback to the real
+    3DMatch/KITTI loaders as soon as metadata appears on disk (VERDICT
+    standing item: real-data activation must work unattended)."""
+    import dataclasses
+
+    import numpy as np
+
+    from se3et_tpu.data import datasets as ds_lib
+    from se3et_tpu.experiments import make_cfg
+    from se3et_tpu.experiments.runner import build_dataset
+
+    cfg = make_cfg("se3ete.3dmatch")
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, dataset_root=str(tmp_path))
+    )
+    # no metadata on disk -> synthetic fallback
+    ds = build_dataset(cfg, "train", training=True)
+    assert isinstance(ds, ds_lib.SyntheticPairDataset)
+
+    # drop minimal metadata + clouds -> the real loader activates and loads
+    os.makedirs(tmp_path / "metadata")
+    os.makedirs(tmp_path / "data")
+    pts = np.random.RandomState(0).randn(50, 3).astype(np.float32)
+    np.save(tmp_path / "data" / "frag0.npy", pts)
+    np.save(tmp_path / "data" / "frag1.npy", pts)
+    meta = [dict(overlap=0.6, pcd0="frag0.npy", pcd1="frag1.npy",
+                 scene_name="scene1", frag_id0=0, frag_id1=1,
+                 rotation=np.eye(3), translation=np.zeros(3))]
+    with open(tmp_path / "metadata" / "train.pkl", "wb") as f:
+        pickle.dump(meta, f)
+    ds = build_dataset(cfg, "train", training=False)
+    assert isinstance(ds, ds_lib.ThreeDMatchPairDataset)
+    item = ds[0]
+    assert item["ref_points"].shape[1] == 3
+    assert item["transform"].shape == (4, 4)
+
+    # KITTI family: metadata presence activates the odometry loader
+    kcfg = make_cfg("se3eti.kitti")
+    kcfg = dataclasses.replace(
+        kcfg, data=dataclasses.replace(kcfg.data, dataset_root=str(tmp_path))
+    )
+    ds = build_dataset(kcfg, "train", training=True)
+    assert isinstance(ds, ds_lib.OdometryKittiPairDataset)
