@@ -1,0 +1,26 @@
+"""Round-5 third chip wave: fine-grained attribution to target the last
+backbone/transformer milliseconds (VERDICT r4 #3).
+
+Run after chip_queue_r5b.py drains.
+"""
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/scripts")
+
+from chip_queue_r5 import main as queue_main
+import chip_queue_r5 as q
+
+
+q.STEPS = [
+    ("prefix_backbone", 3500,
+     [sys.executable, "scripts/profile_prefix.py", "--backbone"], {}),
+    ("profile_backbone_pieces", 3500,
+     [sys.executable, "scripts/profile_backbone.py"], {}),
+    ("prefix_kitti", 2400,
+     [sys.executable, "scripts/profile_prefix.py", "--exp", "se3eti.kitti"],
+     {}),
+]
+
+if __name__ == "__main__":
+    queue_main(set(sys.argv[1:]))

@@ -46,9 +46,12 @@ def main():
 
     cfg = make_cfg(args.exp)
     model = SE3ETModel(cfg.model)
+    # LiDAR-family configs need the LiDAR-scale synthetic extent (matches
+    # bench.py / runner.build_dataset; wrong-scale pairs skew window drops)
+    extent = 2.0 if cfg.data.dataset in ("threedmatch", "modelnet") else 20.0
     data = graft._example_pair(
         cfg.pipeline, num_points=cfg.data.point_limit, seed=0,
-        model_cfg=cfg.model,
+        model_cfg=cfg.model, extent=extent,
     )
     data = {k: jnp.asarray(v) for k, v in data.items()}
     rngs = {"params": jax.random.PRNGKey(0), "targets": jax.random.PRNGKey(1)}
