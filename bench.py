@@ -53,9 +53,12 @@ def main():
         cfg = dataclasses.replace(cfg, model=model_cfg)
     model = SE3ETModel(model_cfg)
 
-    # a handful of distinct synthetic pairs at the dataset point_limit;
-    # LiDAR-family configs use the runner's LiDAR-scale synthetic extent
-    extent = 2.0 if cfg.data.dataset in ("threedmatch", "modelnet") else 20.0
+    # a handful of distinct synthetic pairs at the dataset point_limit,
+    # at the dataset family's synthetic scene extent (single source of truth
+    # in experiments.runner — drop rates must match serving)
+    from se3et_tpu.experiments.runner import synthetic_extent
+
+    extent = synthetic_extent(cfg.data.dataset)
     num_pairs = 4
     datas = [
         graft._example_pair(pipeline, num_points=cfg.data.point_limit, seed=i,
@@ -74,14 +77,51 @@ def main():
     # is ~nil — the model is bandwidth-bound per pair — and large batches can
     # crash the remote compiler, so the headline defaults to single-pair.
     batch_size = int(os.environ.get("BENCH_BATCH", "0"))
-    jit_opts = serving_jit_options(model_cfg)
 
-    @functools.partial(jax.jit, compiler_options=jit_opts)
-    def forward(params, data):
-        # pure serving path: no ground-truth overlap computation
-        return model.apply(
-            params, data, train=False, with_registration=True, with_gt=False
-        )
+    # NOTE: block_until_ready does not reliably block on the experimental
+    # remote-TPU backend; a host transfer of the final output is the only
+    # trustworthy sync, and it forces the whole queued execution chain to
+    # complete (device execution is sequential).
+    def sync(o):
+        return np.asarray(o["estimated_transform"])
+
+    # Mosaic lowering failsafe: walk the SAME serving-config ladder the
+    # engine uses (engine.tester.serving_config_ladder — femb, attention,
+    # sinkhorn, conv/embedding rungs) so a kernel that fails to lower on
+    # this compiler version degrades to its XLA path instead of losing the
+    # headline measurement.  (The previous inline 2-rung copy could not
+    # survive the round-4 KITTI sinkhorn scoped-VMEM failure.)
+    from se3et_tpu.engine.tester import serving_config_ladder
+
+    def build_forward(mc):
+        m = SE3ETModel(mc)
+
+        def fwd(params, data):
+            # pure serving path: no ground-truth overlap computation
+            return m.apply(
+                params, data, train=False, with_registration=True,
+                with_gt=False,
+            )
+
+        return m, jax.jit(fwd, compiler_options=serving_jit_options(mc))
+
+    rungs = list(serving_config_ladder(model_cfg))
+    model = forward = None
+    for i, (tag, mc) in enumerate(rungs):
+        m, fwd = build_forward(mc)
+        try:
+            sync(fwd(params, datas[0]))
+        except Exception as e:  # noqa: BLE001 — lowering/compile failure
+            if i + 1 == len(rungs):
+                raise
+            print(f"serving config '{tag}' failed ({type(e).__name__}: "
+                  f"{str(e)[:200]}); falling back to '{rungs[i + 1][0]}'",
+                  file=sys.stderr)
+            continue
+        model, forward, model_cfg = m, fwd, mc
+        if i > 0:
+            print(f"committed serving config '{tag}'", file=sys.stderr)
+        break
 
     if batch_size > 1:
         batch = stack_pairs(
@@ -93,18 +133,13 @@ def main():
         )
         batch = {k: jax.numpy.asarray(v) for k, v in batch.items()}
 
-        @functools.partial(jax.jit, compiler_options=jit_opts)
+        @functools.partial(
+            jax.jit, compiler_options=serving_jit_options(model_cfg)
+        )
         def forward_batched(params, batch):
             return jax.vmap(lambda d: model.apply(
                 params, d, train=False, with_registration=True
             ))(batch)
-
-    # NOTE: block_until_ready does not reliably block on the experimental
-    # remote-TPU backend; a host transfer of the final output is the only
-    # trustworthy sync, and it forces the whole queued execution chain to
-    # complete (device execution is sequential).
-    def sync(o):
-        return np.asarray(o["estimated_transform"])
 
     # model FLOPs from XLA's own cost model (conv einsums + attention +
     # sinkhorn + LGR, everything in the compiled graph) for MFU attribution
@@ -118,31 +153,6 @@ def main():
         flops = float(cost.get("flops", 0.0)) or None
     except Exception as e:
         print(f"cost_analysis unavailable: {e}", file=sys.stderr)
-
-    # single-pair latency.  Failsafe: if the flash RPE self-attention fails
-    # to lower on this Mosaic version, fall back to the XLA attention path
-    # rather than losing the headline number.
-    try:
-        sync(forward(params, datas[0]))
-    except Exception as e:
-        print(f"flash-attention serving path failed ({type(e).__name__}: "
-              f"{str(e)[:200]}); retrying with serve_fused_attention=False",
-              file=sys.stderr)
-        import dataclasses
-
-        model = SE3ETModel(
-            dataclasses.replace(model_cfg, serve_fused_attention=False)
-        )
-        batch_size = 0  # the batched closure still holds the flash model
-
-        @functools.partial(jax.jit, compiler_options=jit_opts)
-        def forward(params, data):
-            return model.apply(
-                params, data, train=False, with_registration=True,
-                with_gt=False,
-            )
-
-        sync(forward(params, datas[0]))
     reps = int(os.environ.get("BENCH_REPS", "30"))
     t0 = time.time()
     for i in range(reps):

@@ -2,9 +2,11 @@
 
 For each conv neighbor set of a pipeline config, sweep the segment budget and
 report the drop rate over a few production-scale synthetic pairs; pick the
-smallest budget whose drop rate is <= the tolerance (default 0.5%), preferring
-even counts (window width W = nseg * 64 lands on a 128-lane boundary — the
-one-hot operand's minor dim pads to 128 inside the kernel).
+smallest budget whose drop rate is <= the tolerance (default 0.5%).  Budgets
+step by 128 // sseg so the window width W = budget * sseg lands on a
+128-lane boundary (the one-hot operand's minor dim pads to 128 inside the
+kernel).  Honors the config's per-set segment granularity
+(``window_sseg_by_set``); use scripts/sweep_sseg.py to pick that first.
 
 Usage:
     python scripts/calibrate_window_budgets.py [--exp se3ete.3dmatch]
@@ -15,13 +17,38 @@ import argparse
 import dataclasses
 import sys
 
-import numpy as np
-
 sys.path.insert(0, ".")
 
 from se3et_tpu.data import pipeline as pipe
 from se3et_tpu.data.datasets import SyntheticPairDataset
 from se3et_tpu.experiments import make_cfg
+
+
+def collect_raw_sets(exp: str, pairs: int, max_nseg: int = 40):
+    """One wide pyramid pass per synthetic pair, capturing each conv set's
+    raw (neighbors, cap_s) inputs (shared with sweep_sseg.py)."""
+    cfg = make_cfg(exp)
+    pcfg = cfg.pipeline
+    from se3et_tpu.experiments.runner import synthetic_extent
+
+    scale = synthetic_extent(cfg.data.dataset)
+    items = [
+        SyntheticPairDataset(
+            num_pairs=1, num_points=cfg.data.point_limit, extent=scale,
+            seed=100 + i,
+        )[0]
+        for i in range(pairs)
+    ]
+    wide = dataclasses.replace(
+        pcfg, window_segments=max_nseg, window_segments_by_set=(), patch_k=0
+    )
+    raw_sets: dict = {}
+    with pipe.capture_window_map_inputs(raw_sets):
+        for it in items:
+            pipe.build_pair_pyramid(
+                it["ref_points"], it["src_points"], it["transform"], wide
+            )
+    return cfg, raw_sets
 
 
 def main():
@@ -32,66 +59,14 @@ def main():
     ap.add_argument("--max_nseg", type=int, default=40)
     args = ap.parse_args()
 
-    cfg = make_cfg(args.exp)
-    pcfg = cfg.pipeline
-    # mirror runner.build_dataset's synthetic-fallback scene scale — KITTI's
-    # voxel 0.3 m / radius 1.275 m assumes LiDAR-scale extents
-    scale = {"threedmatch": 2.0, "kitti_test": 2.0, "modelnet": 0.8}.get(
-        cfg.data.dataset, 20.0
-    )
-    items = [
-        SyntheticPairDataset(
-            num_pairs=1, num_points=cfg.data.point_limit, extent=scale,
-            seed=100 + i,
-        )[0]
-        for i in range(args.pairs)
-    ]
-
-    # one wide pass to collect the raw neighbor matrices per set
-    wide = dataclasses.replace(
-        pcfg,
-        window_segments=args.max_nseg,
-        window_segments_by_set=(),
-        patch_k=0,
-    )
-    raw_sets: dict[str, list[tuple[np.ndarray, int]]] = {}
-
-    orig_build = pipe.build_window_maps
-
-    def capture(neighbors, cap_s, max_segs, stats_key=None):
-        if stats_key is not None:
-            raw_sets.setdefault(stats_key, []).append((neighbors.copy(), cap_s))
-        return orig_build(neighbors, cap_s, max_segs, stats_key=stats_key)
-
-    pipe.build_window_maps = capture
-    try:
-        for it in items:
-            pipe.build_pair_pyramid(
-                it["ref_points"], it["src_points"], it["transform"], wide
-            )
-    finally:
-        pipe.build_window_maps = orig_build
-
+    cfg, raw_sets = collect_raw_sets(args.exp, args.pairs, args.max_nseg)
     chosen = {}
     for key in sorted(raw_sets):
-        rows = raw_sets[key]
-        budget = None
-        rate_at = {}
-        step = max(128 // pipe.WINDOW_SSEG, 1)  # keep W on a 128-lane boundary
-        for nseg in range(step, args.max_nseg + 1, step):
-            dropped = total = 0
-            for nbr, cap_s in rows:
-                pipe.WINDOW_DROP_STATS.clear()
-                orig_build(nbr, cap_s, nseg, stats_key="t")
-                d, t = pipe.WINDOW_DROP_STATS["t"]
-                dropped += d
-                total += t
-            rate = dropped / max(total, 1)
-            rate_at[nseg] = rate
-            if rate <= args.tol:
-                budget = nseg
-                break
-        print(f"{key}: budget={budget}  " + "  ".join(
+        sseg = cfg.pipeline.sseg_for(key)
+        budget, rate_at = pipe.min_window_budget(
+            raw_sets[key], sseg, args.tol, max_w=args.max_nseg * 16
+        )
+        print(f"{key} (sseg={sseg}): budget={budget}  " + "  ".join(
             f"{n}:{r:.4%}" for n, r in rate_at.items()
         ))
         chosen[key] = budget

@@ -46,9 +46,11 @@ def main():
 
     cfg = make_cfg(args.exp)
     model = SE3ETModel(cfg.model)
-    # LiDAR-family configs need the LiDAR-scale synthetic extent (matches
-    # bench.py / runner.build_dataset; wrong-scale pairs skew window drops)
-    extent = 2.0 if cfg.data.dataset in ("threedmatch", "modelnet") else 20.0
+    # the dataset family's synthetic scene extent (single source of truth
+    # in experiments.runner; wrong-scale pairs skew window drops)
+    from se3et_tpu.experiments.runner import synthetic_extent
+
+    extent = synthetic_extent(cfg.data.dataset)
     data = graft._example_pair(
         cfg.pipeline, num_points=cfg.data.point_limit, seed=0,
         model_cfg=cfg.model, extent=extent,

@@ -13,14 +13,15 @@ Usage: python scripts/sweep_sseg.py [--exp se3ete.3dmatch] [--pairs 4]
 """
 
 import argparse
-import dataclasses
 import sys
 
-sys.path.insert(0, ".")
+import os.path as _osp
+sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+sys.path.insert(0, _osp.dirname(_osp.abspath(__file__)))
 
 from se3et_tpu.data import pipeline as pipe
-from se3et_tpu.data.datasets import SyntheticPairDataset
-from se3et_tpu.experiments import make_cfg
+
+from calibrate_window_budgets import collect_raw_sets
 
 
 def main():
@@ -33,63 +34,17 @@ def main():
     args = ap.parse_args()
     ssegs = [int(s) for s in args.ssegs.split(",")]
 
-    cfg = make_cfg(args.exp)
-    pcfg = cfg.pipeline
-    scale = {"threedmatch": 2.0, "kitti_test": 2.0, "modelnet": 0.8}.get(
-        cfg.data.dataset, 20.0
-    )
-    items = [
-        SyntheticPairDataset(
-            num_pairs=1, num_points=cfg.data.point_limit, extent=scale,
-            seed=100 + i,
-        )[0]
-        for i in range(args.pairs)
-    ]
+    _, raw_sets = collect_raw_sets(args.exp, args.pairs)
 
-    # one wide pass to collect the raw neighbor matrices per set
-    wide = dataclasses.replace(
-        pcfg, window_segments=8, window_segments_by_set=(), patch_k=0
-    )
-    raw_sets = {}
-    orig_build = pipe.build_window_maps
-
-    def capture(neighbors, cap_s, max_segs, stats_key=None, sseg=None):
-        if stats_key is not None:
-            raw_sets.setdefault(stats_key, []).append(
-                (neighbors.copy(), cap_s)
-            )
-        return orig_build(neighbors, cap_s, max_segs, stats_key=stats_key,
-                          sseg=sseg)
-
-    pipe.build_window_maps = capture
-    try:
-        for it in items:
-            pipe.build_pair_pyramid(
-                it["ref_points"], it["src_points"], it["transform"], wide
-            )
-    finally:
-        pipe.build_window_maps = orig_build
-
-    print(f"{'set':18s} " + "  ".join(f"sseg={s:<3d} (budget -> W)" for s in ssegs))
+    print(f"{'set':18s} "
+          + "  ".join(f"sseg={s:<3d} (budget -> W)" for s in ssegs))
     for key in sorted(raw_sets):
-        rows = raw_sets[key]
         cells = []
         for sseg in ssegs:
-            step = max(128 // sseg, 1)  # W stays on a 128-lane boundary
-            budget = None
-            rate = None
-            for nseg in range(step, args.max_w // sseg + 1, step):
-                dropped = total = 0
-                for nbr, cap_s in rows:
-                    pipe.WINDOW_DROP_STATS.clear()
-                    orig_build(nbr, cap_s, nseg, stats_key="t", sseg=sseg)
-                    d, t = pipe.WINDOW_DROP_STATS["t"]
-                    dropped += d
-                    total += t
-                rate = dropped / max(total, 1)
-                if rate <= args.tol:
-                    budget = nseg
-                    break
+            budget, rate_at = pipe.min_window_budget(
+                raw_sets[key], sseg, args.tol, max_w=args.max_w
+            )
+            rate = rate_at[budget] if budget else max(rate_at.values())
             w = budget * sseg if budget else -1
             cells.append(f"{budget if budget else '--':>6} -> W={w:<5d} "
                          f"(drop {rate:.3%})")

@@ -36,6 +36,7 @@ key                       shape
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 
 import numpy as np
@@ -224,6 +225,12 @@ WINDOW_SSEG = 16
 # aggregate window-overflow accounting: {stage_key: [dropped, total]}
 WINDOW_DROP_STATS: dict[str, list[int]] = {}
 
+# calibration hook: while a capture_window_map_inputs() context is active,
+# build_window_maps records its raw inputs here (no monkeypatching — a
+# forked copy of that monkeypatch is what broke calibrate_window_budgets
+# when the sseg parameter landed)
+_CAPTURE_STORE: dict | None = None
+
 # aggregate neighbor-H-cap accounting: {set_key: [dropped_valid, total_valid]}
 H_DROP_STATS: dict[str, list[int]] = {}
 
@@ -275,9 +282,16 @@ def build_window_maps(
     qseg = WINDOW_QSEG
     if sseg is None:
         sseg = WINDOW_SSEG
+    if _CAPTURE_STORE is not None and stats_key is not None:
+        _CAPTURE_STORE.setdefault(stats_key, []).append(
+            (neighbors.copy(), cap_s)
+        )
     cap_q, h = neighbors.shape
     nblk_q = (cap_q + qseg - 1) // qseg
     nblk_s = (cap_s + sseg - 1) // sseg
+    # more slots than source segments exist is full coverage — clamp (a
+    # larger max_segs would make the slot bookkeeping index out of range)
+    max_segs = min(max_segs, nblk_s)
     w = max_segs * sseg
     pad_q = nblk_q * qseg - cap_q
     nb = neighbors
@@ -490,3 +504,49 @@ def calibrate_neighbor_limits(
     cum = np.cumsum(hists.T, axis=0)
     limits = np.sum(cum < keep_ratio * cum[-1], axis=0)
     return tuple(int(x) for x in np.maximum(limits, 1))
+
+
+@contextlib.contextmanager
+def capture_window_map_inputs(store: dict):
+    """Calibration hook: while active, :func:`build_window_maps` records its
+    raw ``(neighbors, cap_s)`` inputs into ``store[stats_key]`` — the input
+    the window-budget sweeps (scripts/calibrate_window_budgets.py,
+    scripts/sweep_sseg.py) re-scan at different budgets/granularities."""
+    global _CAPTURE_STORE
+    prev = _CAPTURE_STORE
+    _CAPTURE_STORE = store
+    try:
+        yield store
+    finally:
+        _CAPTURE_STORE = prev
+
+
+def min_window_budget(rows, sseg: int, tol: float, max_w: int = 2048):
+    """Smallest segment budget whose drop rate over ``rows`` meets ``tol``.
+
+    ``rows``: list of ``(neighbors, cap_s)`` from
+    :func:`capture_window_map_inputs`.  Budgets step by ``128 // sseg`` so
+    the window width W = budget * sseg stays on a 128-lane boundary.
+    Returns ``(budget, rate_at: {budget: rate})``; budget is None if even
+    full coverage misses the tolerance (cannot happen — full coverage drops
+    nothing — but kept as the loop's contract).
+    """
+    step = max(128 // sseg, 1)
+    rate_at = {}
+    nblk_s_max = max((cap_s + sseg - 1) // sseg for _, cap_s in rows)
+    for nseg in range(step, max_w // sseg + 1, step):
+        dropped = total = 0
+        for nbr, cap_s in rows:
+            WINDOW_DROP_STATS.pop("_scan", None)
+            build_window_maps(nbr, cap_s, nseg, stats_key="_scan", sseg=sseg)
+            d, t = WINDOW_DROP_STATS["_scan"]
+            dropped += d
+            total += t
+        WINDOW_DROP_STATS.pop("_scan", None)
+        rate = dropped / max(total, 1)
+        rate_at[nseg] = rate
+        if rate <= tol:
+            return nseg, rate_at
+        if nseg >= nblk_s_max:  # full coverage reached; no budget can do more
+            break
+    return None, rate_at

@@ -24,6 +24,21 @@ from se3et_tpu.experiments.configs import ExperimentConfig
 from se3et_tpu.utils.summary import get_logger
 
 
+def synthetic_extent(dataset: str) -> float:
+    """Scene extent for the synthetic fallback generator, per dataset family.
+
+    3DMatch rooms span ~3-4 m (extent 2.0); ModelNet objects are unit-scale;
+    raw KITTI frames are LiDAR-scale (extent 20), but the ``kitti_test``
+    variant scales points by 0.1 (``kitti_test/dataset.py:87-111``) so its
+    synthetic analog matches the scaled extent.  SINGLE source of truth —
+    bench.py, the profilers, and the window-budget calibration scripts all
+    build pairs through this map so drop rates match serving.
+    """
+    return {"threedmatch": 2.0, "kitti_test": 2.0, "modelnet": 0.8}.get(
+        dataset, 20.0
+    )
+
+
 def build_dataset(cfg: ExperimentConfig, subset: str, training: bool):
     d = cfg.data
     if d.dataset == "threedmatch":
@@ -70,12 +85,7 @@ def build_dataset(cfg: ExperimentConfig, subset: str, training: bool):
         f"dataset {d.dataset}/{subset} not found under {d.dataset_root}; "
         "falling back to the synthetic pair generator"
     )
-    # scene extent per dataset family: 3DMatch rooms span ~3-4 m (extent 2.0
-    # is also what bench.py/__graft_entry__ and the window-budget calibration
-    # use — keep them aligned); KITTI frames are LiDAR-scale.
-    scale = {"threedmatch": 2.0, "kitti_test": 2.0, "modelnet": 0.8}.get(
-        d.dataset, 20.0
-    )
+    scale = synthetic_extent(d.dataset)
     return ds_lib.SyntheticPairDataset(
         num_pairs=32 if training else 8,
         num_points=min(d.point_limit or 6000, 6000),
