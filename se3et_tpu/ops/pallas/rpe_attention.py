@@ -401,16 +401,21 @@ def _femb_tile(gn_ref, gm_ref, rk_ref, gd_ref, ga_ref, acc_cur, acc_max, *,
         ang = jnp.where(off_diag, ang, 0.0)
         t_a = jnp.clip(ang * np.float32(2.0 / np.pi) - 1.0, -1.0, 1.0)
         _cheb_accum(t_a, ga_ref, deg_a, acc_cur)
+        # the running max lives in bf16: max is monotone, so the max of
+        # bf16-rounded candidates equals the bf16-rounded max (<= 1 ulp,
+        # the same rounding the materialized bf16 embedding carries) —
+        # and the 2.1 MB saved is what keeps bn=32 under the VMEM roof
+        cur = acc_cur[...].astype(acc_max.dtype)
         if kk == 0:
-            acc_max[...] = acc_cur[...]
+            acc_max[...] = cur
         else:
-            acc_max[...] = jnp.maximum(acc_max[...], acc_cur[...])
+            acc_max[...] = jnp.maximum(acc_max[...], cur)
     # distance projection last: acc_cur is free to be reused
     dist = jnp.sqrt(jnp.maximum(r2, 0.0))
     dist = jnp.where(off_diag, dist, 0.0)
     t_d = jnp.clip(dist * inv_half_d - 1.0, -1.0, 1.0)
     _cheb_accum(t_d, gd_ref, deg_d, acc_cur)
-    return acc_cur[...] + acc_max[...]
+    return acc_cur[...] + acc_max[...].astype(jnp.float32)
 
 
 def _kernel_femb(q_ref, k_ref, v_ref, qp_ref, km_ref, qw_ref, gn_ref,
@@ -477,7 +482,9 @@ def _kernel_femb(q_ref, k_ref, v_ref, qp_ref, km_ref, qw_ref, gn_ref,
 
     @pl.when(j == pl.num_programs(2) - 1)
     def _flush():
-        out_ref[0] = acc[...] / jnp.maximum(rowsum[...], 1e-30)[:, :, None]
+        out_ref[0] = (
+            acc[...] / jnp.maximum(rowsum[...], 1e-30)[:, :, None]
+        ).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -552,16 +559,21 @@ def rpe_self_attention_femb(q, k, v, qp, k_masks, qw, points, knn_points,
         ],
         out_specs=pl.BlockSpec((1, ah, block_n, c),
                                lambda bi, i, j: (bi, 0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, ah, n, c), jnp.float32),
+        # out follows q's dtype: serving feeds bf16 and casts the result to
+        # v.dtype anyway, and the f32 output's whole-tensor scoped-VMEM
+        # staging (12.6 MB at production shape, +operands = 18.9) was what
+        # aborted the round-5 production compile at the 16 MB limit
+        out_shape=jax.ShapeDtypeStruct((b, ah, n, c), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((ah, block_n, c), jnp.float32),
             pltpu.VMEM((ah, block_n), jnp.float32),
             pltpu.VMEM((ah, block_n), jnp.float32),
             # the two embedding accumulators (see _femb_tile v2): the only
-            # (bn, bm, C) f32 buffers in the kernel — 4.2 MB each at
-            # bn=32, bm=128, C=256
+            # (bn, bm, C) buffers in the kernel — the in-flight projection
+            # sum in f32 (4.2 MB at bn=32, bm=128, C=256) + the running
+            # angle max in bf16 (2.1 MB; max is monotone, rounding-safe)
             pltpu.VMEM((block_n, block_m, cc), jnp.float32),
-            pltpu.VMEM((block_n, block_m, cc), jnp.float32),
+            pltpu.VMEM((block_n, block_m, cc), jnp.bfloat16),
         ],
         interpret=interpret,
     )(q, k, v, qp, km, qw8_b, gn_b, gm, rk, g_d, g_a)
