@@ -13,6 +13,13 @@ import chip_queue_r5 as q
 
 
 q.STEPS = [
+    # femb retry after the bf16-output/bf16-max VMEM fixes (622632c)
+    ("compile_kernels2", 2400,
+     [sys.executable, "scripts/compile_kernels.py"], {}),
+    ("bench_femb3", 3500, [sys.executable, "bench.py"],
+     {"BENCH_FEMB": "1"}),
+    ("seg_gather", 2400,
+     [sys.executable, "scripts/bench_seg_gather.py"], {}),
     ("prefix_backbone", 3500,
      [sys.executable, "scripts/profile_prefix.py", "--backbone"], {}),
     ("profile_backbone_pieces", 3500,
