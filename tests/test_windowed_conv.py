@@ -669,3 +669,41 @@ def test_backbone_remat_with_fused_conv_grad():
 
     flat, _ = ravel_pytree(jax.grad(loss)(params))
     assert bool(jnp.all(jnp.isfinite(flat)))
+
+
+def test_capture_and_min_window_budget():
+    """capture_window_map_inputs records raw (neighbors, cap_s) per set and
+    min_window_budget finds the smallest lane-aligned budget under the drop
+    tolerance — including the full-coverage clamp regime (max_segs >
+    source-segment count must not crash; round-5 review finding)."""
+    from se3et_tpu.data.datasets import SyntheticPairDataset
+
+    item = SyntheticPairDataset(num_pairs=1, num_points=500, seed=5)[0]
+    cfg = pipe.PyramidConfig(
+        num_stages=2, voxel_size=0.1, search_radius=0.25,
+        neighbor_limits=(10, 10), stage_caps=(384, 160), coarse_point_cap=160,
+        window_segments=6,
+    )
+    store = {}
+    with pipe.capture_window_map_inputs(store):
+        pipe.build_pair_pyramid(
+            item["ref_points"], item["src_points"], item["transform"], cfg
+        )
+    assert set(store) == {"neighbors_0", "neighbors_1", "subsampling_0"}
+    assert all(len(v) == 2 for v in store.values())  # both clouds captured
+    # hook is inactive outside the context
+    pipe.build_window_maps(store["neighbors_0"][0][0], 384, 4, stats_key="t")
+    assert len(store["neighbors_0"]) == 2
+
+    rows = store["neighbors_0"]
+    budget, rate_at = pipe.min_window_budget(rows, sseg=16, tol=0.005)
+    assert budget is not None and budget % (128 // 16) == 0
+    assert rate_at[budget] <= 0.005
+    # full coverage (cap_s=384 -> nblk_s=24 at sseg=16) never crashes and
+    # reaches zero drops
+    b0, r0 = pipe.min_window_budget(rows, sseg=16, tol=0.0)
+    assert b0 is not None and r0[b0] == 0.0
+    # clamp regime directly: more slots than segments exist
+    seg_idx, local = pipe.build_window_maps(rows[0][0], 384, 1000)
+    assert seg_idx.shape[1] == 24  # clamped to nblk_s
+    assert (local < 24 * 16).all() or (local == seg_idx.shape[1] * 16).any()
