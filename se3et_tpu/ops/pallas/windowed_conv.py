@@ -7,10 +7,11 @@ row gather + the ``wf`` einsum (``epn.py KPConvInterSO3.__call__``) with dense
 MXU work over per-block source windows:
 
 1. Host side (``pipeline.build_window_maps``): points are Morton-ordered, so
-   the neighbors of each 128-query block live in a handful of source segments
-   of SSEG=64 rows (finer segments cut the summed window width ~25-35% vs
-   128-row segments at matched drop rates — kernel cost is linear in W); the
-   pipeline emits per-block segment lists and window-local neighbor indices.
+   the neighbors of each QSEG=64-query block live in a handful of source
+   segments of SSEG=16 rows (8 on per-set-calibrated stage-0 sets — each
+   granularity halving has cut the summed window width 15-35% at matched
+   drop rates, and kernel cost is linear in W); the pipeline emits per-block
+   segment lists and window-local neighbor indices.
 2. ``segment_window_gather`` (XLA): materializes the per-block windows with a
    tiny one-hot matmul over *segments* — (nblk_q*S, nblk_s) @ (nblk_s, 64*AC)
    runs at HBM bandwidth, unlike large-slice gathers which lower pathologically.
@@ -27,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -49,6 +51,35 @@ def pick_hc(h: int) -> int:
     return ((per + 7) // 8) * 8
 
 
+@jax.custom_vjp
+def _seg_gather_rows(segs, idx):
+    """rows[b, r] = segs[b, idx[b, r]] — exact row gather of segment rows.
+
+    Forward: ``take_along_axis`` (~8.4 ns/row + bandwidth — no FLOPs; the
+    one-hot einsum it replaces costs rows * nblk_s * row_width MACs, a
+    hidden multi-GFLOP block per conv at production slot counts).
+    Backward: the one-hot transpose einsum (d_segs = oh^T @ d_rows), i.e.
+    scatter-add expressed as ONE matmul — XLA's native gather transpose is
+    a serialized scatter, the exact pathology the fused-conv custom VJPs
+    exist to avoid.
+    """
+    return jnp.take_along_axis(segs, idx[:, :, None], axis=1)
+
+
+def _seg_gather_rows_fwd(segs, idx):
+    return _seg_gather_rows(segs, idx), (idx, segs.shape[1])
+
+
+def _seg_gather_rows_bwd(res, d_rows):
+    idx, nblk_s = res
+    oh = jax.nn.one_hot(idx, nblk_s, dtype=d_rows.dtype)
+    d_segs = jnp.einsum("bqn,bqd->bnd", oh, d_rows)
+    return d_segs, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_seg_gather_rows.defvjp(_seg_gather_rows_fwd, _seg_gather_rows_bwd)
+
+
 def segment_window_gather(x, seg_idx, precision=None, sseg=SSEG):
     """x: (B, Ns, AC); seg_idx: (B, nblk_q, S) -> windows (B, nblk_q, S*sseg, AC).
 
@@ -58,7 +89,15 @@ def segment_window_gather(x, seg_idx, precision=None, sseg=SSEG):
     ``precision=jax.lax.Precision.HIGHEST`` when gathering fp32
     *coordinates* (the TPU default matmul precision would round them to
     bf16).
+
+    ``SE3ET_SEG_GATHER=take`` switches to the row-gather implementation
+    (:func:`_seg_gather_rows`): bit-exact selection (any dtype, no
+    precision caveat), zero FLOPs forward, one-hot-transpose matmul
+    backward.  Off by default pending the chip A/B
+    (scripts/bench_seg_gather.py / BENCH.md round 5).
     """
+    import os
+
     b, ns, ac = x.shape
     nblk_s = (ns + sseg - 1) // sseg
     pad = nblk_s * sseg - ns
@@ -66,6 +105,9 @@ def segment_window_gather(x, seg_idx, precision=None, sseg=SSEG):
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
     segs = x.reshape(b, nblk_s, sseg * ac)
     nblk_q, s = seg_idx.shape[1:]
+    if os.environ.get("SE3ET_SEG_GATHER", "onehot") == "take":
+        win = _seg_gather_rows(segs, seg_idx.reshape(b, nblk_q * s))
+        return win.reshape(b, nblk_q, s * sseg, ac)
     oh = jax.nn.one_hot(seg_idx.reshape(b, nblk_q * s), nblk_s, dtype=x.dtype)
     win = jnp.einsum("bqn,bnd->bqd", oh, segs, precision=precision)
     return win.reshape(b, nblk_q, s * sseg, ac)

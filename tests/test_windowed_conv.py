@@ -707,3 +707,44 @@ def test_capture_and_min_window_budget():
     seg_idx, local = pipe.build_window_maps(rows[0][0], 384, 1000)
     assert seg_idx.shape[1] == 24  # clamped to nblk_s
     assert (local < 24 * 16).all() or (local == seg_idx.shape[1] * 16).any()
+
+
+def test_seg_gather_take_matches_onehot(monkeypatch):
+    """SE3ET_SEG_GATHER=take == the one-hot einsum: forward bit-exact for
+    bf16 features and f32 coordinates, gradients equal (the take impl's
+    custom VJP is the same one-hot transpose einsum)."""
+    from se3et_tpu.ops.pallas import windowed_conv as wc
+
+    rng = np.random.RandomState(7)
+    b, ns, ac, nblk_q, s, sseg = 2, 200, 24, 3, 4, 16
+    nblk_s = -(-ns // sseg)
+    seg_idx = jnp.asarray(rng.randint(0, nblk_s, size=(b, nblk_q, s)),
+                          jnp.int32)
+
+    for x, prec_arg in [
+        (jnp.asarray(rng.randn(b, ns, ac).astype(np.float32), jnp.bfloat16),
+         None),
+        (jnp.asarray(rng.randn(b, ns, ac), jnp.float32),
+         jax.lax.Precision.HIGHEST),
+    ]:
+        monkeypatch.delenv("SE3ET_SEG_GATHER", raising=False)
+        ref = wc.segment_window_gather(x, seg_idx, precision=prec_arg,
+                                       sseg=sseg)
+        g_ref = jax.grad(
+            lambda x: jnp.sum(wc.segment_window_gather(
+                x, seg_idx, precision=prec_arg, sseg=sseg
+            ).astype(jnp.float32) ** 2)
+        )(x)
+        monkeypatch.setenv("SE3ET_SEG_GATHER", "take")
+        got = wc.segment_window_gather(x, seg_idx, precision=prec_arg,
+                                       sseg=sseg)
+        g_got = jax.grad(
+            lambda x: jnp.sum(wc.segment_window_gather(
+                x, seg_idx, precision=prec_arg, sseg=sseg
+            ).astype(jnp.float32) ** 2)
+        )(x)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        np.testing.assert_allclose(
+            np.asarray(g_got, np.float32), np.asarray(g_ref, np.float32),
+            rtol=1e-5, atol=1e-5,
+        )
