@@ -251,11 +251,11 @@ class KPConvInterSO3(nn.Module):
         elif window is not None:
             from se3et_tpu.ops.pallas import windowed_conv as wc
 
-            seg_idx, local, w_sseg = window
+            seg_idx, local = window[0], window[1]
             x = prec.cast_feature(x)
             win = wc.segment_window_gather(
                 x.reshape(x.shape[0], num_s, a_dim * cin), seg_idx,
-                sseg=w_sseg,
+                sseg=_win_sseg(window),
             )
             kfirst = cfg.wf_kfirst or (
                 0 < cfg.wf_kfirst_min_ac <= a_dim * cin
@@ -368,6 +368,20 @@ class KPConvIntraSO3(nn.Module):
         )
         gathered = x[:, :, intra]  # (B, N, A, Ki, C)
         return jnp.einsum("bnakc,kcd->bnad", gathered, w, precision=prec.feature())
+
+
+
+def _win_sseg(window) -> int:
+    """Static segment granularity of a window tuple.
+
+    The third element is the pipeline's zero-cost shape-carrier ARRAY (its
+    trailing dim = sseg) — an array rather than a python int so the value
+    survives ``nn.remat``, which traces non-array call args (a raw int
+    became a tracer and broke the padded-shape arithmetic, round 5).  A
+    plain int is still accepted for hand-built tuples.
+    """
+    ss = window[2]
+    return ss if isinstance(ss, int) else int(ss.shape[-1])
 
 
 def max_pool_neighbors(x, neighbor_indices):
@@ -513,7 +527,8 @@ class ResnetBottleneckBlockEPN(nn.Module):
             from se3et_tpu.ops.pallas import windowed_conv as wc
 
             a_dim, ch = skip.shape[2], skip.shape[3]
-            w_width = 0 if window is None else window[0].shape[2] * window[2]
+            w_width = (0 if window is None
+                       else window[0].shape[2] * _win_sseg(window))
             pool_mode = self.pool_mode
             if (
                 window is not None
@@ -522,10 +537,11 @@ class ResnetBottleneckBlockEPN(nn.Module):
                 and (pool_mode != "grad"
                      or wc.windowed_max_pool_bwd_fits(w_width, a_dim * ch))
             ):
-                seg_idx, local, w_sseg = window
+                seg_idx, local = window[0], window[1]
                 b, ns = skip.shape[0], skip.shape[1]
                 flat = prec.cast_feature(skip).reshape(b, ns, a_dim * ch)
-                win = wc.segment_window_gather(flat, seg_idx, sseg=w_sseg)
+                win = wc.segment_window_gather(flat, seg_idx,
+                                               sseg=_win_sseg(window))
                 interp = jax.default_backend() != "tpu"
                 if pool_mode == "grad":
                     pooled = wc.windowed_max_pool_trainable(
@@ -734,8 +750,11 @@ class E2PNBackbone(nn.Module):
             from se3et_tpu.ops.pallas import windowed_conv as wc
 
             carrier = pyramid.get(f"{set_name}_wsseg_{st}")
-            sseg = wc.SSEG if carrier is None else int(carrier.shape[-1])
-            return (segs, local, sseg)
+            if carrier is None:
+                import jax.numpy as _jnp
+
+                carrier = _jnp.zeros((wc.SSEG,), _jnp.int8)
+            return (segs, local, carrier)
 
         def make_influence(radius, sigma, q, sup, idx, win, key=None):
             """Influence weights, shared by all convs of a (stage, set).
@@ -758,10 +777,10 @@ class E2PNBackbone(nn.Module):
             if win is not None:
                 from se3et_tpu.ops.pallas import windowed_conv as wc
 
-                segs, local, w_sseg = win
+                segs, local = win[0], win[1]
                 win3 = wc.segment_window_gather(
                     sup, segs, precision=jax.lax.Precision.HIGHEST,
-                    sseg=w_sseg,
+                    sseg=_win_sseg(win),
                 )
                 infl, _ = wc.influence_windowed_pallas(
                     local, q, win3, make_kp(radius), sigma=float(sigma),
