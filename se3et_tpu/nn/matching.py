@@ -49,6 +49,11 @@ def _sinkhorn_scan(padded, log_mu, log_nu, num_iterations):
 
 import functools as _functools
 
+# staged-output threshold above which the fused sinkhorn splits its batch
+# across two pallas calls (XLA scoped-VMEM staging limit is 16 MB; see
+# _sinkhorn_fused_grad and utils/jitopt.serving_jit_options)
+_SINKHORN_SPLIT_BYTES = 14e6
+
 
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _sinkhorn_fused_grad(padded, log_mu, log_nu, num_iterations):
@@ -75,6 +80,26 @@ def _sinkhorn_fused_grad(padded, log_mu, log_nu, num_iterations):
     tile = b
     while tile > 32 and tile * m_pad * n_pad * 4 * 6 > 15e6:
         tile //= 2
+
+    # XLA stages each custom call's WHOLE output in scoped VMEM; at the
+    # KITTI patch shape (256, 129, 129) f32 = 17.05 MB that alone exceeds
+    # the 16 MB limit (the round-4 field failure).  Splitting the batch
+    # across two pallas calls keeps each staged output under the limit, so
+    # serving never needs the raised-scoped-limit compile option (which
+    # costs +3.4 ms/pair of placement-pass regressions, BENCH.md round 4).
+    out_bytes = 4 * b * m1 * n1
+    if out_bytes > _SINKHORN_SPLIT_BYTES and b % 2 == 0:
+        h = b // 2
+
+        def run(sl):
+            return sinkhorn_pallas(
+                padded[sl], log_mu[sl], log_nu[sl],
+                num_iterations=num_iterations, tile=min(tile, h),
+            )
+
+        return jnp.concatenate(
+            [run(slice(0, h)), run(slice(h, None))], axis=0
+        )
     return sinkhorn_pallas(
         padded, log_mu, log_nu, num_iterations=num_iterations, tile=tile
     )

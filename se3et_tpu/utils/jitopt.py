@@ -79,13 +79,18 @@ def train_jit_options() -> dict:
 def serving_jit_options(model_cfg) -> dict:
     """Serving-forward jit options for this model config.
 
-    Bumps the scoped limit only when the Sinkhorn kernel's full output
+    Bumps the scoped limit only when a Sinkhorn pallas call's staged output
     (``(num_correspondences, p+1, p+1)`` f32, ``nn/matching.py:78``) is
     close enough to 16 MB that XLA's whole-output scoped allocation can
-    abort the compile; the flagship 3DMatch shape (256, 65, 65) stays on
-    the measured-faster default placement.  Returns ``{}`` off-TPU.
+    abort the compile.  ``_sinkhorn_fused_grad`` splits oversized batches
+    across two calls (halving the staged size), so with an even
+    correspondence count — every registered config — serving stays on the
+    measured-faster default placement everywhere, KITTI included.
+    Returns ``{}`` off-TPU.
     """
     p = int(getattr(model_cfg, "num_points_in_patch", 0)) + 1
     corr = int(getattr(model_cfg, "num_correspondences", 0))
     sinkhorn_bytes = 4 * corr * p * p
+    if sinkhorn_bytes > 14e6 and corr % 2 == 0:
+        sinkhorn_bytes //= 2  # the fused-sinkhorn batch split kicks in
     return _opts(sinkhorn_bytes > 14e6)
