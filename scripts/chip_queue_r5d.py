@@ -14,6 +14,8 @@ import chip_queue_r5 as q
 
 
 q.STEPS = [
+    ("bisect_femb", 2400,
+     [sys.executable, "scripts/bisect_femb_v2.py"], {}),
     ("bench_take", 3500, [sys.executable, "bench.py"],
      {"SE3ET_SEG_GATHER": "take"}),
     ("bench_final", 3500, [sys.executable, "bench.py"], {}),
