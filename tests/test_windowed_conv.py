@@ -41,10 +41,10 @@ def test_window_overflow_drops_are_masked_and_counted():
     assert (local == w).sum() == dropped  # dropped neighbors -> sentinel
 
 
-@pytest.mark.parametrize("sseg,nseg", [(16, 6), (8, 12)])
+@pytest.mark.parametrize("sseg,nseg", [(16, 6), (8, 12), (4, 24)])
 def test_windowed_conv_matches_gather_path(sseg, nseg):
     """KPConvInterSO3 with window maps == the row-gather formulation —
-    at the default 16-row segments and the per-set 8-row granularity
+    at the default 16-row segments and the per-set 8/4-row granularities
     (same window width W = nseg * sseg)."""
     from se3et_tpu.data.datasets import SyntheticPairDataset
     from se3et_tpu.nn.epn import EPNConfig, KPConvInterSO3
