@@ -52,12 +52,18 @@ def main():
             print(f"FAIL {tag}: {type(e).__name__}: {str(e)[:160]}",
                   flush=True)
 
-    run("eq bn=32 (current default)")
-    run("eq bn=16", block_n=16)
-    run("inv bn=32", qw=None)
-    run("inv bn=16", qw=None, block_n=16)
+    run("eq bn=32 (v2 design)", block_n=32)
+    run("eq bn=16 (current default)")
+    run("inv bn=32", qw=None, block_n=32)
+    run("inv bn=16", qw=None)
     # AH=4 inv variants (the compile-smoke shape that passed at v2)
-    run("inv AH=4 bn=32", q=q[:, :4], qp=qp[:, :, :4], qw=None)
+    run("inv AH=4 bn=32", q=q[:, :4], qp=qp[:, :, :4], qw=None, block_n=32)
+    # round-5 verdict so far: bn=32 crashes IFF AH=24 (eq and inv alike);
+    # bn=16 compiles.  bm=64 halves the footprint while keeping bn=32's
+    # halved K/V sweep count — probe whether the crash is footprint-driven
+    run("eq bn=32 bm=64", block_n=32, block_m=64)
+    run("inv bn=32 bm=64", qw=None, block_n=32, block_m=64)
+    run("eq bn=32 bm=256", block_n=32, block_m=256)
 
 
 if __name__ == "__main__":

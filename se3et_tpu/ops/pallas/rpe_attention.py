@@ -494,7 +494,7 @@ def _kernel_femb(q_ref, k_ref, v_ref, qp_ref, km_ref, qw_ref, gn_ref,
 )
 def rpe_self_attention_femb(q, k, v, qp, k_masks, qw, points, knn_points,
                             wd, wa, *, scale, sigma_d, sigma_a,
-                            d_index_max=48.0, block_n=32, block_m=128,
+                            d_index_max=48.0, block_n=16, block_m=128,
                             interpret=False):
     """Flash RPE self-attention with the embedding computed IN-KERNEL.
 
@@ -505,6 +505,12 @@ def rpe_self_attention_femb(q, k, v, qp, k_masks, qw, points, knn_points,
     Chebyshev fit tables here (``G = A @ W``; biases dropped as softmax
     no-ops).  Serving only (no VJP).  Reference semantics:
     ``geotransformer.py:69-121`` + ``rpe_transformer.py:18-131``.
+
+    ``block_n`` defaults to 16: the round-5 bisect (scripts/bisect_femb_v2.py,
+    BENCH.md) showed Mosaic's compile helper CRASHES at bn=32 whenever
+    AH=24 (production heads x anchors), eq and inv alike, while bn=16 and
+    AH=4/bn=32 compile — the v2 fused accumulation still halves the VMEM
+    footprint vs v1 at the same tile.
     """
     from se3et_tpu.ops.pallas.embedding import (
         chebyshev_sinusoid_table, pick_deg,
