@@ -49,28 +49,41 @@ def probe() -> bool:
     return rc == 0
 
 
-def main(names):
+def wait_up():
     while not probe():
         print(f"[queue] tpu down at {time.strftime('%H:%M:%S')}, "
               "retrying in 120s", flush=True)
         time.sleep(120)
     print(f"[queue] TPU is up at {time.strftime('%H:%M:%S')}", flush=True)
+
+
+def main(names):
     for name, tmo, argv, env in STEPS:
         if names and name not in names:
             continue
+        # the relay flaps for hours at a time (round 3: >5h; round 5: three
+        # outages in one evening) — re-probe before EVERY step so an outage
+        # parks the queue instead of burning each step's full timeout
+        wait_up()
         log = f"/tmp/{name}_r5.log"
-        print(f"[queue] {name} -> {log}", flush=True)
-        t0 = time.time()
-        with open(log, "w") as f:
-            try:
-                rc = subprocess.run(
-                    argv, cwd=ROOT, stdout=f, stderr=subprocess.STDOUT,
-                    timeout=tmo, env={**os.environ, **env},
-                ).returncode
-            except subprocess.TimeoutExpired:
-                rc = 124
-        print(f"[queue] {name}: rc={rc} ({time.time() - t0:.0f}s)",
-              flush=True)
+        for attempt in (1, 2):
+            print(f"[queue] {name} -> {log} (attempt {attempt})", flush=True)
+            t0 = time.time()
+            with open(log, "a" if attempt > 1 else "w") as f:
+                try:
+                    rc = subprocess.run(
+                        argv, cwd=ROOT, stdout=f, stderr=subprocess.STDOUT,
+                        timeout=tmo, env={**os.environ, **env},
+                    ).returncode
+                except subprocess.TimeoutExpired:
+                    rc = 124
+            print(f"[queue] {name}: rc={rc} ({time.time() - t0:.0f}s)",
+                  flush=True)
+            if rc == 0:
+                break
+            # a mid-step relay outage surfaces as a timeout or UNAVAILABLE
+            # crash; park until the relay answers, then retry ONCE
+            wait_up()
     print("[queue] done", flush=True)
 
 
