@@ -165,11 +165,17 @@ class RPEMultiHeadAttention(nn.Module):
                      jnp.zeros(points.shape[:-1] + (1,), points.dtype)],
                     axis=-1,
                 ).swapaxes(1, 2).astype(jnp.float32)
+            # tile-shape overrides for chip A/Bs (bn=32 crashes Mosaic at
+            # AH=24 — scripts/bisect_femb_v2.py probes alternatives)
+            import os as _os
+
             hidden = flash.rpe_self_attention_femb(
                 qf.astype(cdtype), kf.astype(cdtype), vf.astype(cdtype),
                 qp.astype(cdtype), km, qw, pts4, knn_points, wd, wa,
                 scale=1.0 / float(np.sqrt(dh)), sigma_d=float(sigma_d),
                 sigma_a=float(sigma_a),
+                block_n=int(_os.environ.get("SE3ET_FEMB_BN", "16")),
+                block_m=int(_os.environ.get("SE3ET_FEMB_BM", "128")),
                 interpret=jax.default_backend() != "tpu",
             ).astype(v.dtype)
             return _merge_heads(hidden.reshape(q.shape)), {}

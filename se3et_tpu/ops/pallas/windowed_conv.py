@@ -90,11 +90,16 @@ def segment_window_gather(x, seg_idx, precision=None, sseg=SSEG):
     *coordinates* (the TPU default matmul precision would round them to
     bf16).
 
-    ``SE3ET_SEG_GATHER=take`` switches to the row-gather implementation
-    (:func:`_seg_gather_rows`): bit-exact selection (any dtype, no
-    precision caveat), zero FLOPs forward, one-hot-transpose matmul
-    backward.  Off by default pending the chip A/B
-    (scripts/bench_seg_gather.py / BENCH.md round 5).
+    The implementation is chosen PER SHAPE (override with
+    ``SE3ET_SEG_GATHER=take|onehot``): the row gather
+    (:func:`_seg_gather_rows` — bit-exact selection in any dtype, zero
+    FLOPs forward, one-hot-transpose matmul backward) for segment rows up
+    to 6144 elements wide, the one-hot matmul above.  Measured crossover
+    (chip A/B, scripts/bench_seg_gather.py, BENCH.md round 5): take wins
+    -0.5..-2.7 ms per call at widths <= 6144 (the gather is
+    row-count-cheap and moves only W useful rows; the one-hot pays
+    rows*nblk_s*width MACs), ties at 12288, loses +1.0 ms at 24576 (wide
+    rows amortize the MXU pass while the gather goes descriptor-bound).
     """
     import os
 
@@ -105,7 +110,10 @@ def segment_window_gather(x, seg_idx, precision=None, sseg=SSEG):
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
     segs = x.reshape(b, nblk_s, sseg * ac)
     nblk_q, s = seg_idx.shape[1:]
-    if os.environ.get("SE3ET_SEG_GATHER", "onehot") == "take":
+    mode = os.environ.get("SE3ET_SEG_GATHER", "auto")
+    if mode == "auto":
+        mode = "take" if sseg * ac <= 6144 else "onehot"
+    if mode == "take":
         win = _seg_gather_rows(segs, seg_idx.reshape(b, nblk_q * s))
         return win.reshape(b, nblk_q, s * sseg, ac)
     oh = jax.nn.one_hot(seg_idx.reshape(b, nblk_q * s), nblk_s, dtype=x.dtype)
