@@ -51,29 +51,6 @@ def main():
 
         model_cfg = dataclasses.replace(model_cfg, serve_femb=True)
         cfg = dataclasses.replace(cfg, model=model_cfg)
-    # BENCH_SSEG4=1: 4-row window segments on the stage-1/2 conv sets — W
-    # cuts 17-25% at matched <= 0.5% drops (scripts/sweep_sseg.py, round 5).
-    # Only sensible with the take row-gather (the one-hot einsum's FLOPs
-    # scale with the segment-slot count, which quadruples at sseg=4): pair
-    # with SE3ET_SEG_GATHER=take for the chip A/B.  3DMatch families only.
-    if os.environ.get("BENCH_SSEG4"):
-        import dataclasses
-
-        pipeline = dataclasses.replace(
-            pipeline,
-            window_segments_by_set=(
-                ("neighbors_0", 32), ("subsampling_0", 48),
-                ("neighbors_1", 96), ("subsampling_1", 160),
-                ("neighbors_2", 96), ("subsampling_2", 128),
-                ("neighbors_3", 24),
-            ),
-            window_sseg_by_set=(
-                ("neighbors_0", 8), ("subsampling_0", 8),
-                ("neighbors_1", 4), ("subsampling_1", 4),
-                ("neighbors_2", 4), ("subsampling_2", 4),
-            ),
-        )
-        cfg = dataclasses.replace(cfg, pipeline=pipeline)
     model = SE3ETModel(model_cfg)
 
     # a handful of distinct synthetic pairs at the dataset point_limit,

@@ -93,15 +93,22 @@ def _threedmatch_pipeline(point_cap: int) -> PyramidConfig:
         # 20-42%, 64 -> 32 ~15%, 32 -> 16 a further 17-25% — see BENCH.md).
         window_segments_by_set=(
             ("neighbors_0", 32), ("subsampling_0", 48),
-            ("neighbors_1", 32), ("subsampling_1", 48),
-            ("neighbors_2", 32), ("subsampling_2", 40),
+            ("neighbors_1", 96), ("subsampling_1", 160),
+            ("neighbors_2", 96), ("subsampling_2", 128),
             ("neighbors_3", 24),
         ),
-        # stage-0 sets use 8-row segments: W 384 -> 256 (neighbors_0) and
-        # 512 -> 384 (subsampling_0) at the same <= 0.5% drop tolerance
-        # (scripts/sweep_sseg.py, round 5); every other set ties at the same
-        # W with 2x the segment slots and stays at 16.
-        window_sseg_by_set=(("neighbors_0", 8), ("subsampling_0", 8)),
+        # per-set granularity (scripts/sweep_sseg.py + chip A/B, round 5):
+        # 8-row segments on the stage-0 sets (W 384 -> 256 / 512 -> 384),
+        # 4-row on the stage-1/2 sets (W 512 -> 384, 768 -> 640, 512 -> 384,
+        # 640 -> 512 at the same <= 0.5% drops).  Fine granularity is
+        # affordable because segment_window_gather's row-gather path costs
+        # no FLOPs in the slot count (one-hot FLOPs quadruple at sseg=4):
+        # measured 66.9 vs 67.7 ms end-to-end (BENCH.md round 5).
+        window_sseg_by_set=(
+            ("neighbors_0", 8), ("subsampling_0", 8),
+            ("neighbors_1", 4), ("subsampling_1", 4),
+            ("neighbors_2", 4), ("subsampling_2", 4),
+        ),
         patch_k=64,  # = num_points_in_patch (host-side p2n precompute)
         # per-set neighbor-H caps: conv/influence cost is linear in the padded
         # H, but the calibrated neighbor_limits are tail-quantile worst cases.
