@@ -137,15 +137,22 @@ def _kitti_pipeline(point_cap: int) -> PyramidConfig:
         # synthetic generator at <= 0.5% drops per set; re-measure when real
         # KITTI appears (pipeline logs drop stats automatically).
         window_segments_by_set=(
-            ("neighbors_0", 48), ("subsampling_0", 32),
-            ("neighbors_1", 32), ("subsampling_1", 80),
-            ("neighbors_2", 32), ("subsampling_2", 48),
+            ("neighbors_0", 48), ("subsampling_0", 96),
+            ("neighbors_1", 96), ("subsampling_1", 128),
+            ("neighbors_2", 96), ("subsampling_2", 160),
             ("neighbors_3", 24), ("subsampling_3", 32),
             ("neighbors_4", 16),
         ),
-        # 8-row segments where they cut W at matched drops (sweep_sseg.py):
-        # neighbors_0 512 -> 384, subsampling_1 768 -> 640.
-        window_sseg_by_set=(("neighbors_0", 8), ("subsampling_1", 8)),
+        # per-set granularity (sweep_sseg.py --exp se3eti.kitti, round 5):
+        # 8-row on neighbors_0 (512 -> 384); 4-row on subsampling_0
+        # (512 -> 384), neighbors_1/2 (512 -> 384), subsampling_1
+        # (640 -> 512), subsampling_2 (768 -> 640) — all <= 0.5% drops.
+        # Affordable under the per-shape row-gather (windowed_conv).
+        window_sseg_by_set=(
+            ("neighbors_0", 8), ("subsampling_0", 4),
+            ("neighbors_1", 4), ("neighbors_2", 4),
+            ("subsampling_1", 4), ("subsampling_2", 4),
+        ),
         patch_k=128,  # = num_points_in_patch (host-side p2n precompute)
         # LiDAR rows run near-full (scripts/calibrate_h_caps.py: <= 0.5%
         # influence mass only at full H for every other set).
