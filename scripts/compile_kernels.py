@@ -104,6 +104,22 @@ def main():
                                     nblk_q=nblk_q, h=h))
     except Exception as e:
         print(f"FAIL maxpool bwd (fwd failed): {str(e)[:200]}", flush=True)
+    # fused conv + strided-skip max (round 5): exact production serving
+    # shapes of the two fusing strided blocks (se3ete.3dmatch, sseg4 budgets)
+    def _wf_max_case(b_, nq_, h_, w_, ac1_, ac2_, kfirst_):
+        nblk = (nq_ + wc.QSEG - 1) // wc.QSEG
+        l_ = jnp.asarray(rng.randint(0, w_ + 1, (b_, nq_, h_)), jnp.int32)
+        i_ = jnp.asarray(rng.rand(b_, nq_, h_, k), jnp.bfloat16)
+        w1_ = jnp.asarray(rng.randn(b_, nblk, w_, ac1_), jnp.bfloat16)
+        w2_ = jnp.asarray(rng.randn(b_, nblk, w_, ac2_), jnp.bfloat16)
+        return lambda: wc.windowed_gather_wf_max(l_, i_, w1_, w2_,
+                                                 kfirst=kfirst_)
+
+    run("wf+max fused s0->s1 (w=384, ac=192, ac2=768)",
+        _wf_max_case(2, 10000, 24, 384, 192, 768, False))
+    run("wf+max fused s1->s2 kfirst (w=640, ac=384, ac2=1536)",
+        _wf_max_case(2, 2500, 32, 640, 384, 1536, True))
+
     # deep-stage shapes: the widest training conv backward (w=512, ac=1536)
     ac2 = 1536
     win2 = jnp.asarray(rng.randn(1, nblk_q, 512, ac2), jnp.float32)

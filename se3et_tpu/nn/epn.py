@@ -202,8 +202,16 @@ class KPConvInterSO3(nn.Module):
         )
 
     def __call__(self, x, q_points, s_points, neighbor_indices, influence=None,
-                 ones_input=False, window=None):
+                 ones_input=False, window=None, max_payload=None):
         """x: (B, Ns, A, Cin) -> (B, Nq, A, Cout).
+
+        ``max_payload``: optional (B, Ns, AC2) flat features to skip-max-pool
+        over the SAME window maps inside the conv kernel
+        (:func:`windowed_conv.windowed_gather_wf_max` — the strided
+        bottleneck's skip path shares the conv's neighbor one-hots).  When
+        given, the call returns ``(out, pooled (B, Nq, AC2))``; the caller
+        must gate on ``windowed_wf_max_fits`` and pass it only on the
+        serving path (the fused kernel has no VJP).
 
         ``window``: optional ``(seg_idx (B, nblk_q, S), local (B, Nq, H),
         sseg)`` per-set window maps from ``pipeline.build_window_maps``
@@ -232,6 +240,7 @@ class KPConvInterSO3(nn.Module):
         cfg = self.config
         num_s = s_points.shape[1]
         a_dim, cin = x.shape[2], x.shape[3]
+        pooled = None
         w = influence
         if w is None:
             w = _influence_weights(
@@ -260,12 +269,24 @@ class KPConvInterSO3(nn.Module):
             kfirst = cfg.wf_kfirst or (
                 0 < cfg.wf_kfirst_min_ac <= a_dim * cin
             )
-            wf_flat = wc.windowed_gather_wf_trainable(
-                local, w, win, kfirst,
-                jax.default_backend() != "tpu",
-            )  # (B, Nq, K*A*Cin), already weight-matmul-ready
-            # (custom VJP: training differentiates through the fused kernel —
-            # backward-by-features is the K-first scatter-transpose matmul)
+            pooled = None
+            if max_payload is not None:
+                win2 = wc.segment_window_gather(
+                    prec.cast_feature(max_payload), seg_idx,
+                    sseg=_win_sseg(window),
+                )
+                wf_flat, pooled = wc.windowed_gather_wf_max(
+                    local, w, win, win2, kfirst=kfirst,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                wf_flat = wc.windowed_gather_wf_trainable(
+                    local, w, win, kfirst,
+                    jax.default_backend() != "tpu",
+                )  # (B, Nq, K*A*Cin), already weight-matmul-ready
+                # (custom VJP: training differentiates through the fused
+                # kernel — backward-by-features is the K-first
+                # scatter-transpose matmul)
             wf_flat = prec.cast_feature(wf_flat)
             wf = None  # only materialized (relayout!) on the shared-weight path
         else:
@@ -298,8 +319,8 @@ class KPConvInterSO3(nn.Module):
             out = jnp.einsum(
                 "bnkac,kcd->bnad", wf, prec.cast_feature(self.weights),
                 precision=prec.feature(),
-            )
-            return out.astype(jnp.float32)
+            ).astype(jnp.float32)
+            return (out, pooled) if max_payload is not None else out
 
         # Two equivalent weight contractions (regrouped summation; identical
         # math, equivalence-tested in test_epn_equivariance.py):
@@ -329,8 +350,9 @@ class KPConvInterSO3(nn.Module):
             out = jnp.einsum(
                 "bnm,mo->bno", wf_flat, rhs, precision=prec.feature()
             ).astype(jnp.float32)
-            return out.reshape(out.shape[0], out.shape[1], a,
-                               self.out_channels)
+            out = out.reshape(out.shape[0], out.shape[1], a,
+                              self.out_channels)
+            return (out, pooled) if max_payload is not None else out
         num_o = self.num_weight_blocks
         wf_kac = wf_flat.reshape(wf_flat.shape[:2] + (k * a, cin))
         reduce_m = prec.cast_feature(self.reduce_mats)  # (KA, R*O)
@@ -342,8 +364,8 @@ class KPConvInterSO3(nn.Module):
         out = jnp.einsum(
             "bnroc,ocd->bnrd", red, prec.cast_feature(self.weights),
             precision=prec.feature(),
-        )
-        return out.astype(jnp.float32)
+        ).astype(jnp.float32)
+        return (out, pooled) if max_payload is not None else out
 
 
 class KPConvIntraSO3(nn.Module):
@@ -454,13 +476,18 @@ class KPConvInterSO3Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, q_points, s_points, neighbor_indices, q_mask=None,
-                 influence=None, ones_input=False, window=None):
+                 influence=None, ones_input=False, window=None,
+                 max_payload=None):
         x = KPConvInterSO3(
             self.in_dim, self.out_dim, self.radius, self.sigma, self.config
         )(x, q_points, s_points, neighbor_indices, influence=influence,
-          ones_input=ones_input, window=window)
+          ones_input=ones_input, window=window, max_payload=max_payload)
+        pooled = None
+        if max_payload is not None:
+            x, pooled = x
         x = MaskedGroupNorm(self.group_norm)(x, q_mask)
-        return jax.nn.leaky_relu(x, 0.1)
+        x = jax.nn.leaky_relu(x, 0.1)
+        return (x, pooled) if max_payload is not None else x
 
 
 class SimpleBlockEPN(nn.Module):
@@ -513,17 +540,50 @@ class ResnetBottleneckBlockEPN(nn.Module):
             h = UnaryBlock(mid, self.group_norm)(x, s_mask)
         else:
             h = x
-        h = KPConvInterSO3Block(
-            mid, mid, self.radius, self.sigma, self.group_norm, self.config
-        )(h, q_points, s_points, neighbor_indices, q_mask, influence=influence,
-          window=window)
+
+        # serving: fuse the strided-skip max-pool INTO the conv kernel when
+        # it fits — the conv (over h) and the skip max (over x) ride the
+        # same neighbor set and window maps, so one one-hot build serves
+        # both payloads (windowed_conv._wf_max_kernel; measured BENCH.md r5)
+        fuse_skip = False
+        if self.strided and window is not None and self.pool_mode == "fused":
+            from se3et_tpu.ops.pallas import windowed_conv as wc
+
+            a_dim, ch = skip.shape[2], skip.shape[3]
+            w_width = window[0].shape[2] * _win_sseg(window)
+            ac1 = h.shape[2] * h.shape[3]
+            kfirst = self.config.wf_kfirst or (
+                0 < self.config.wf_kfirst_min_ac <= ac1
+            )
+            fuse_skip = wc.windowed_wf_max_fits(
+                w_width, ac1, a_dim * ch, window[1].shape[2],
+                self.config.num_kernel_points, kfirst,
+            )
+        if fuse_skip:
+            payload = prec.cast_feature(skip).reshape(
+                skip.shape[0], skip.shape[1], a_dim * ch
+            )
+            h, pooled = KPConvInterSO3Block(
+                mid, mid, self.radius, self.sigma, self.group_norm,
+                self.config,
+            )(h, q_points, s_points, neighbor_indices, q_mask,
+              influence=influence, window=window, max_payload=payload)
+            skip = pooled.reshape(
+                skip.shape[0], q_points.shape[1], a_dim, ch
+            ).astype(jnp.float32)
+        else:
+            h = KPConvInterSO3Block(
+                mid, mid, self.radius, self.sigma, self.group_norm,
+                self.config,
+            )(h, q_points, s_points, neighbor_indices, q_mask,
+              influence=influence, window=window)
         if not self.config.non_sep_conv:
             h = KPConvIntraSO3(mid, self.config)(h)
         h = MaskedGroupNorm(self.group_norm)(h, q_mask)
         h = jax.nn.leaky_relu(h, 0.1)
         h = UnaryBlock(self.out_dim, self.group_norm, no_relu=True)(h, q_mask)
 
-        if self.strided:
+        if self.strided and not fuse_skip:
             from se3et_tpu.ops.pallas import windowed_conv as wc
 
             a_dim, ch = skip.shape[2], skip.shape[3]

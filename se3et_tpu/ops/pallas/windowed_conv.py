@@ -847,3 +847,179 @@ def windowed_gather_wf(local, infl, windows, *, hc=None, mp=None,
         windows,
     )
     return out.reshape(b, nblk_q * QSEG, k * ac)[:, :nq]
+
+
+def _wf_max_kernel(local_ref, infl_ref, win_ref, win2_ref, out_ref, out2_ref,
+                   wfacc, macc, *, mp, hc, n_hc, w, k, ac, ac2, h, kfirst):
+    """Fused conv contraction + strided-skip neighbor max over ONE one-hot.
+
+    The strided bottleneck's conv (over the unary-projected mid features)
+    and its skip max-pool (over the raw block-input features) ride the SAME
+    neighbor set and window maps (``epn.ResnetBottleneckBlockEPN``); this
+    kernel builds each neighbor one-hot once and applies it to both window
+    payloads, saving the separate ``_max_kernel`` launch and its one-hot
+    rebuild.  Max semantics == ``_max_kernel`` (shadow-zero sentinel rows,
+    -inf h-padding columns); wf semantics == ``_wf_kernel`` /
+    ``_wf_kernel_kfirst`` per ``kfirst``.  Serving only (no VJP).
+    """
+    win = win_ref[0, 0]    # (W, AC)
+    win2 = win2_ref[0, 0]  # (W, AC2)
+    wfacc[...] = jnp.zeros_like(wfacc)
+    macc[...] = jnp.full_like(macc, -jnp.inf)
+    for c in range(n_hc):
+        loc = local_ref[0, 0, :, c * hc:(c + 1) * hc]  # (MP, HC)
+        iw = jax.lax.broadcasted_iota(jnp.int32, (mp, hc, w), 2)
+        ohb = loc[:, :, None] == iw  # (MP, HC, W)
+        oh2 = ohb.astype(win2.dtype).reshape(mp * hc, w)
+        g2 = jnp.dot(
+            oh2, win2, preferred_element_type=jnp.float32
+        ).reshape(mp, hc, ac2)
+        if (c + 1) * hc > h:  # chunk contains h-padding columns
+            col = jax.lax.broadcasted_iota(jnp.int32, (mp, hc, ac2), 1)
+            g2 = jnp.where(col < h - c * hc, g2, -jnp.inf)
+        macc[...] = jnp.maximum(macc[...], jnp.max(g2, axis=1))
+        ic = infl_ref[0, 0, :, c * hc:(c + 1) * hc, :]  # (MP, HC, K)
+        if kfirst:
+            wfacc[...] += jax.lax.dot_general(
+                ic, ohb.astype(jnp.bfloat16), (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (MP, K, W)
+        else:
+            g = jnp.dot(
+                ohb.astype(win.dtype).reshape(mp * hc, w), win,
+                preferred_element_type=jnp.float32,
+            ).reshape(mp, hc, ac).astype(win.dtype)
+            wfacc[...] += jax.lax.dot_general(
+                ic, g, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (MP, K, AC)
+    if kfirst:
+        s = wfacc[...].astype(win.dtype).reshape(mp * k, w)
+        out = jnp.dot(
+            s, win, preferred_element_type=jnp.float32
+        ).reshape(mp, k, ac)
+    else:
+        out = wfacc[...]
+    for kk in range(k):  # flat (MP, K*AC) write via per-k lane slices
+        out_ref[0, 0, :, kk * ac:(kk + 1) * ac] = out[:, kk, :].astype(
+            out_ref.dtype
+        )
+    out2_ref[0, 0] = macc[...].astype(out2_ref.dtype)
+
+
+def _wf_max_mp(w, ac, ac2, h, k, kfirst, hc=None, wsz=2):
+    """Largest mp (<= QSEG) fitting the fused wf+max kernel's scoped-VMEM
+    budget, or 0 if even mp=16 does not fit.  Mirrors the
+    :func:`windowed_gather_wf` estimates plus the max side's terms
+    (double-buffered win2, f32 macc + gathered chunk, out2 block)."""
+    if hc is None:
+        hc = pick_hc(h)
+    kpad = ((k + 7) // 8) * 8
+    mp = QSEG
+    while mp >= 16:
+        max_terms = (
+            2 * w * ac2 * wsz          # win2, double-buffered
+            + mp * ac2 * (4 + wsz * 2)  # macc f32 + out2 block x2
+            + mp * hc * ac2 * 4         # gathered g2 chunk (f32)
+        )
+        if kfirst:
+            wf_terms = (
+                mp * kpad * w * 4 + mp * k * ac * wsz * 2
+                + 2 * w * ac * wsz + mp * hc * w * 4
+            )
+        else:
+            wf_terms = (
+                mp * k * ac * (4 + wsz * 2) + 2 * w * ac * wsz
+                + mp * hc * w * 6
+            )
+        if wf_terms + max_terms <= 12.5e6:
+            return mp
+        mp //= 2
+    return 0
+
+
+def windowed_wf_max_fits(w: int, ac: int, ac2: int, h: int, k: int = 15,
+                         kfirst: bool = False) -> bool:
+    """Whether the fused conv+skip-max kernel fits VMEM at these sizes."""
+    return _wf_max_mp(w, ac, ac2, h, k, kfirst) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("hc", "interpret", "kfirst"))
+def windowed_gather_wf_max(local, infl, windows, windows2, *, hc=None,
+                           interpret=False, kfirst=False):
+    """Fused neighbor gather + influence contraction + skip neighbor max.
+
+    Args as :func:`windowed_gather_wf` plus ``windows2`` (B, nblk_q, W, AC2)
+    — per-block windows of the strided bottleneck's input features, pooled
+    with the SAME neighbor one-hots the conv builds.  Returns
+    ``(wf (B, Nq, K*AC), pooled (B, Nq, AC2))``; the pooled output matches
+    :func:`windowed_max_pool` exactly.  Serving-path only (no custom VJP) —
+    gate with :func:`windowed_wf_max_fits`.
+    """
+    b, nq, h = local.shape
+    if hc is None:
+        hc = pick_hc(h)
+    k = infl.shape[3]
+    nblk_q, w, ac = windows.shape[1:]
+    ac2 = windows2.shape[3]
+    assert nblk_q * QSEG >= nq, (nq, nblk_q)
+    mp = _wf_max_mp(w, ac, ac2, h, k, kfirst, hc=hc,
+                    wsz=windows.dtype.itemsize)
+    assert mp > 0, ("windowed_gather_wf_max does not fit VMEM; gate with "
+                    "windowed_wf_max_fits", w, ac, ac2)
+    spb = QSEG // mp
+    q_pad = nblk_q * QSEG - nq
+    if q_pad:
+        local = jnp.pad(local, ((0, 0), (0, q_pad), (0, 0)), constant_values=w)
+        infl = jnp.pad(infl, ((0, 0), (0, q_pad), (0, 0), (0, 0)))
+    h_pad = ((h + hc - 1) // hc) * hc
+    if h_pad > h:
+        local = jnp.pad(local, ((0, 0), (0, 0), (0, h_pad - h)),
+                        constant_values=w)
+    if infl.shape[2] < h_pad:
+        infl = jnp.pad(
+            infl, ((0, 0), (0, 0), (0, h_pad - infl.shape[2]), (0, 0))
+        )
+    assert infl.shape[2] == h_pad, (infl.shape, h_pad)
+
+    nsub = nblk_q * spb
+    dtype = windows.dtype
+    kernel = functools.partial(
+        _wf_max_kernel, mp=mp, hc=hc, n_hc=h_pad // hc, w=w, k=k, ac=ac,
+        ac2=ac2, h=h, kfirst=kfirst,
+    )
+    wf_scratch = (pltpu.VMEM((mp, k, w), jnp.float32) if kfirst
+                  else pltpu.VMEM((mp, k, ac), jnp.float32))
+    out, out2 = pl.pallas_call(
+        kernel,
+        grid=(b, nsub),
+        in_specs=[
+            pl.BlockSpec((1, 1, mp, h_pad), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((1, 1, mp, h_pad, k), lambda bi, i: (bi, i, 0, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, w, ac), lambda bi, i, spb=spb: (bi, i // spb, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, w, ac2), lambda bi, i, spb=spb: (bi, i // spb, 0, 0)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, mp, k * ac), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((1, 1, mp, ac2), lambda bi, i: (bi, i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nsub, mp, k * ac), dtype),
+            jax.ShapeDtypeStruct((b, nsub, mp, ac2), windows2.dtype),
+        ],
+        scratch_shapes=[wf_scratch, pltpu.VMEM((mp, ac2), jnp.float32)],
+        interpret=interpret,
+    )(
+        local.reshape(b, nsub, mp, h_pad),
+        infl.reshape(b, nsub, mp, h_pad, k).astype(dtype),
+        windows,
+        windows2,
+    )
+    return (
+        out.reshape(b, nblk_q * QSEG, k * ac)[:, :nq],
+        out2.reshape(b, nblk_q * QSEG, ac2)[:, :nq],
+    )

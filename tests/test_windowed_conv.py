@@ -122,6 +122,36 @@ def test_windowed_gather_wf_kfirst_matches_default():
     np.testing.assert_allclose(got, ref, atol=0.02 * scale)
 
 
+def test_windowed_gather_wf_max_matches_separate():
+    """Fused conv+skip-max kernel == (windowed_gather_wf, windowed_max_pool)
+    run separately, in both contraction orders — including h-padding
+    columns (h not a multiple of hc) and sentinel-only padded query rows."""
+    from se3et_tpu.ops.pallas import windowed_conv as wc
+
+    rng = np.random.RandomState(7)
+    b, nq, h, k, w, ac, ac2 = 1, 100, 11, 15, 64, 96, 160
+    nblk_q = (nq + wc.QSEG - 1) // wc.QSEG
+    local = jnp.asarray(rng.randint(0, w + 1, size=(b, nq, h)), jnp.int32)
+    infl = jnp.asarray(
+        rng.rand(b, nq, h, k) * (np.asarray(local)[..., None] < w),
+        jnp.float32,
+    )
+    windows = jnp.asarray(rng.randn(b, nblk_q, w, ac), jnp.float32)
+    windows2 = jnp.asarray(rng.randn(b, nblk_q, w, ac2), jnp.float32)
+
+    for kfirst in (False, True):
+        wf, pooled = wc.windowed_gather_wf_max(
+            local, infl, windows, windows2, kfirst=kfirst, interpret=True
+        )
+        ref_wf = wc.windowed_gather_wf(local, infl, windows, kfirst=kfirst,
+                                       interpret=True)
+        ref_pool = wc.windowed_max_pool(local, windows2, nq, interpret=True)
+        np.testing.assert_allclose(np.asarray(wf), np.asarray(ref_wf),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pooled), np.asarray(ref_pool),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_influence_windowed_matches_xla():
     """The windowed influence kernel reproduces _influence_weights exactly."""
     from se3et_tpu.nn.epn import _influence_weights
