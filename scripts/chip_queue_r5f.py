@@ -1,0 +1,23 @@
+"""Round-5 sixth chip wave: validate + measure the fused conv+skip-max
+serving path, then the final-default benches (which also re-warm .jax_cache
+for the driver's end-of-round bench of the final tree).
+"""
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/scripts")
+
+from chip_queue_r5 import main as queue_main
+import chip_queue_r5 as q
+
+
+q.STEPS = [
+    ("compile_kernels3", 2400,
+     [sys.executable, "scripts/compile_kernels.py"], {}),
+    ("bench_fusedpool", 3500, [sys.executable, "bench.py"], {}),
+    ("bench_kitti_fusedpool", 3500, [sys.executable, "bench.py"],
+     {"BENCH_EXP": "se3eti.kitti"}),
+]
+
+if __name__ == "__main__":
+    queue_main(set(sys.argv[1:]))
