@@ -120,6 +120,37 @@ def main():
     run("wf+max fused s1->s2 kfirst (w=640, ac=384, ac2=1536)",
         _wf_max_case(2, 2500, 32, 640, 384, 1536, True))
 
+    # matmul-fused conv (round 5): exact production serving shapes of the
+    # two shallow same-level conv families the fits-gate admits
+    def _wf_mm_case(b_, nq_, h_, w_, ac_, aco_, kfirst_):
+        nblk = (nq_ + wc.QSEG - 1) // wc.QSEG
+        l_ = jnp.asarray(rng.randint(0, w_ + 1, (b_, nq_, h_)), jnp.int32)
+        i_ = jnp.asarray(rng.rand(b_, nq_, h_, k), jnp.bfloat16)
+        w1_ = jnp.asarray(rng.randn(b_, nblk, w_, ac_), jnp.bfloat16)
+        r_ = jnp.asarray(rng.randn(k * ac_, aco_) * 0.05, jnp.bfloat16)
+        return lambda: wc.windowed_gather_wf_mm(l_, i_, w1_, r_,
+                                                kfirst=kfirst_)
+
+    run("wf+mm fused s0 n (w=256, ac=192->192)",
+        _wf_mm_case(2, 20000, 24, 256, 192, 192, False))
+    run("wf+mm fused s1 n kfirst (w=384, ac=384->384)",
+        _wf_mm_case(2, 10000, 32, 384, 384, 384, True))
+
+    def _wf_max_mm_case(b_, nq_, h_, w_, ac1_, ac2_, aco_, kfirst_):
+        nblk = (nq_ + wc.QSEG - 1) // wc.QSEG
+        l_ = jnp.asarray(rng.randint(0, w_ + 1, (b_, nq_, h_)), jnp.int32)
+        i_ = jnp.asarray(rng.rand(b_, nq_, h_, k), jnp.bfloat16)
+        w1_ = jnp.asarray(rng.randn(b_, nblk, w_, ac1_), jnp.bfloat16)
+        w2_ = jnp.asarray(rng.randn(b_, nblk, w_, ac2_), jnp.bfloat16)
+        r_ = jnp.asarray(rng.randn(k * ac1_, aco_) * 0.05, jnp.bfloat16)
+        return lambda: wc.windowed_gather_wf_max_mm(l_, i_, w1_, w2_, r_,
+                                                    kfirst=kfirst_)
+
+    run("wf+max+mm fused s0->s1 (w=384, ac=192->192, ac2=768)",
+        _wf_max_mm_case(2, 10000, 24, 384, 192, 192, False))
+    # (s1->s2 strided at w=640/ac2=1536 does NOT fit the mm variant — the
+    # fits gate keeps it on windowed_gather_wf_max; no smoke case)
+
     # deep-stage shapes: the widest training conv backward (w=512, ac=1536)
     ac2 = 1536
     win2 = jnp.asarray(rng.randn(1, nblk_q, 512, ac2), jnp.float32)

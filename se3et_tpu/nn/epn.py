@@ -31,6 +31,7 @@ All feature tensors carry a leading cloud/batch axis: ``x (B, N, A, C)``,
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import flax.linen as nn
 import jax
@@ -201,9 +202,27 @@ class KPConvInterSO3(nn.Module):
             w_shape,
         )
 
+    def _expanded_rhs(self, k, a, a_dim, cin):
+        """(K*A*Cin, A*Cout) expanded effective weight for the one-matmul
+        contraction (path (a) below) — flat (k, a, c) major order matches
+        the windowed kernels' flat wf output."""
+        wg = prec.cast_feature(self.weights)[self.wg_index]
+        return jnp.transpose(wg, (1, 2, 3, 0, 4)).reshape(
+            k * a_dim * cin, a * self.out_channels
+        )
+
     def __call__(self, x, q_points, s_points, neighbor_indices, influence=None,
-                 ones_input=False, window=None, max_payload=None):
+                 ones_input=False, window=None, max_payload=None,
+                 fuse_wmm=False):
         """x: (B, Ns, A, Cin) -> (B, Nq, A, Cout).
+
+        ``fuse_wmm``: serving-only — when the windowed path, the expanded
+        weight contraction (kanchor>1, non_sep_conv, cin<256) and the VMEM
+        fit (:func:`windowed_conv.windowed_wf_mm_fits`) all apply, run the
+        conv as ONE matmul-fused kernel
+        (:func:`windowed_conv.windowed_gather_wf_mm`): the (B, Nq, K*A*Cin)
+        wf intermediate is never written to HBM.  No VJP — callers pass it
+        only on the serving route (``pool_mode == 'fused'``).
 
         ``max_payload``: optional (B, Ns, AC2) flat features to skip-max-pool
         over the SAME window maps inside the conv kernel
@@ -270,11 +289,44 @@ class KPConvInterSO3(nn.Module):
                 0 < cfg.wf_kfirst_min_ac <= a_dim * cin
             )
             pooled = None
+            if (fuse_wmm and max_payload is None and cfg.kanchor > 1
+                    and cfg.non_sep_conv and cin < 256
+                    and os.environ.get("SE3ET_WF_MM", "on") != "off"):
+                kk, a = cfg.num_kernel_points, cfg.kanchor
+                rhs = self._expanded_rhs(kk, a, a_dim, cin)
+                if wc.windowed_wf_mm_fits(
+                    win.shape[2], a_dim * cin, rhs.shape[1],
+                    local.shape[2], kk, kfirst,
+                ):
+                    out = wc.windowed_gather_wf_mm(
+                        local, w, win, rhs, kfirst=kfirst,
+                        interpret=jax.default_backend() != "tpu",
+                    )  # (B, Nq, A*Cout) f32
+                    return out.reshape(
+                        out.shape[0], out.shape[1], a, self.out_channels
+                    )
             if max_payload is not None:
                 win2 = wc.segment_window_gather(
                     prec.cast_feature(max_payload), seg_idx,
                     sseg=_win_sseg(window),
                 )
+                if (fuse_wmm and cfg.kanchor > 1 and cfg.non_sep_conv
+                        and cin < 256
+                        and os.environ.get("SE3ET_WF_MM", "on") != "off"):
+                    kk, a = cfg.num_kernel_points, cfg.kanchor
+                    rhs = self._expanded_rhs(kk, a, a_dim, cin)
+                    if wc.windowed_wf_max_mm_fits(
+                        win.shape[2], a_dim * cin, win2.shape[3],
+                        rhs.shape[1], local.shape[2], kk, kfirst,
+                    ):
+                        out, pooled = wc.windowed_gather_wf_max_mm(
+                            local, w, win, win2, rhs, kfirst=kfirst,
+                            interpret=jax.default_backend() != "tpu",
+                        )
+                        out = out.reshape(
+                            out.shape[0], out.shape[1], a, self.out_channels
+                        )
+                        return out, pooled
                 wf_flat, pooled = wc.windowed_gather_wf_max(
                     local, w, win, win2, kfirst=kfirst,
                     interpret=jax.default_backend() != "tpu",
@@ -343,10 +395,7 @@ class KPConvInterSO3(nn.Module):
         if wf_flat is None:
             wf_flat = wf.reshape(wf.shape[0], wf.shape[1], k * a * cin)
         if cin < 256:
-            wg = prec.cast_feature(self.weights)[self.wg_index]
-            rhs = jnp.transpose(wg, (1, 2, 3, 0, 4)).reshape(
-                k * a_dim * cin, a * self.out_channels
-            )
+            rhs = self._expanded_rhs(k, a, a_dim, cin)
             out = jnp.einsum(
                 "bnm,mo->bno", wf_flat, rhs, precision=prec.feature()
             ).astype(jnp.float32)
@@ -477,11 +526,12 @@ class KPConvInterSO3Block(nn.Module):
     @nn.compact
     def __call__(self, x, q_points, s_points, neighbor_indices, q_mask=None,
                  influence=None, ones_input=False, window=None,
-                 max_payload=None):
+                 max_payload=None, fuse_wmm=False):
         x = KPConvInterSO3(
             self.in_dim, self.out_dim, self.radius, self.sigma, self.config
         )(x, q_points, s_points, neighbor_indices, influence=influence,
-          ones_input=ones_input, window=window, max_payload=max_payload)
+          ones_input=ones_input, window=window, max_payload=max_payload,
+          fuse_wmm=fuse_wmm)
         pooled = None
         if max_payload is not None:
             x, pooled = x
@@ -502,12 +552,13 @@ class SimpleBlockEPN(nn.Module):
 
     @nn.compact
     def __call__(self, x, q_points, s_points, neighbor_indices, q_mask=None,
-                 influence=None, ones_input=False, window=None):
+                 influence=None, ones_input=False, window=None,
+                 fuse_wmm=False):
         x = KPConvInterSO3Block(
             self.in_dim, self.out_dim, self.radius, self.sigma, self.group_norm,
             self.config,
         )(x, q_points, s_points, neighbor_indices, q_mask, influence=influence,
-          ones_input=ones_input, window=window)
+          ones_input=ones_input, window=window, fuse_wmm=fuse_wmm)
         if not self.config.non_sep_conv:
             x = KPConvIntraSO3(self.out_dim, self.config)(x)
         x = MaskedGroupNorm(self.group_norm)(x, q_mask)
@@ -567,7 +618,8 @@ class ResnetBottleneckBlockEPN(nn.Module):
                 mid, mid, self.radius, self.sigma, self.group_norm,
                 self.config,
             )(h, q_points, s_points, neighbor_indices, q_mask,
-              influence=influence, window=window, max_payload=payload)
+              influence=influence, window=window, max_payload=payload,
+              fuse_wmm=True)
             skip = pooled.reshape(
                 skip.shape[0], q_points.shape[1], a_dim, ch
             ).astype(jnp.float32)
@@ -576,7 +628,8 @@ class ResnetBottleneckBlockEPN(nn.Module):
                 mid, mid, self.radius, self.sigma, self.group_norm,
                 self.config,
             )(h, q_points, s_points, neighbor_indices, q_mask,
-              influence=influence, window=window)
+              influence=influence, window=window,
+              fuse_wmm=self.pool_mode == "fused")
         if not self.config.non_sep_conv:
             h = KPConvIntraSO3(mid, self.config)(h)
         h = MaskedGroupNorm(self.group_norm)(h, q_mask)
@@ -689,6 +742,7 @@ class _EPNStage0(nn.Module):
     group_norm: int
     config: EPNConfig
     ones_input: bool = False
+    pool_mode: str = "fused"
 
     @nn.compact
     def __call__(self, x, pts, nbs, msk, influence, window):
@@ -697,9 +751,11 @@ class _EPNStage0(nn.Module):
             self.in_dim, d, self.radius, self.sigma, self.group_norm,
             self.config,
         )(x, pts, pts, nbs, msk, influence=influence,
-          ones_input=self.ones_input, window=window)
+          ones_input=self.ones_input, window=window,
+          fuse_wmm=self.pool_mode == "fused")
         x = ResnetBottleneckBlockEPN(
-            d, d * 2, self.radius, self.sigma, self.group_norm, self.config
+            d, d * 2, self.radius, self.sigma, self.group_norm, self.config,
+            pool_mode=self.pool_mode,
         )(x, pts, pts, nbs, msk, influence=influence, window=window)
         return x
 
@@ -725,11 +781,15 @@ class _EPNStage(nn.Module):
             pool_mode=self.pool_mode,
         )(x, q_pts, s_pts, sub_idx, q_msk, s_mask=s_msk, influence=inf_sub,
           window=win_sub)
+        # pool_mode is also the serving marker for the matmul-fused conv
+        # (fuse_wmm) — thread it to the non-strided blocks too
         x = ResnetBottleneckBlockEPN(
-            in_dim, in_dim * 2, r * 2, s * 2, self.group_norm, self.config
+            in_dim, in_dim * 2, r * 2, s * 2, self.group_norm, self.config,
+            pool_mode=self.pool_mode,
         )(x, q_pts, q_pts, nbr_idx, q_msk, influence=inf_same, window=win_same)
         x = ResnetBottleneckBlockEPN(
-            in_dim * 2, in_dim * 2, r * 2, s * 2, self.group_norm, self.config
+            in_dim * 2, in_dim * 2, r * 2, s * 2, self.group_norm, self.config,
+            pool_mode=self.pool_mode,
         )(x, q_pts, q_pts, nbr_idx, q_msk, influence=inf_same, window=win_same)
         return x
 
@@ -881,6 +941,8 @@ class E2PNBackbone(nn.Module):
         x = Stage0(
             self.input_dim, d, r, s, self.group_norm, cfg,
             ones_input=self.ones_input and self.input_dim == 1,
+            pool_mode="fused" if fused
+            else ("grad" if fused_conv_grad else "xla"),
         )(x, pts[0], nbs[0], msk[0], inf_same[0], win_same[0])
         if stop_stage == 0:
             return x, x

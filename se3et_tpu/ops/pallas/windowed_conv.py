@@ -304,6 +304,77 @@ def _wf_kernel(local_ref, infl_ref, win_ref, out_ref, acc, *, mp, hc, n_hc, w,
         )
 
 
+def _wf_mm_epilogue(out_kac, rhs_ref, k, ac, cast_dtype):
+    """(MP, K, AC) f32 conv accumulator -> (MP, AC_out) f32 block output.
+
+    Applies the conv's expanded weight matmul (``epn.py KPConvInterSO3``,
+    the cin<256 EXPANDED contraction) INSIDE the kernel as K lane-sliced
+    matmuls — the flat (MP, K*AC) reshape Mosaic cannot lower is never
+    needed because the weight is consumed per kernel point.  The per-k
+    bf16 cast matches the XLA path's bf16 ``wf`` rounding exactly: the
+    fused result differs from the unfused one only by skipping the
+    (B, N, K*AC) HBM round-trip (write + matmul re-read — the largest
+    intermediate of the backbone's serving graph, 230 MB per stage-1
+    conv at production 3DMatch shapes).
+    """
+    o = None
+    for kk in range(k):
+        lhs = out_kac[:, kk, :].astype(cast_dtype)
+        d = jnp.dot(lhs, rhs_ref[kk * ac:(kk + 1) * ac, :],
+                    preferred_element_type=jnp.float32)
+        o = d if o is None else o + d
+    return o
+
+
+def _wf_kernel_mm(local_ref, infl_ref, win_ref, rhs_ref, out_ref, acc, *, mp,
+                  hc, n_hc, w, k, ac):
+    """:func:`_wf_kernel` + fused weight matmul (see ``_wf_mm_epilogue``)."""
+    acc[...] = jnp.zeros_like(acc)
+    win = win_ref[0, 0]  # (W, AC)
+    for c in range(n_hc):
+        loc = local_ref[0, 0, :, c * hc:(c + 1) * hc]  # (MP, HC)
+        iw = jax.lax.broadcasted_iota(jnp.int32, (mp, hc, w), 2)
+        oh = (loc[:, :, None] == iw).astype(win.dtype).reshape(mp * hc, w)
+        g = jnp.dot(oh, win, preferred_element_type=jnp.float32)  # (MP*HC, AC)
+        g = g.reshape(mp, hc, ac).astype(win.dtype)
+        ic = infl_ref[0, 0, :, c * hc:(c + 1) * hc, :]  # (MP, HC, K)
+        acc[...] += jax.lax.dot_general(
+            ic, g, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (MP, K, AC)
+    o = _wf_mm_epilogue(acc[...], rhs_ref, k, ac, win.dtype)
+    out_ref[0, 0] = o.astype(out_ref.dtype)
+
+
+def _wf_kernel_kfirst_mm(local_ref, infl_ref, win_ref, rhs_ref, out_ref, sacc,
+                         iacc, *, mp, hc, n_hc, w, k, ac):
+    """:func:`_wf_kernel_kfirst` + fused weight matmul.
+
+    The s@win intermediate is STAGED THROUGH SCRATCH (``iacc``) before the
+    epilogue consumes it: Mosaic crashes on an in-kernel dot consuming
+    another dot's register value directly (the round-4 flash-RPE-backward
+    crash class, BENCH.md), but a scratch store/load between them compiles
+    (the pattern :func:`_wf_kernel_kfirst` already relies on for ``sacc``).
+    """
+    sacc[...] = jnp.zeros_like(sacc)
+    win = win_ref[0, 0]  # (W, AC)
+    for c in range(n_hc):
+        loc = local_ref[0, 0, :, c * hc:(c + 1) * hc]  # (MP, HC)
+        iw = jax.lax.broadcasted_iota(jnp.int32, (mp, hc, w), 2)
+        oh = (loc[:, :, None] == iw).astype(jnp.bfloat16)  # (MP, HC, W)
+        ic = infl_ref[0, 0, :, c * hc:(c + 1) * hc, :]  # (MP, HC, K)
+        sacc[...] += jax.lax.dot_general(
+            ic, oh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (MP, K, W)
+    s = sacc[...].astype(win.dtype).reshape(mp * k, w)
+    iacc[...] = jnp.dot(
+        s, win, preferred_element_type=jnp.float32
+    ).reshape(mp, k, ac)
+    o = _wf_mm_epilogue(iacc[...], rhs_ref, k, ac, win.dtype)
+    out_ref[0, 0] = o.astype(out_ref.dtype)
+
+
 def _wf_kernel_kfirst(local_ref, infl_ref, win_ref, out_ref, sacc, *, mp, hc,
                       n_hc, w, k, ac):
     """K-first variant: contract influence with the one-hot BEFORE the window.
@@ -494,6 +565,49 @@ def _wf_trainable_bwd(kfirst, interpret, res, d_out):
 
 
 windowed_gather_wf_trainable.defvjp(_wf_trainable_fwd, _wf_trainable_bwd)
+
+
+def _wf_mm_mp(w, ac, ac_out, h, k, kfirst, hc=None, wsz=2):
+    """Largest mp (<= QSEG) fitting the matmul-fused conv kernel's scoped
+    VMEM budget, or 0 if even mp=16 does not fit.  Mirrors the
+    :func:`windowed_gather_wf` estimates with the out block replaced by the
+    (much smaller) post-matmul block plus the resident expanded weight
+    (fetched once: its block index is constant across grid steps)."""
+    if hc is None:
+        hc = pick_hc(h)
+    kpad = ((k + 7) // 8) * 8  # (mp, K, ·) scratch sublane-pads K to 8
+    rhs_bytes = k * ac * ac_out * wsz
+    mp = QSEG
+    while mp >= 16:
+        if kfirst:
+            terms = (
+                mp * kpad * w * 4      # sacc scratch
+                + mp * kpad * ac * 4   # iacc: s@win staging (f32)
+                + 2 * w * ac * wsz     # win, double-buffered
+                + mp * hc * w * 4      # one-hot chunk
+            )
+        else:
+            terms = (
+                mp * kpad * ac * 4     # acc scratch
+                + 2 * w * ac * wsz
+                + mp * hc * w * 6
+            )
+        terms += rhs_bytes + 3 * mp * ac_out * 4  # rhs + o + out block x2
+        if terms <= 12.5e6:
+            return mp
+        mp //= 2
+    return 0
+
+
+def windowed_wf_mm_fits(w: int, ac: int, ac_out: int, h: int, k: int = 15,
+                        kfirst: bool = False) -> bool:
+    """Whether the matmul-fused conv kernel fits VMEM at these sizes.
+
+    Deep stages are excluded by the expanded weight alone (s2/s3 neighbor
+    convs: (K*AC, AC_out) = 17.7-70 MB bf16) — they keep the unfused
+    two-step path, whose wf intermediate is small there anyway (N <= 2500).
+    """
+    return _wf_mm_mp(w, ac, ac_out, h, k, kfirst) > 0
 
 
 def windowed_max_pool_fits(w: int, ac: int, hc: int = 8) -> bool:
@@ -849,6 +963,89 @@ def windowed_gather_wf(local, infl, windows, *, hc=None, mp=None,
     return out.reshape(b, nblk_q * QSEG, k * ac)[:, :nq]
 
 
+@functools.partial(jax.jit, static_argnames=("hc", "interpret", "kfirst"))
+def windowed_gather_wf_mm(local, infl, windows, rhs, *, hc=None,
+                          interpret=False, kfirst=False):
+    """:func:`windowed_gather_wf` + fused expanded weight matmul.
+
+    ``rhs``: (K*AC, AC_out) expanded conv weight (``epn.py`` cin<256
+    EXPANDED contraction, flat (k, ac) minor order — exactly the layout
+    :func:`windowed_gather_wf` emits).  Returns out (B, Nq, AC_out) f32.
+    The weight is consumed per kernel point INSIDE the kernel
+    (:func:`_wf_mm_epilogue`), so the (B, Nq, K*AC) wf intermediate — the
+    largest HBM tensor of the serving backbone, 115 MB per stage-1 conv at
+    production 3DMatch shapes — is never written.  The rhs block index is
+    constant across grid steps, so Mosaic fetches it once and keeps it
+    VMEM-resident.  Serving-path only (no custom VJP) — gate with
+    :func:`windowed_wf_mm_fits`.
+    """
+    b, nq, h = local.shape
+    if hc is None:
+        hc = pick_hc(h)
+    k = infl.shape[3]
+    nblk_q, w, ac = windows.shape[1:]
+    ac_out = rhs.shape[1]
+    assert rhs.shape[0] == k * ac, (rhs.shape, k, ac)
+    assert nblk_q * QSEG >= nq, (nq, nblk_q)
+    mp = _wf_mm_mp(w, ac, ac_out, h, k, kfirst, hc=hc,
+                   wsz=windows.dtype.itemsize)
+    assert mp > 0, ("windowed_gather_wf_mm does not fit VMEM; gate with "
+                    "windowed_wf_mm_fits", w, ac, ac_out)
+    spb = QSEG // mp
+    q_pad = nblk_q * QSEG - nq
+    if q_pad:
+        local = jnp.pad(local, ((0, 0), (0, q_pad), (0, 0)), constant_values=w)
+        infl = jnp.pad(infl, ((0, 0), (0, q_pad), (0, 0), (0, 0)))
+    h_pad = ((h + hc - 1) // hc) * hc
+    if h_pad > h:
+        local = jnp.pad(local, ((0, 0), (0, 0), (0, h_pad - h)),
+                        constant_values=w)
+    if infl.shape[2] < h_pad:
+        infl = jnp.pad(
+            infl, ((0, 0), (0, 0), (0, h_pad - infl.shape[2]), (0, 0))
+        )
+    assert infl.shape[2] == h_pad, (infl.shape, h_pad)
+
+    nsub = nblk_q * spb
+    dtype = windows.dtype
+    if kfirst:
+        kernel = functools.partial(
+            _wf_kernel_kfirst_mm, mp=mp, hc=hc, n_hc=h_pad // hc, w=w, k=k,
+            ac=ac,
+        )
+        scratch = [pltpu.VMEM((mp, k, w), jnp.float32),
+                   pltpu.VMEM((mp, k, ac), jnp.float32)]
+    else:
+        kernel = functools.partial(
+            _wf_kernel_mm, mp=mp, hc=hc, n_hc=h_pad // hc, w=w, k=k, ac=ac,
+        )
+        scratch = [pltpu.VMEM((mp, k, ac), jnp.float32)]
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nsub),
+        in_specs=[
+            pl.BlockSpec((1, 1, mp, h_pad), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((1, 1, mp, h_pad, k), lambda bi, i: (bi, i, 0, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, w, ac), lambda bi, i, spb=spb: (bi, i // spb, 0, 0)
+            ),
+            pl.BlockSpec((k * ac, ac_out), lambda bi, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, mp, ac_out), lambda bi, i: (bi, i, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nsub, mp, ac_out), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(
+        local.reshape(b, nsub, mp, h_pad),
+        infl.reshape(b, nsub, mp, h_pad, k).astype(dtype),
+        windows,
+        rhs.astype(dtype),
+    )
+    return out.reshape(b, nblk_q * QSEG, ac_out)[:, :nq]
+
+
 def _wf_max_kernel(local_ref, infl_ref, win_ref, win2_ref, out_ref, out2_ref,
                    wfacc, macc, *, mp, hc, n_hc, w, k, ac, ac2, h, kfirst):
     """Fused conv contraction + strided-skip neighbor max over ONE one-hot.
@@ -905,6 +1102,186 @@ def _wf_max_kernel(local_ref, infl_ref, win_ref, win2_ref, out_ref, out2_ref,
             out_ref.dtype
         )
     out2_ref[0, 0] = macc[...].astype(out2_ref.dtype)
+
+
+def _wf_max_mm_kernel(local_ref, infl_ref, win_ref, win2_ref, rhs_ref,
+                      out_ref, out2_ref, wfacc, macc, iacc=None, *, mp, hc,
+                      n_hc, w, k, ac, ac2, h, kfirst):
+    """:func:`_wf_max_kernel` + fused weight matmul (``_wf_mm_epilogue``).
+
+    One one-hot serves the conv AND the strided-skip max; the conv's
+    (MP, K, AC) accumulator is consumed by the expanded weight in-kernel,
+    so neither the flat wf intermediate nor the separate matmul exist.
+    The kfirst s@win intermediate stages through ``iacc`` scratch (Mosaic
+    dot-consuming-dot rule, see :func:`_wf_kernel_kfirst_mm`); non-kfirst
+    allocates no ``iacc`` (the epilogue consumes the ``wfacc`` scratch read
+    directly).
+    """
+    win = win_ref[0, 0]    # (W, AC)
+    win2 = win2_ref[0, 0]  # (W, AC2)
+    wfacc[...] = jnp.zeros_like(wfacc)
+    macc[...] = jnp.full_like(macc, -jnp.inf)
+    for c in range(n_hc):
+        loc = local_ref[0, 0, :, c * hc:(c + 1) * hc]  # (MP, HC)
+        iw = jax.lax.broadcasted_iota(jnp.int32, (mp, hc, w), 2)
+        ohb = loc[:, :, None] == iw  # (MP, HC, W)
+        oh2 = ohb.astype(win2.dtype).reshape(mp * hc, w)
+        g2 = jnp.dot(
+            oh2, win2, preferred_element_type=jnp.float32
+        ).reshape(mp, hc, ac2)
+        if (c + 1) * hc > h:  # chunk contains h-padding columns
+            col = jax.lax.broadcasted_iota(jnp.int32, (mp, hc, ac2), 1)
+            g2 = jnp.where(col < h - c * hc, g2, -jnp.inf)
+        macc[...] = jnp.maximum(macc[...], jnp.max(g2, axis=1))
+        ic = infl_ref[0, 0, :, c * hc:(c + 1) * hc, :]  # (MP, HC, K)
+        if kfirst:
+            wfacc[...] += jax.lax.dot_general(
+                ic, ohb.astype(jnp.bfloat16), (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (MP, K, W)
+        else:
+            g = jnp.dot(
+                ohb.astype(win.dtype).reshape(mp * hc, w), win,
+                preferred_element_type=jnp.float32,
+            ).reshape(mp, hc, ac).astype(win.dtype)
+            wfacc[...] += jax.lax.dot_general(
+                ic, g, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (MP, K, AC)
+    if kfirst:
+        s = wfacc[...].astype(win.dtype).reshape(mp * k, w)
+        iacc[...] = jnp.dot(
+            s, win, preferred_element_type=jnp.float32
+        ).reshape(mp, k, ac)
+        o = _wf_mm_epilogue(iacc[...], rhs_ref, k, ac, win.dtype)
+    else:
+        o = _wf_mm_epilogue(wfacc[...], rhs_ref, k, ac, win.dtype)
+    out_ref[0, 0] = o.astype(out_ref.dtype)
+    out2_ref[0, 0] = macc[...].astype(out2_ref.dtype)
+
+
+def _wf_max_mm_mp(w, ac, ac2, ac_out, h, k, kfirst, hc=None, wsz=2):
+    """Largest mp (<= QSEG) fitting the matmul-fused conv+skip-max kernel,
+    or 0.  :func:`_wf_max_mp`'s terms with the flat out block replaced by
+    the post-matmul block + resident expanded weight (:func:`_wf_mm_mp`)."""
+    if hc is None:
+        hc = pick_hc(h)
+    kpad = ((k + 7) // 8) * 8
+    rhs_bytes = k * ac * ac_out * wsz
+    mp = QSEG
+    while mp >= 16:
+        max_terms = (
+            2 * w * ac2 * wsz
+            + mp * ac2 * (4 + wsz * 2)
+            + mp * hc * ac2 * 4
+        )
+        if kfirst:
+            wf_terms = (
+                mp * kpad * w * 4 + mp * kpad * ac * 4
+                + 2 * w * ac * wsz + mp * hc * w * 4
+            )
+        else:
+            wf_terms = (
+                mp * kpad * ac * 4 + 2 * w * ac * wsz + mp * hc * w * 6
+            )
+        total = (wf_terms + max_terms + rhs_bytes
+                 + 3 * mp * ac_out * 4)
+        if total <= 12.5e6:
+            return mp
+        mp //= 2
+    return 0
+
+
+def windowed_wf_max_mm_fits(w: int, ac: int, ac2: int, ac_out: int, h: int,
+                            k: int = 15, kfirst: bool = False) -> bool:
+    """Whether the matmul-fused conv+skip-max kernel fits VMEM."""
+    return _wf_max_mm_mp(w, ac, ac2, ac_out, h, k, kfirst) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("hc", "interpret", "kfirst"))
+def windowed_gather_wf_max_mm(local, infl, windows, windows2, rhs, *,
+                              hc=None, interpret=False, kfirst=False):
+    """:func:`windowed_gather_wf_max` + fused expanded weight matmul.
+
+    Returns ``(out (B, Nq, AC_out) f32, pooled (B, Nq, AC2))``.  Serving
+    only (no VJP) — gate with :func:`windowed_wf_max_mm_fits`.
+    """
+    b, nq, h = local.shape
+    if hc is None:
+        hc = pick_hc(h)
+    k = infl.shape[3]
+    nblk_q, w, ac = windows.shape[1:]
+    ac2 = windows2.shape[3]
+    ac_out = rhs.shape[1]
+    assert rhs.shape[0] == k * ac, (rhs.shape, k, ac)
+    assert nblk_q * QSEG >= nq, (nq, nblk_q)
+    mp = _wf_max_mm_mp(w, ac, ac2, ac_out, h, k, kfirst, hc=hc,
+                       wsz=windows.dtype.itemsize)
+    assert mp > 0, ("windowed_gather_wf_max_mm does not fit VMEM; gate with "
+                    "windowed_wf_max_mm_fits", w, ac, ac2, ac_out)
+    spb = QSEG // mp
+    q_pad = nblk_q * QSEG - nq
+    if q_pad:
+        local = jnp.pad(local, ((0, 0), (0, q_pad), (0, 0)), constant_values=w)
+        infl = jnp.pad(infl, ((0, 0), (0, q_pad), (0, 0), (0, 0)))
+    h_pad = ((h + hc - 1) // hc) * hc
+    if h_pad > h:
+        local = jnp.pad(local, ((0, 0), (0, 0), (0, h_pad - h)),
+                        constant_values=w)
+    if infl.shape[2] < h_pad:
+        infl = jnp.pad(
+            infl, ((0, 0), (0, 0), (0, h_pad - infl.shape[2]), (0, 0))
+        )
+    assert infl.shape[2] == h_pad, (infl.shape, h_pad)
+
+    nsub = nblk_q * spb
+    dtype = windows.dtype
+    kernel = functools.partial(
+        _wf_max_mm_kernel, mp=mp, hc=hc, n_hc=h_pad // hc, w=w, k=k, ac=ac,
+        ac2=ac2, h=h, kfirst=kfirst,
+    )
+    if kfirst:
+        scratch = [pltpu.VMEM((mp, k, w), jnp.float32),
+                   pltpu.VMEM((mp, ac2), jnp.float32),
+                   pltpu.VMEM((mp, k, ac), jnp.float32)]
+    else:
+        scratch = [pltpu.VMEM((mp, k, ac), jnp.float32),
+                   pltpu.VMEM((mp, ac2), jnp.float32)]
+    out, out2 = pl.pallas_call(
+        kernel,
+        grid=(b, nsub),
+        in_specs=[
+            pl.BlockSpec((1, 1, mp, h_pad), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((1, 1, mp, h_pad, k), lambda bi, i: (bi, i, 0, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, w, ac), lambda bi, i, spb=spb: (bi, i // spb, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, w, ac2), lambda bi, i, spb=spb: (bi, i // spb, 0, 0)
+            ),
+            pl.BlockSpec((k * ac, ac_out), lambda bi, i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, mp, ac_out), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((1, 1, mp, ac2), lambda bi, i: (bi, i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nsub, mp, ac_out), jnp.float32),
+            jax.ShapeDtypeStruct((b, nsub, mp, ac2), windows2.dtype),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(
+        local.reshape(b, nsub, mp, h_pad),
+        infl.reshape(b, nsub, mp, h_pad, k).astype(dtype),
+        windows,
+        windows2,
+        rhs.astype(dtype),
+    )
+    return (
+        out.reshape(b, nblk_q * QSEG, ac_out)[:, :nq],
+        out2.reshape(b, nblk_q * QSEG, ac2)[:, :nq],
+    )
 
 
 def _wf_max_mp(w, ac, ac2, h, k, kfirst, hc=None, wsz=2):

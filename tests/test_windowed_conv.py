@@ -152,6 +152,79 @@ def test_windowed_gather_wf_max_matches_separate():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_windowed_gather_wf_max_mm_matches_separate():
+    """Matmul-fused conv+skip-max kernel == (windowed_gather_wf_max,
+    expanded weight matmul) run separately, both contraction orders."""
+    from se3et_tpu.ops.pallas import windowed_conv as wc
+
+    rng = np.random.RandomState(11)
+    b, nq, h, k, w, ac, ac2, ac_out = 1, 100, 11, 15, 64, 96, 160, 128
+    nblk_q = (nq + wc.QSEG - 1) // wc.QSEG
+    local = jnp.asarray(rng.randint(0, w + 1, size=(b, nq, h)), jnp.int32)
+    infl = jnp.asarray(
+        rng.rand(b, nq, h, k) * (np.asarray(local)[..., None] < w),
+        jnp.float32,
+    )
+    windows = jnp.asarray(rng.randn(b, nblk_q, w, ac), jnp.float32)
+    windows2 = jnp.asarray(rng.randn(b, nblk_q, w, ac2), jnp.float32)
+    rhs = jnp.asarray(rng.randn(k * ac, ac_out) * 0.1, jnp.float32)
+
+    assert wc.windowed_wf_max_mm_fits(w, ac, ac2, ac_out, h, k)
+    for kfirst in (False, True):
+        got, pooled = wc.windowed_gather_wf_max_mm(
+            local, infl, windows, windows2, rhs, kfirst=kfirst,
+            interpret=True,
+        )
+        ref_wf, ref_pool = wc.windowed_gather_wf_max(
+            local, infl, windows, windows2, kfirst=kfirst, interpret=True
+        )
+        ref = jnp.einsum("bnm,mo->bno", ref_wf, rhs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(pooled), np.asarray(ref_pool),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_windowed_gather_wf_mm_matches_separate():
+    """Matmul-fused conv kernel == windowed_gather_wf -> expanded weight
+    matmul, in both contraction orders and both dtypes.  The fused kernel
+    never writes the (B, Nq, K*AC) wf intermediate; its epilogue consumes
+    the expanded weight per kernel point (lane-sliced K matmuls)."""
+    from se3et_tpu.ops.pallas import windowed_conv as wc
+
+    rng = np.random.RandomState(3)
+    b, nq, h, k, w, ac, ac_out = 1, 100, 11, 15, 64, 96, 160
+    nblk_q = (nq + wc.QSEG - 1) // wc.QSEG
+    local = jnp.asarray(rng.randint(0, w + 1, size=(b, nq, h)), jnp.int32)
+    infl = jnp.asarray(
+        rng.rand(b, nq, h, k) * (np.asarray(local)[..., None] < w),
+        jnp.float32,
+    )
+    windows = jnp.asarray(rng.randn(b, nblk_q, w, ac), jnp.float32)
+    rhs = jnp.asarray(rng.randn(k * ac, ac_out) * 0.1, jnp.float32)
+
+    assert wc.windowed_wf_mm_fits(w, ac, ac_out, h, k)
+    for kfirst in (False, True):
+        got = wc.windowed_gather_wf_mm(local, infl, windows, rhs,
+                                       kfirst=kfirst, interpret=True)
+        wf = wc.windowed_gather_wf(local, infl, windows, kfirst=kfirst,
+                                   interpret=True)
+        ref = jnp.einsum("bnm,mo->bno", wf, rhs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    ib, wb = infl.astype(jnp.bfloat16), windows.astype(jnp.bfloat16)
+    rb = rhs.astype(jnp.bfloat16)
+    got = np.asarray(
+        wc.windowed_gather_wf_mm(local, ib, wb, rb, interpret=True),
+        np.float32,
+    )
+    wf = wc.windowed_gather_wf(local, ib, wb, interpret=True)
+    ref = np.asarray(jnp.einsum("bnm,mo->bno", wf, rb), np.float32)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=0.03 * scale)
+
+
 def test_influence_windowed_matches_xla():
     """The windowed influence kernel reproduces _influence_weights exactly."""
     from se3et_tpu.nn.epn import _influence_weights
