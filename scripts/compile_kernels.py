@@ -147,7 +147,7 @@ def main():
                                                     kfirst=kfirst_)
 
     run("wf+max+mm fused s0->s1 (w=384, ac=192->192, ac2=768)",
-        _wf_max_mm_case(2, 10000, 24, 384, 192, 192, False))
+        _wf_max_mm_case(2, 10000, 24, 384, 192, 768, 192, False))
     # (s1->s2 strided at w=640/ac2=1536 does NOT fit the mm variant — the
     # fits gate keeps it on windowed_gather_wf_max; no smoke case)
 
