@@ -298,6 +298,10 @@ class KPConvInterSO3(nn.Module):
                     win.shape[2], a_dim * cin, rhs.shape[1],
                     local.shape[2], kk, kfirst,
                 ):
+                    wc.TRACE_MM_FLOPS.append(
+                        2.0 * x.shape[0] * local.shape[1]
+                        * rhs.shape[0] * rhs.shape[1]
+                    )
                     out = wc.windowed_gather_wf_mm(
                         local, w, win, rhs, kfirst=kfirst,
                         interpret=jax.default_backend() != "tpu",
@@ -319,6 +323,10 @@ class KPConvInterSO3(nn.Module):
                         win.shape[2], a_dim * cin, win2.shape[3],
                         rhs.shape[1], local.shape[2], kk, kfirst,
                     ):
+                        wc.TRACE_MM_FLOPS.append(
+                            2.0 * x.shape[0] * local.shape[1]
+                            * rhs.shape[0] * rhs.shape[1]
+                        )
                         out, pooled = wc.windowed_gather_wf_max_mm(
                             local, w, win, win2, rhs, kfirst=kfirst,
                             interpret=jax.default_backend() != "tpu",

@@ -35,6 +35,19 @@ from jax.experimental.pallas import tpu as pltpu
 QSEG = 64  # query rows per window block; must match pipeline.WINDOW_QSEG
 SSEG = 16  # source rows per window segment; must match pipeline.WINDOW_SSEG
 
+# Trace-time ledger of MODEL FLOPs executed inside the fused kernels: the
+# compiled executable's ``cost_analysis()`` cannot see into Mosaic custom
+# calls, so once the expanded weight matmuls moved in-kernel (wf_mm,
+# BENCH.md round 5) the serving bench under-reported model TFLOPs/MFU by
+# ~1 TFLOP/pair.  The CALLER (``nn/epn.py``) appends each fused conv's
+# weight-matmul FLOPs here at trace time — the mm wrappers themselves are
+# inner-jitted, so their Python bodies run once per distinct shape, not
+# per call.  Consumers (bench.py) clear the list immediately before
+# tracing the forward and sum it afterwards.  Only the *weight* matmul
+# counts — the one-hot gather/contraction matmuls are implementation
+# traffic, not model FLOPs (they were never XLA-counted).
+TRACE_MM_FLOPS: list[float] = []
+
 
 def pick_hc(h: int) -> int:
     """Neighbor-chunk size for the windowed kernels.
