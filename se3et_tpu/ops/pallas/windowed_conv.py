@@ -25,6 +25,7 @@ Inference-path only (no custom VJP); training keeps the XLA gather.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -580,6 +581,19 @@ def _wf_trainable_bwd(kfirst, interpret, res, d_out):
 windowed_gather_wf_trainable.defvjp(_wf_trainable_fwd, _wf_trainable_bwd)
 
 
+# VMEM budget the mm-fused kernels size their row sub-block (mp) against;
+# 12.5e6 carries the ~15-20% estimate-undercount margin against the 16 MB
+# default scoped-VMEM limit (measured for windowed_gather_wf).
+# ``SE3ET_WF_BUDGET`` A/Bs the figure without a code edit.  Checked round 5
+# (eval_shape trace of the production se3ete.3dmatch serving graph): every
+# mm-admitted conv already picks mp=QSEG=64 at this budget — the convs the
+# fitters REJECT (s2/s3 neighbor sets) are excluded by the resident
+# expanded weight alone (k*ac*ac_out bf16 = 17.7M at ac=ac_out=768), which
+# no sub-16 MB budget can admit; raising the budget changes nothing on the
+# production shapes.
+_MM_BUDGET = float(os.environ.get("SE3ET_WF_BUDGET", 12.5e6))
+
+
 def _wf_mm_mp(w, ac, ac_out, h, k, kfirst, hc=None, wsz=2):
     """Largest mp (<= QSEG) fitting the matmul-fused conv kernel's scoped
     VMEM budget, or 0 if even mp=16 does not fit.  Mirrors the
@@ -606,7 +620,7 @@ def _wf_mm_mp(w, ac, ac_out, h, k, kfirst, hc=None, wsz=2):
                 + mp * hc * w * 6
             )
         terms += rhs_bytes + 3 * mp * ac_out * 4  # rhs + o + out block x2
-        if terms <= 12.5e6:
+        if terms <= _MM_BUDGET:
             return mp
         mp //= 2
     return 0
@@ -1199,7 +1213,7 @@ def _wf_max_mm_mp(w, ac, ac2, ac_out, h, k, kfirst, hc=None, wsz=2):
             )
         total = (wf_terms + max_terms + rhs_bytes
                  + 3 * mp * ac_out * 4)
-        if total <= 12.5e6:
+        if total <= _MM_BUDGET:
             return mp
         mp //= 2
     return 0
